@@ -1,0 +1,505 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Relational operator surface of the engine, mapped 1:1 onto the reference
+  * inventory in SURVEY.md §2 and exercised over the harness testdata so each
+  * query has a DuckDB oracle (SURVEY.md §7.4).
+  *
+  * Conventions (driver hash-compares values after sorting columns by name):
+  *  - every aggregate/computed column is aliased identically here and in the
+  *    oracle SQL;
+  *  - money sums go through DECIMAL(18,2) and back to DOUBLE so the result is
+  *    order-independent (a plain double sum is not associative and would
+  *    hash-mismatch between engines);
+  *  - every query ends in a deterministic total ORDER BY.
+  *
+  * Scale notes are inline per query: each one is written so the same plan
+  * survives 100 TB inputs (broadcast only bounded dims, aggregate before
+  * join where possible, filters pushed to the parquet scan).
+  */
+object RelationalOps {
+
+  /** Exact, order-independent sum of a 2-dp money column. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact sum of extendedprice*(1-discount)-style 2dp*2dp products. */
+  private def dsum2(a: Column, b: Column): Column =
+    sum(a.cast(DecimalType(18, 2)) * b.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  // ---------------------------------------------------------------------------
+  // A4 + F7/F8/F9 + P1 — pricing summary (reference weighted-sum analog,
+  // geotools.py:268–281). Partial aggregation (map-side combine) means the
+  // shuffle carries ≤ |returnflag×linestatus| rows per task at any scale.
+  private def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= expr("TIMESTAMP '2001-09-02 00:00:00'"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum2(col("l_extendedprice"), lit(1) - col("l_discount")).as("sum_disc_price"),
+        avg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      |  avg(l_quantity) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // J4/J5 + A4 — revenue per nation: two big-table equi-joins (shuffled on
+  // their keys) + broadcast of the 25-row nation dim (SURVEY J4: broadcast
+  // equi-join). At 100 TB: lineitem⋈orders shuffles on orderkey; nation and
+  // customer-derived dim stay broadcast-able.
+  private def q2RevenueByNation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    val c  = Tables.customer(s, d)
+    val n  = Tables.nation(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        dsum2(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  private val q2Sql =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // S10 — date-sequence generation (radohydro.py:39–46 daterange).
+  private def s10DateSequence(s: SparkSession, d: String): DataFrame =
+    s.range(1).select(explode(expr(
+      "sequence(DATE '1995-01-01', DATE '1995-12-31', interval 1 day)")).as("d"))
+      .orderBy("d")
+
+  private val s10Sql =
+    """SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31', INTERVAL 1 DAY)) AS DATE) AS d
+      |ORDER BY d""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // P1 + P5 — date-range predicate + 2-D window slice (the reference's
+  // buffered bbox clipping, geotools.py:85–99). Both predicates reach the
+  // parquet scan as PushedFilters — at 100 TB this is row-group pruning.
+  private def p1BetweenFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between(
+        expr("TIMESTAMP '1996-01-01 00:00:00'"), expr("TIMESTAMP '1996-03-31 00:00:00'")))
+      .filter(col("l_partkey").between(100, 500) && col("l_suppkey").between(10, 60))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val p1Sql =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-03-31 00:00:00'
+      |  AND l_partkey BETWEEN 100 AND 500 AND l_suppkey BETWEEN 10 AND 60
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // J1/P2 — dates × files cross join + substring-containment theta filter
+  // (radohydro.py:188–189: `if dt in file`). Tiny dim side ⇒ Catalyst plans a
+  // BroadcastNestedLoopJoin that streams the big side — the only join shape
+  // that works for a contains() predicate; never shuffles the fact table.
+  private def j1CrossContains(s: SparkSession, d: String): DataFrame = {
+    val months = s.range(1).select(explode(expr(
+      "sequence(DATE '1996-01-01', DATE '1996-12-01', interval 1 month)")).as("m0"))
+      .select(date_format(col("m0"), "yyyyMM").as("m"))
+    val files = Tables.orders(s, d)
+      .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyyMMdd").as("fname"),
+        col("o_totalprice"))
+    months.crossJoin(files)
+      .where(col("fname").contains(col("m")))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_files"), dsum(col("o_totalprice")).as("price_sum"))
+      .orderBy("m")
+  }
+
+  private val j1Sql =
+    """SELECT m, count(*) AS n_files,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+      |FROM (SELECT strftime(CAST(unnest(generate_series(DATE '1996-01-01', DATE '1996-12-01', INTERVAL 1 MONTH)) AS DATE), '%Y%m') AS m),
+      |     (SELECT strftime(o_orderdate, '%Y%m%d') AS fname, o_totalprice FROM orders)
+      |WHERE contains(fname, m)
+      |GROUP BY m
+      |ORDER BY m""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // J2(a) — the grid-bucketed range join: a range predicate re-expressed as an
+  // equi-join on bucket keys (SURVEY §4: the one real optimizer decision —
+  // avoids BroadcastNestedLoopJoin on an interval predicate). Each range row
+  // explodes to its covered buckets; the fact side computes its bucket; the
+  // join is a hash equi-join + residual range check. Scales: shuffle is on
+  // bucket keys, ranges side stays tiny and broadcast-able.
+  private def j2BucketRangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ranges = Seq((1, 900.0, 925.0), (2, 925.0, 950.0), (3, 950.0, 980.0), (4, 980.0, 1000.0))
+      .toDF("range_id", "lo", "hi")
+    val bucketed = ranges.withColumn("bucket",
+      explode(expr("sequence(CAST(floor(lo/10) AS INT), CAST(floor((hi-0.0001)/10) AS INT))")))
+    val parts = Tables.part(s, d)
+      .withColumn("bucket", floor(col("p_retailprice") / 10).cast(IntegerType))
+    parts.join(broadcast(bucketed), Seq("bucket"))
+      .where(col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("range_id"))
+      .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("price_sum"))
+      .orderBy("range_id")
+  }
+
+  private val j2Sql =
+    """SELECT range_id, count(*) AS n_parts,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+      |FROM (VALUES (1, 900.0, 925.0), (2, 925.0, 950.0), (3, 950.0, 980.0), (4, 980.0, 1000.0)) AS r(range_id, lo, hi)
+      |JOIN part ON p_retailprice >= lo AND p_retailprice < hi
+      |GROUP BY range_id
+      |ORDER BY range_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Semi/anti joins (engine surface beyond the reference; EXISTS / NOT EXISTS).
+  private def jSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).where(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  private val jSemiSql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  private def jAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).where(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  private val jAntiSql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // A1 — total bounds (geotools.py:86 total_bounds): global min/max agg.
+  private def a1TotalBounds(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      min(col("l_shipdate")).as("ship_min"),
+      max(col("l_shipdate")).as("ship_max"),
+      min(col("l_quantity")).as("qty_min"),
+      max(col("l_quantity")).as("qty_max"),
+      min(col("l_extendedprice")).as("price_min"),
+      max(col("l_extendedprice")).as("price_max"))
+
+  private val a1Sql =
+    """SELECT min(l_shipdate) AS ship_min, max(l_shipdate) AS ship_max,
+      |  min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+      |  min(l_extendedprice) AS price_min, max(l_extendedprice) AS price_max
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // A2 — the reference's per-group NaN-cleaning gate, replicated exactly
+  // (geotools.py:254–260): per group, IF the count of rows with >1 missing
+  // field is < group size THEN drop rows with ANY missing field ELSE keep all.
+  // (Note the deliberate >1 vs any-missing asymmetry — SURVEY quirk in A2.)
+  // Missingness here: low event value / low props.k stand in for NaN cells.
+  // Single window partition per user_id; at scale this is one shuffle on the
+  // group key, no driver materialization.
+  private def a2NanCleanGate(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .withColumn("nan_cnt",
+        when(col("value") < 5.0, 1).otherwise(0) + when(col("k") < 10, 1).otherwise(0))
+    val w = Window.partitionBy(col("user_id"))
+    e.withColumn("bad_rows", sum(when(col("nan_cnt") > 1, 1).otherwise(0)).over(w))
+      .withColumn("total_rows", count(lit(1)).over(w))
+      .where(not(col("bad_rows") < col("total_rows")) || col("nan_cnt") === 0)
+      .select("event_id", "user_id", "value", "k")
+      .orderBy("event_id")
+  }
+
+  private val a2Sql =
+    """SELECT event_id, user_id, value, k FROM (
+      |  SELECT event_id, user_id, value, k, nan_cnt,
+      |    sum(CASE WHEN nan_cnt > 1 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id) AS bad_rows,
+      |    count(*) OVER (PARTITION BY user_id) AS total_rows
+      |  FROM (
+      |    SELECT event_id, user_id, value,
+      |      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      |      (CASE WHEN value < 5.0 THEN 1 ELSE 0 END) + (CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) < 10 THEN 1 ELSE 0 END) AS nan_cnt
+      |    FROM events))
+      |WHERE NOT (bad_rows < total_rows) OR nan_cnt = 0
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // A3 — per-group weight normalization (geotools.py:262): w = x / sum(x) over
+  // group. Quantities are integer-valued ⇒ the division is bit-identical
+  // across engines. One hash-partition on the group key.
+  private def a3WeightNormalize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+    Tables.lineitem(s, d)
+      .withColumn("wgt", col("l_quantity") / sum(col("l_quantity")).over(w))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "wgt")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val a3Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  l_quantity / sum(l_quantity) OVER (PARTITION BY l_orderkey) AS wgt
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // A4 — weighted sum per group per key (geotools.py:268–281,
+  // np.add.reduceat): sum(value*weight) via plain hash agg. Weights from A3
+  // are rationals p/q with exact double division only when re-multiplied by
+  // integers — to keep the oracle exact we weight price by quantity share
+  // through DECIMAL.
+  private def a4WeightedSum(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum2(col("l_extendedprice"), col("l_discount")).as("weighted_price"),
+        sum(col("l_quantity") * col("l_linenumber")).as("weighted_qty"))
+      .orderBy("l_returnflag")
+
+  private val a4Sql =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS weighted_price,
+      |  sum(l_quantity * l_linenumber) AS weighted_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // A5 — order-preserving distinct ≡ first-seen per key (pd.unique,
+  // geotools.py:266): min(orderdate) per customer.
+  private def a5FirstSeen(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("first_order"), count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
+  private val a5Sql =
+    """SELECT o_custkey, min(o_orderdate) AS first_order, count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // O3/O4 — deterministic top-k (orderBy + limit with total tiebreak). At
+  // scale Spark plans TakeOrderedAndProject: per-partition heaps, no global
+  // sort.
+  private def o3TopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  private val o3Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // U1 — union (np.dstack time-axis accumulation ≡ union of slices).
+  private def u1Union(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val hi = li.where(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_linenumber"), lit("hi").as("band"))
+    val lo = li.where(col("l_quantity") <= 5)
+      .select(col("l_orderkey"), col("l_linenumber"), lit("lo").as("band"))
+    hi.union(lo).orderBy("l_orderkey", "l_linenumber", "band")
+  }
+
+  private val u1Sql =
+    """SELECT l_orderkey, l_linenumber, 'hi' AS band FROM lineitem WHERE l_quantity >= 45
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'lo' AS band FROM lineitem WHERE l_quantity <= 5
+      |ORDER BY l_orderkey, l_linenumber, band""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // U4 — wide pivot (one column per period; geotools.py:171–176). Expressed as
+  // conditional aggregation — what pivot compiles to — so column names are
+  // stable and the sink schema is fixed regardless of data (the reference's
+  // dynamic ts-columns are an anti-pattern at scale, SURVEY §1.1).
+  private def u4PivotWide(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).withColumn("mth", month(col("o_orderdate")))
+    val cols = (1 to 12).map(m => count(when(col("mth") === m, true)).as(f"m$m%02d"))
+    o.groupBy(col("o_orderstatus")).agg(cols.head, cols.tail: _*).orderBy("o_orderstatus")
+  }
+
+  private val u4Sql = {
+    val colSql = (1 to 12)
+      .map(m => f"count(*) FILTER (WHERE month(o_orderdate) = $m) AS m$m%02d")
+      .mkString(",\n  ")
+    s"SELECT o_orderstatus,\n  $colSql\nFROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+  }
+
+  // ---------------------------------------------------------------------------
+  // U5 — melt / unpivot (stack): customer+supplier account balances per nation
+  // as long rows.
+  private def u5Unpivot(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+      .agg(dsum(col("c_acctbal")).as("cust_bal"))
+    val sp = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nationkey"))
+      .agg(dsum(col("s_acctbal")).as("supp_bal"))
+    c.join(sp, Seq("nationkey"), "full_outer")
+      .na.fill(0.0, Seq("cust_bal", "supp_bal"))
+      .select(col("nationkey"),
+        expr("stack(2, 'cust', cust_bal, 'supp', supp_bal) AS (kind, bal)"))
+      .orderBy("nationkey", "kind")
+  }
+
+  private val u5Sql =
+    """WITH c AS (SELECT c_nationkey AS nationkey, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS cust_bal FROM customer GROUP BY 1),
+      |     s AS (SELECT s_nationkey AS nationkey, CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supp_bal FROM supplier GROUP BY 1),
+      |     j AS (SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, COALESCE(cust_bal, 0.0) AS cust_bal, COALESCE(supp_bal, 0.0) AS supp_bal
+      |           FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey)
+      |SELECT nationkey, 'cust' AS kind, cust_bal AS bal FROM j
+      |UNION ALL
+      |SELECT nationkey, 'supp' AS kind, supp_bal AS bal FROM j
+      |ORDER BY nationkey, kind""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // F1/F10 — digits-extract (radohydro.py:70–71) + zero-pad (geotools.py:300).
+  private def f1DigitsLpad(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[^0-9]", "").as("digits"),
+        regexp_replace(col("c_name"), "[^0-9]", "").cast(LongType).as("digits_num"),
+        lpad(col("c_custkey").cast(StringType), 8, "0").as("padded"))
+      .orderBy("c_custkey")
+
+  private val f1Sql =
+    """SELECT c_custkey,
+      |  regexp_replace(c_name, '[^0-9]', '', 'g') AS digits,
+      |  CAST(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT) AS digits_num,
+      |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // F2/F3/F4 — timestamp parse/format/interval battery (radohydro.py:64–78,
+  // 158–166): format to yymmddHHMM-style strings, parse back, ±1 day/month.
+  private def f2DateBattery(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .where(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyMMddHHmm").as("ts_str"),
+        to_timestamp(date_format(col("o_orderdate"), "yyyyMMddHH"), "yyyyMMddHH").as("ts_rt"),
+        (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("plus_day"),
+        (col("o_orderdate") + expr("INTERVAL 1 MONTH")).as("plus_month"))
+      .orderBy("o_orderkey")
+
+  private val f2Sql =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%y%m%d%H%M') AS ts_str,
+      |  strptime(strftime(o_orderdate, '%Y%m%d%H'), '%Y%m%d%H') AS ts_rt,
+      |  o_orderdate + INTERVAL 1 DAY AS plus_day,
+      |  o_orderdate + INTERVAL 1 MONTH AS plus_month
+      |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // F7/F9 + P6/P7 — scale-divide (0.1mm→mm, ÷10), round(3), sentinel→null,
+  // dropna (radohydro.py:448, geotools.py:174–176, 315–317).
+  private def f7ScaleRound(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("v", when(col("value") < 1.0, lit(null)).otherwise(col("value")))
+      .na.drop(Seq("v"))
+      .select(col("event_id"), round(col("v") / 10.0, 3).as("v_mm"))
+      .orderBy("event_id")
+
+  private val f7Sql =
+    """SELECT event_id, round(v / 10.0, 3) AS v_mm FROM (
+      |  SELECT event_id, CASE WHEN value < 1.0 THEN NULL ELSE value END AS v FROM events)
+      |WHERE v IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // from_json over events.props (SURVEY §7.4 extension surface).
+  private def fJsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).getField("k").as("k"),
+        col("event_type"))
+      .where(col("k") >= 50)
+      .orderBy("event_id")
+
+  private val fJsonSql =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, event_type
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"   -> q1PricingSummary _,
+    "q2_revenue_by_nation" -> q2RevenueByNation _,
+    "s10_date_sequence"    -> s10DateSequence _,
+    "p1_between_filter"    -> p1BetweenFilter _,
+    "j1_cross_contains"    -> j1CrossContains _,
+    "j2_bucket_range_join" -> j2BucketRangeJoin _,
+    "j6_semi_join"         -> jSemi _,
+    "j7_anti_join"         -> jAnti _,
+    "a1_total_bounds"      -> a1TotalBounds _,
+    "a2_nan_clean_gate"    -> a2NanCleanGate _,
+    "a3_weight_normalize"  -> a3WeightNormalize _,
+    "a4_weighted_sum"      -> a4WeightedSum _,
+    "a5_first_seen"        -> a5FirstSeen _,
+    "o3_topk"              -> o3TopK _,
+    "u1_union"             -> u1Union _,
+    "u4_pivot_wide"        -> u4PivotWide _,
+    "u5_unpivot"           -> u5Unpivot _,
+    "f1_digits_lpad"       -> f1DigitsLpad _,
+    "f2_date_battery"      -> f2DateBattery _,
+    "f7_scale_round"       -> f7ScaleRound _,
+    "f_json_extract"       -> fJsonExtract _)
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary"   -> q1Sql,
+    "q2_revenue_by_nation" -> q2Sql,
+    "s10_date_sequence"    -> s10Sql,
+    "p1_between_filter"    -> p1Sql,
+    "j1_cross_contains"    -> j1Sql,
+    "j2_bucket_range_join" -> j2Sql,
+    "j6_semi_join"         -> jSemiSql,
+    "j7_anti_join"         -> jAntiSql,
+    "a1_total_bounds"      -> a1Sql,
+    "a2_nan_clean_gate"    -> a2Sql,
+    "a3_weight_normalize"  -> a3Sql,
+    "a4_weighted_sum"      -> a4Sql,
+    "a5_first_seen"        -> a5Sql,
+    "o3_topk"              -> o3Sql,
+    "u1_union"             -> u1Sql,
+    "u4_pivot_wide"        -> u4Sql,
+    "u5_unpivot"           -> u5Sql,
+    "f1_digits_lpad"       -> f1Sql,
+    "f2_date_battery"      -> f2Sql,
+    "f7_scale_round"       -> f7Sql,
+    "f_json_extract"       -> fJsonSql)
+}
