@@ -1,0 +1,91 @@
+package graft.out
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.api.RadoHydro.BasinInfo
+
+/** Output sinks (SURVEY K1/K2).
+  *
+  * [[CsvSink.writeFaithful]] reproduces the reference's per-basin CSV bytes
+  * (geotools/geotools.py:295-319) including quirk Q3 — the zero-pad width is
+  * `ceil(ln(n))` with the NATURAL log — and Q10 (basin_area = area of the
+  * original basin polygon in the output CRS, 3 dp). The final series is
+  * |basins| x |timestamps| — inherently driver-sized, like the reference's
+  * files. [[CsvSink.writeScalable]] is the cluster path: one partition
+  * directory per basin via partitionBy, no driver materialization.
+  */
+object CsvSink {
+
+  /** Q3: zfill width via natural log (geotools.py:300). */
+  def zfillWidth(nBasins: Int): Int =
+    math.ceil(math.log(nBasins.toDouble)).toInt
+
+  private def fmtValue(v: Double): String =
+    if (v.isNaN) "nan"
+    else {
+      // np.around(x, 3) rounds half-to-even; then str() of the float
+      val r = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      if (r == r.toLong.toDouble) s"${r.toLong}.0" else r.toString
+    }
+
+  /** Write one CSV per basin: header lines + (yyMMddHHmm, value) rows. */
+  def writeFaithful(series: DataFrame, basins: Seq[BasinInfo], outDir: String,
+      outName: String = "radohydro", header: String = "rainfall[mm/h]"): Seq[String] = {
+    Files.createDirectories(Paths.get(outDir))
+    val rows = series
+      .select(col("basinID"), date_format(col("ts"), "yyMMddHHmm").as("tstr"), col("rain"))
+      .orderBy("basinID", "tstr")
+      .collect()
+    val width = zfillWidth(basins.size)
+    val byBasin = rows.groupBy(_.getInt(0))
+    basins.flatMap { b =>
+      byBasin.get(b.basinID).map { rs =>
+        val id = b.basinID.toString
+        val padded = ("0" * math.max(0, width - id.length)) + id
+        val path = Paths.get(outDir, s"${outName}_$padded.csv")
+        val sb = new StringBuilder
+        sb ++= f"basin ID: ${b.basinID}%d\n"
+        sb ++= f"basin_area: ${b.areaOut}%.3f\n"
+        sb ++= s"Time[yymmddhh],$header\n"
+        rs.foreach { r => sb ++= s"${r.getString(1)},${fmtValue(r.getDouble(2))}\n" }
+        Files.write(path, sb.toString.getBytes("UTF-8"))
+        path.toString
+      }
+    }
+  }
+
+  /** Cluster-scale variant: long CSV partitioned by basin, no collect. */
+  def writeScalable(series: DataFrame, outDir: String): Unit =
+    series
+      .select(col("basinID"), date_format(col("ts"), "yyMMddHHmm").as("time"),
+        round(col("rain"), 3).as("rainfall_mm"))
+      .repartition(col("basinID"))
+      .sortWithinPartitions("time")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("basinID")
+      .option("header", "true")
+      .csv(outDir)
+}
+
+/** K2 — wide table: one column per timestamp (pivot at the sink only;
+  * SURVEY U4). Keeps the reference's documented <500-column guard
+  * (README:17, geotools.py:321) as a hard check, writing parquet instead of
+  * the dbase-limited shapefile.
+  */
+object WideSink {
+  def write(series: DataFrame, outPath: String, maxCols: Int = 500): Boolean = {
+    val tsCols = series.select(date_format(col("ts"), "yyMMddHHmm").as("t"))
+      .distinct().orderBy("t").collect().map(_.getString(0))
+    if (tsCols.length >= maxCols) false
+    else {
+      series
+        .groupBy("basinID")
+        .pivot(date_format(col("ts"), "yyMMddHHmm"), tsCols)
+        .agg(first("rain"))
+        .orderBy("basinID")
+        .write.mode(SaveMode.Overwrite).parquet(outPath)
+      true
+    }
+  }
+}
