@@ -14,7 +14,11 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (operators.RelationalOps.queries, operators.RelationalOps.oracles)
+      (operators.RelationalOps.queries, operators.RelationalOps.oracles),
+      (operators.TextOps.queries, operators.TextOps.oracles),
+      (operators.Dedup.queries, operators.Dedup.oracles),
+      (operators.Similarity.queries, operators.Similarity.oracles),
+      (operators.Multimodal.queries, operators.Multimodal.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

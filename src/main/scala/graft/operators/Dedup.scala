@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Deduplication operator family for the training-data pipeline: exact
+  * (hash-groupBy), MinHash signatures + LSH banding, SimHash, token-n-gram
+  * Jaccard, and embedding-cosine near-dup — each oracle-checkable because all
+  * hashing routes through the portable md5-based [[TextOps.hash60]].
+  *
+  * Scale design: every signature is computed per-document with pure column
+  * expressions (no UDFs, no shuffles); pair extraction always goes through a
+  * bucket equi-join (LSH band, id-block, or hash bucket) so the shuffle key
+  * is the bucket, never a cross product. The one brute-force query
+  * (d6, embedding cosine) is the tiny-side baseline the ANN variant in
+  * [[Similarity]] is measured against.
+  */
+object Dedup {
+
+  private val NumHashes = 8
+  private val BandSize = 2 // 4 bands of 2 -> LSH candidates
+
+  // Spark-side shingle + minhash SQL fragments (shared shape with oracles)
+  private val normExpr = "regexp_replace(lower(text), '\\\\s+', ' ')"
+  private val shinglesExpr =
+    s"transform(sequence(1, greatest(length(norm)-4, 1)), i -> substring(norm, i, 5))"
+  private def minhashExpr(seed: Int) =
+    s"array_min(transform(shingles, sh -> CAST(conv(substr(md5(concat(sh, '$seed')),1,15),16,10) AS BIGINT)))"
+
+  private val duckNorm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+  private val duckShingles =
+    "list_transform(range(1, greatest(len(norm)-4,1)+1), i -> substr(norm, i, 5))"
+  private def duckMinhash(seed: Int) =
+    s"list_aggregate(list_transform(shingles, sh -> CAST(('0x'||substr(md5(sh||'$seed'),1,15)) AS BIGINT)), 'min')"
+
+  // ---------------------------------------------------------------------------
+  // d1 — exact dedup: hash-groupBy on the normalized fingerprint; keeper =
+  // min(doc_id). One shuffle on the hash; at 100 TB this is the classic
+  // map-side-combine distinct.
+  private def d1Exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper_doc_id")
+
+  private val d1Sql =
+    """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+      |  min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // d2 — MinHash signatures: 8 independent min-hashes over character 5-gram
+  // shingles, plus the banded LSH bucket keys used for candidate joins.
+  private def d2Minhash(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .withColumn("norm", expr(normExpr))
+      .withColumn("shingles", expr(shinglesExpr))
+    val withSigs = (0 until NumHashes).foldLeft(base) { (df, i) =>
+      df.withColumn(s"mh$i", expr(minhashExpr(i)))
+    }
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      val parts = (b * BandSize until (b + 1) * BandSize).map(i => s"mh$i")
+      expr(s"CAST(conv(substr(md5(concat_ws(',', ${parts.mkString(",")})),1,15),16,10) AS BIGINT)")
+        .as(s"band$b")
+    }
+    withSigs.select(col("doc_id") +: (0 until NumHashes).map(i => col(s"mh$i")) ++: bandCols: _*)
+      .orderBy("doc_id")
+  }
+
+  private val d2Sql = {
+    val sigs = (0 until NumHashes).map(i => s"${duckMinhash(i)} AS mh$i").mkString(",\n  ")
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      val parts = (b * BandSize until (b + 1) * BandSize).map(i => s"mh$i").mkString(" || ',' || ")
+      s"CAST(('0x'||substr(md5($parts),1,15)) AS BIGINT) AS band$b"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id, ${(0 until NumHashes).map(i => s"mh$i").mkString(", ")},
+       |  $bands
+       |FROM (
+       |  SELECT doc_id, $sigs
+       |  FROM (SELECT doc_id, $duckShingles AS shingles
+       |        FROM (SELECT doc_id, $duckNorm AS norm FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // d3 — MinHash-LSH candidate pairs: explode band keys, self-join on
+  // (band index, band hash), estimate similarity as matching-signature
+  // fraction. The join key is the band bucket — the scale-safe formulation.
+  private def d3MinhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = d2Minhash(s, d)
+    val longBands = sigs.select(
+      col("doc_id"),
+      array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"),
+      explode(array((0 until NumHashes / BandSize).map { b =>
+        struct(lit(b).as("band_idx"), col(s"band$b").as("band_hash"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
+    val a = longBands.as("a"); val b = longBands.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))").cast(DoubleType)
+          / NumHashes).as("est_jaccard"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val d3Sql = {
+    val sigList = (0 until NumHashes).map(i => s"mh$i").mkString(", ")
+    val bandUnion = (0 until NumHashes / BandSize)
+      .map(b => s"SELECT doc_id, [$sigList] AS sig, $b AS band_idx, band$b AS band_hash FROM s")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH s AS (
+       |  ${d2Sql.replace("ORDER BY doc_id", "")}
+       |), bands AS (
+       |  $bandUnion
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $NumHashes AS est_jaccard
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // d4 — SimHash (32-bit): per-token hash bit votes, majority per bit.
+  private def d4Simhash(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .withColumn("h", TextOps.hash60(col("tok")))
+      .withColumn("b", explode(expr("sequence(0, 31)")))
+      .withColumn("vote", when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1))
+    toks.groupBy("doc_id", "b").agg(sum("vote").as("votes"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("votes") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
+        .as("simhash"))
+      .withColumn("sim_bucket", expr("simhash >> 24").cast(IntegerType))
+      .orderBy("doc_id")
+  }
+
+  private val d4Sql =
+    """SELECT doc_id,
+      |  CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash,
+      |  CAST(CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) >> 24 AS INTEGER) AS sim_bucket
+      |FROM (
+      |  SELECT doc_id, r.range AS b, sum(CASE WHEN (h >> r.range) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+      |  FROM (
+      |    SELECT doc_id, CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h
+      |    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents)
+      |  ), range(0, 32) r
+      |  GROUP BY doc_id, r.range)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // d5 — token-3-gram Jaccard near-dup within id-blocks (block join keeps the
+  // pair space bounded; at scale the block key would be an LSH prefix).
+  private def d5NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(0, greatest(size(toks)-3, 0)), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+      .withColumn("blk", floor(col("doc_id") / 100))
+      .select("doc_id", "blk", "grams")
+    val a = grams.as("a"); val b = grams.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", expr("size(array_intersect(a.grams, b.grams))"))
+      .withColumn("uni", expr("size(array_distinct(concat(a.grams, b.grams)))"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
+      .where(col("jaccard") >= 0.03)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("inter"), col("uni"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val d5Sql =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(floor(doc_id / 100) AS BIGINT) AS blk,
+      |    list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  len(list_intersect(a.grams, b.grams)) AS inter,
+      |  len(list_distinct(list_concat(a.grams, b.grams))) AS uni,
+      |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+      |FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.03
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // d6 — embedding-cosine near-dup, brute-force baseline (the ANN variant
+  // lives in Similarity.s2). Cosine via sequential fold -> deterministic.
+  private[operators] val cosExpr =
+    "aggregate(zip_with(ad, bd, (x, y) -> x * y), 0D, (acc, v) -> acc + v) / " +
+      "(sqrt(aggregate(ad, 0D, (acc, v) -> acc + v * v)) * " +
+      " sqrt(aggregate(bd, 0D, (acc, v) -> acc + v * v)))"
+
+  private def d6EmbedCosine(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("ad"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("bd"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("cos", expr(cosExpr))
+      .where(col("cos") >= 0.38)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val d6Sql =
+    """WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_r
+      |FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.38
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup"    -> d1Exact _,
+    "d2_minhash_sigs"   -> d2Minhash _,
+    "d3_minhash_pairs"  -> d3MinhashPairs _,
+    "d4_simhash"        -> d4Simhash _,
+    "d5_ngram_jaccard"  -> d5NgramJaccard _,
+    "d6_embed_cosine"   -> d6EmbedCosine _)
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup"    -> d1Sql,
+    "d2_minhash_sigs"   -> d2Sql,
+    "d3_minhash_pairs"  -> d3Sql,
+    "d4_simhash"        -> d4Sql,
+    "d5_ngram_jaccard"  -> d5Sql,
+    "d6_embed_cosine"   -> d6Sql)
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Text-analysis operators for the training-data pipeline surface
+  * (BASELINE.json north star): token counting, quality scoring, language-ID
+  * heuristics, and document fingerprinting — all as codegen'd column
+  * expressions (functions/higher-order lambdas, zero UDFs), so at 100 TB they
+  * run inside whole-stage codegen next to the parquet scan with full column
+  * pruning.
+  */
+object TextOps {
+
+  /** Portable 60-bit hash: first 15 hex chars of md5 as a bigint. The same
+    * value is expressible in DuckDB as CAST('0x'||substr(md5(s),1,15) AS
+    * BIGINT), which makes every hash-based operator oracle-checkable.
+    */
+  def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  private val hash60Sql = (e: String) => s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
+
+  // ---------------------------------------------------------------------------
+  // t1 — token counting + quality scoring: whitespace tokens, BPE-ish word
+  // pieces, punctuation/stopword/char-class ratios, average token length.
+  private def t1TextStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_measured"),
+        size(col("toks")).as("n_tokens"),
+        size(expr("filter(toks, t -> t IN ('the','a','of','and','to','in'))")).as("n_stopwords"),
+        (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast(DoubleType)
+          / length(col("text"))).as("punct_ratio"),
+        (length(regexp_replace(col("text"), " ", "")).cast(DoubleType)
+          / size(col("toks"))).as("avg_token_len"),
+        size(expr("filter(toks, t -> length(t) >= 6)")).as("n_long_tokens"))
+      .orderBy("doc_id")
+
+  private val t1Sql =
+    """SELECT doc_id,
+      |  length(text) AS n_chars_measured,
+      |  len(toks) AS n_tokens,
+      |  len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS n_stopwords,
+      |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+      |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len,
+      |  len(list_filter(toks, t -> length(t) >= 6)) AS n_long_tokens
+      |FROM (SELECT *, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // t2 — language ID by stopword-hit heuristic (n-gram family): count hits
+  // for per-language stopword sets, argmax with a fixed precedence order.
+  private def t2LangId(s: SparkSession, d: String): DataFrame = {
+    val txt = concat(lit(" "), col("text"), lit(" "))
+    def hits(words: Seq[String]) =
+      words.map(w => when(txt.contains(s" $w "), 1).otherwise(0)).reduce(_ + _)
+    Tables.documents(s, d)
+      .withColumn("en_hits", hits(Seq("the", "and", "of", "window", "fast")))
+      .withColumn("de_hits", hits(Seq("der", "und", "von", "fenster", "schnell")))
+      .withColumn("es_hits", hits(Seq("el", "los", "de", "ventana", "rapido")))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits"), "en")
+          .when(col("de_hits") >= col("es_hits"), "de")
+          .otherwise("es"))
+      .select("doc_id", "en_hits", "de_hits", "es_hits", "lang_pred", "lang")
+      .orderBy("doc_id")
+  }
+
+  private val t2Sql = {
+    def hits(words: Seq[String]) =
+      words.map(w => s"(CASE WHEN contains(' ' || text || ' ', ' $w ') THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""SELECT doc_id, en_hits, de_hits, es_hits,
+       |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+       |       WHEN de_hits >= es_hits THEN 'de' ELSE 'es' END AS lang_pred,
+       |  lang
+       |FROM (SELECT doc_id, lang, text,
+       |        ${hits(Seq("the", "and", "of", "window", "fast"))} AS en_hits,
+       |        ${hits(Seq("der", "und", "von", "fenster", "schnell"))} AS de_hits,
+       |        ${hits(Seq("el", "los", "de", "ventana", "rapido"))} AS es_hits
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // t3 — document fingerprinting: md5 of whitespace-normalized text plus a
+  // 60-bit numeric fingerprint (rolling-hash family, here md5-backed for
+  // cross-engine parity).
+  private def t3Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
+      .select(
+        col("doc_id"),
+        md5(col("norm")).as("fp_md5"),
+        hash60(col("norm")).as("fp60"),
+        (hash60(col("norm")) % 1024).cast(IntegerType).as("fp_bucket"))
+      .orderBy("doc_id")
+
+  private val t3Sql =
+    s"""SELECT doc_id,
+       |  md5(norm) AS fp_md5,
+       |  ${hash60Sql("norm")} AS fp60,
+       |  CAST(${hash60Sql("norm")} % 1024 AS INTEGER) AS fp_bucket
+       |FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_text_stats"  -> t1TextStats _,
+    "t2_lang_id"     -> t2LangId _,
+    "t3_fingerprint" -> t3Fingerprint _)
+
+  val oracles: Map[String, String] = Map(
+    "t1_text_stats"  -> t1Sql,
+    "t2_lang_id"     -> t2Sql,
+    "t3_fingerprint" -> t3Sql)
+}
