@@ -22,18 +22,21 @@ object Dedup {
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands of 2 -> LSH candidates
 
-  // Spark-side shingle + minhash SQL fragments (shared shape with oracles)
+  // Spark-side shingle + minhash SQL fragments (shared shape with oracles).
+  // MinHash: ONE md5 per shingle, 8 seed variants via affine mix — see
+  // graft.functions.HashFunctions for the constants and DuckDB equivalence.
   private val normExpr = "regexp_replace(lower(text), '\\\\s+', ' ')"
   private val shinglesExpr =
     s"transform(sequence(1, greatest(length(norm)-4, 1)), i -> substring(norm, i, 5))"
-  private def minhashExpr(seed: Int) =
-    s"array_min(transform(shingles, sh -> CAST(conv(substr(md5(concat(sh, '$seed')),1,15),16,10) AS BIGINT)))"
 
   private val duckNorm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
   private val duckShingles =
     "list_transform(range(1, greatest(len(norm)-4,1)+1), i -> substr(norm, i, 5))"
-  private def duckMinhash(seed: Int) =
-    s"list_aggregate(list_transform(shingles, sh -> CAST(('0x'||substr(md5(sh||'$seed'),1,15)) AS BIGINT)), 'min')"
+  private def duckMinhash(seed: Int) = {
+    val a = graft.functions.HashFunctions.A(seed)
+    val b = graft.functions.HashFunctions.B(seed)
+    s"list_aggregate(list_transform(shingles, sh -> ($a * (CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) & 4294967295) + $b) % 2147483647), 'min')"
+  }
 
   // ---------------------------------------------------------------------------
   // d1 — exact dedup: hash-groupBy on the normalized fingerprint; keeper =
@@ -55,11 +58,13 @@ object Dedup {
   // d2 — MinHash signatures: 8 independent min-hashes over character 5-gram
   // shingles, plus the banded LSH bucket keys used for candidate joins.
   private def d2Minhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashRegistry.register(s)
     val base = Tables.documents(s, d)
       .withColumn("norm", expr(normExpr))
       .withColumn("shingles", expr(shinglesExpr))
+      .withColumn("sig", expr("graft_minhash_sigs(shingles)"))
     val withSigs = (0 until NumHashes).foldLeft(base) { (df, i) =>
-      df.withColumn(s"mh$i", expr(minhashExpr(i)))
+      df.withColumn(s"mh$i", expr(s"sig[$i]"))
     }
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       val parts = (b * BandSize until (b + 1) * BandSize).map(i => s"mh$i")
@@ -90,7 +95,9 @@ object Dedup {
   // (band index, band hash), estimate similarity as matching-signature
   // fraction. The join key is the band bucket — the scale-safe formulation.
   private def d3MinhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = d2Minhash(s, d)
+    // cache: the signature frame is tiny but EXPENSIVE (8 x md5-per-shingle);
+    // without it both self-join branches (x 4 band explosions) recompute it
+    val sigs = d2Minhash(s, d).cache()
     val longBands = sigs.select(
       col("doc_id"),
       array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"),
@@ -162,13 +169,17 @@ object Dedup {
   // d5 — token-3-gram Jaccard near-dup within id-blocks (block join keeps the
   // pair space bounded; at scale the block key would be an LSH prefix).
   private def d5NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashRegistry.register(s)
+    // set ops run over hashed grams (long equality), not strings — ~10x on
+    // the intersect/union inner loops; both engines share the hash
     val grams = Tables.documents(s, d)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .withColumn("grams", expr(
         "array_distinct(transform(sequence(0, greatest(size(toks)-3, 0)), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+          "i -> graft_hash60(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))"))
       .withColumn("blk", floor(col("doc_id") / 100))
       .select("doc_id", "blk", "grams")
+      .cache() // reused by both block-join branches
     val a = grams.as("a"); val b = grams.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .withColumn("inter", expr("size(array_intersect(a.grams, b.grams))"))
@@ -184,7 +195,7 @@ object Dedup {
     """WITH g AS (
       |  SELECT doc_id, CAST(floor(doc_id / 100) AS BIGINT) AS blk,
       |    list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
-      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+      |      i -> CAST(('0x'||substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),1,15)) AS BIGINT))) AS grams
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
       |)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -199,19 +210,19 @@ object Dedup {
 
   // ---------------------------------------------------------------------------
   // d6 — embedding-cosine near-dup, brute-force baseline (the ANN variant
-  // lives in Similarity.s2). Cosine via sequential fold -> deterministic.
-  private[operators] val cosExpr =
-    "aggregate(zip_with(ad, bd, (x, y) -> x * y), 0D, (acc, v) -> acc + v) / " +
-      "(sqrt(aggregate(ad, 0D, (acc, v) -> acc + v * v)) * " +
-      " sqrt(aggregate(bd, 0D, (acc, v) -> acc + v * v)))"
-
+  // lives in Similarity.s2).
   private def d6EmbedCosine(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    // norms once per vector (cached), codegen'd dot per pair: cos =
+    // dot/(sqrt(aa)*sqrt(bb)) with identical arithmetic to the HOF fold
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("ad"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("bd"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      .cache()
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("ad"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("bd"), col("nrm").as("nb"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .withColumn("cos", expr(cosExpr))
+      .withColumn("cos", expr("graft_dot(ad, bd)") / (col("na") * col("nb")))
       .where(col("cos") >= 0.38)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
       .orderBy("id_a", "id_b")

@@ -27,19 +27,28 @@ object Similarity {
   private val NumPlanes = 6 // 64 buckets
   private def planeIds: Seq[Int] = 0 until NumPlanes
 
-  private def vecsD(s: SparkSession, d: String): DataFrame =
+  private def vecsD(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+  }
+
+  /** cos(a,b) = dot/(sqrt(aa)*sqrt(bb)) — codegen'd dot, precomputed norms;
+    * arithmetic identical to DuckDB's list_cosine_similarity.
+    */
+  private val cosCol = expr("graft_dot(ad, bd)") / (col("na") * col("nb"))
 
   // ---------------------------------------------------------------------------
   // s1 — brute-force cosine top-k for a fixed query batch (vec_id < 5).
   private def s1CosineTopK(s: SparkSession, d: String): DataFrame = {
     val e = vecsD(s, d)
-    val q = e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("ad"))
-    val c = e.select(col("vec_id").as("cid"), col("v").as("bd"))
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"))
+    val c = e.select(col("vec_id").as("cid"), col("v").as("bd"), col("nrm").as("nb"))
     val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
-      .withColumn("cos", expr(Dedup.cosExpr))
+      .withColumn("cos", cosCol)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w))
       .where(col("rk") <= TopK)
@@ -64,24 +73,23 @@ object Similarity {
   // NumPlanes data-derived hyperplanes; query batch vec_id in [100, 105);
   // top-3 by cosine within the query's bucket.
   private def s2LshAnn(s: SparkSession, d: String): DataFrame = {
-    val e = vecsD(s, d)
+    val e = vecsD(s, d).cache() // reused: planes, bucketing, query, corpus
     val planes = e.where(col("vec_id") < NumPlanes)
       .select(col("vec_id").as("pid"), col("v").as("pv"))
     // bucket each vector: sum over planes of 2^pid * (dot > 0)
     val dots = e.crossJoin(broadcast(planes))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(v, pv, (x, y) -> x * y), 0D, (acc, w) -> acc + w)"))
+      .withColumn("dot", expr("graft_dot(v, pv)"))
       .groupBy("vec_id")
       .agg(sum(when(col("dot") > 0,
         expr("shiftleft(CAST(1 AS BIGINT), pid)")).otherwise(0L)).as("bucket"))
     val bucketed = e.join(dots, "vec_id")
     val q = bucketed.where(col("vec_id") >= 100 && col("vec_id") < 105)
-      .select(col("vec_id").as("qid"), col("v").as("ad"), col("bucket"))
-    val c = bucketed.select(col("vec_id").as("cid"), col("v").as("bd"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("cid"), col("v").as("bd"), col("nrm").as("nb"), col("bucket"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     broadcast(q).join(c, Seq("bucket"))
       .where(col("qid") =!= col("cid"))
-      .withColumn("cos", expr(Dedup.cosExpr))
+      .withColumn("cos", cosCol)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 3)
       .select(col("qid"), col("bucket"), col("rk"), col("cid"), round(col("cos"), 6).as("cos_r"))
