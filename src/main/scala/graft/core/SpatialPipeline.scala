@@ -61,20 +61,30 @@ object SpatialPipeline {
     * @param gridCrs  CRS name of cell/basin coordinates (e.g. "radolan_km").
     * @param outCrs   output CRS name for area measurement (e.g. "epsg:25833").
     */
-  def basinCellMap(basins: DataFrame, t: Grid.Transform, nrows: Int, ncols: Int,
-      divisor: Double, gridCrs: String, outCrs: String): DataFrame = {
+  /** Explode each polygon row to its bbox-covered (row, col) cell indices —
+    * the shared bucketing step of the spatial join and rasterize. Input must
+    * carry a `geom` column in grid-CRS/divisor units; all columns pass
+    * through.
+    */
+  def explodeToCells(polys: DataFrame, t: Grid.Transform, nrows: Int, ncols: Int,
+      divisor: Double): DataFrame = {
     val tx = t.ulx / divisor; val rx = t.xres / divisor
     val ty = t.uly / divisor; val ry = t.yres / divisor // ry < 0
-    val withBox = basins
+    polys
       .withColumn("bb", bboxUdf(col("geom")))
       .withColumn("colLo", greatest(lit(0), floor((col("bb._1") - lit(tx)) / lit(rx))).cast("int"))
       .withColumn("colHi", least(lit(ncols - 1), floor((col("bb._3") - lit(tx)) / lit(rx))).cast("int"))
       .withColumn("rowLo", greatest(lit(0), floor((col("bb._4") - lit(ty)) / lit(ry))).cast("int"))
       .withColumn("rowHi", least(lit(nrows - 1), floor((col("bb._2") - lit(ty)) / lit(ry))).cast("int"))
       .where(col("colLo") <= col("colHi") && col("rowLo") <= col("rowHi"))
-    val exploded = withBox
       .withColumn("row", explode(expr("sequence(rowLo, rowHi)")))
       .withColumn("col", explode(expr("sequence(colLo, colHi)")))
+      .drop("bb", "colLo", "colHi", "rowLo", "rowHi")
+  }
+
+  def basinCellMap(basins: DataFrame, t: Grid.Transform, nrows: Int, ncols: Int,
+      divisor: Double, gridCrs: String, outCrs: String): DataFrame = {
+    val exploded = explodeToCells(basins, t, nrows, ncols, divisor)
     val boxed = Cells.withCellBox(exploded, t, divisor)
     boxed
       .withColumn("areas", clipAreasUdf(gridCrs, outCrs)(
