@@ -100,21 +100,29 @@ object Dedup {
     val sigs = d2Minhash(s, d).cache()
     val longBands = sigs.select(
       col("doc_id"),
-      array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"),
       explode(array((0 until NumHashes / BandSize).map { b =>
         struct(lit(b).as("band_idx"), col(s"band$b").as("band_hash"))
       }: _*)).as("band"))
-      .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
     val a = longBands.as("a"); val b = longBands.as("b")
-    a.join(b,
+    // dedup candidate pairs BEFORE scoring (a pair colliding in k bands would
+    // pay the comparison k times) and shuffle only scalar pair keys — the
+    // signatures rejoin via broadcast of the small per-doc frame
+    val pairs = a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))").cast(DoubleType)
-          / NumHashes).as("est_jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"),
+      array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("siga"))
+    val sb = sigs.select(col("doc_id").as("doc_b"),
+      array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sigb"))
+    pairs
+      .join(broadcast(sa), "doc_a").join(broadcast(sb), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))").cast(DoubleType)
+          / NumHashes).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
