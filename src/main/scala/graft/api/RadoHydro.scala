@@ -37,7 +37,8 @@ object RadoHydro {
       numerator: Double = 10.0,        // F7: 0.1 mm -> mm
       maskNodata: Boolean = true)      // false = faithful quirk Q1 (RADOLAN)
 
-  final case class BasinInfo(basinID: Int, areaOut: Double, attrs: Map[String, Any])
+  final case class BasinInfo(basinID: Int, areaOut: Double, attrs: Map[String, Any],
+      geomOut: Geom.Polygon)
 
   /** Grid metadata with independent x/y resolutions (REGNIE cells are
     * 1/60° x 1/120° — NOT square; ASCII grids are square by format).
@@ -45,7 +46,7 @@ object RadoHydro {
   final case class GridMeta(nrows: Int, ncols: Int, t: Grid.Transform, nodata: Double)
 
   final case class Result(series: DataFrame, basins: Seq[BasinInfo],
-      window: Grid.Window, meta: GridMeta)
+      window: Grid.Window, meta: GridMeta, attrOrder: Seq[String])
 
   private def gridCrsNames(cfg: Config): (String, String, Double) = cfg.datasource match {
     // (CRS for windowing in raw units, CRS of cell/divided coords, divisor Q8)
@@ -109,7 +110,8 @@ object RadoHydro {
       (i + 1, f.geom, f.attrs) // basinID in polygon order (geotools.py:213)
     }
     val basinInfos = basinsRaw.map { case (id, g, attrs) =>
-      BasinInfo(id, Geom.area(Crs.reproject(g, shapeCrs, outCrs)), attrs) // Q10
+      val gOut = Crs.reproject(g, shapeCrs, outCrs)
+      BasinInfo(id, Geom.area(gOut), attrs, gOut) // Q10 area + output-CRS geometry
     }
 
     // --- window from first grid + basin bounds (X1/X9, Q6/Q7) --------------
@@ -176,6 +178,6 @@ object RadoHydro {
 
     // --- weighted aggregation (A2/A3/A4) ------------------------------------
     val series = SpatialPipeline.weightedSeries(valuesDf, cellMap, cfg.numerator)
-    Result(series, basinInfos, win, meta)
+    Result(series, basinInfos, win, meta, layer.fields.map(_._1))
   }
 }

@@ -74,6 +74,33 @@ object CsvSink {
   * the dbase-limited shapefile.
   */
 object WideSink {
+
+  /** The reference's actual K2 output: basin polygons + one numeric dbf
+    * column per timestamp + BasinIDNew, as a real shapefile (readable back
+    * by [[graft.ingest.Shp]]). Honors the <500-column dbase guard. Sorts by
+    * basinID (sane mode; quirk Q2 documented divergence).
+    */
+  def writeShapefile(series: DataFrame, basins: Seq[BasinInfo], attrOrder: Seq[String],
+      basePath: String, maxCols: Int = 500): Boolean = {
+    val rows = series
+      .select(col("basinID"), date_format(col("ts"), "yyMMddHHmm").as("t"), col("rain"))
+      .collect()
+    val tsCols = rows.map(_.getString(1)).distinct.sorted.toSeq
+    if (tsCols.size >= maxCols) return false
+    val byBasin = rows.groupBy(_.getInt(0))
+      .view.mapValues(_.map(r => r.getString(1) -> r.getDouble(2)).toMap).toMap
+    val ordered = basins.sortBy(_.basinID)
+    val attrs = ordered.map { b =>
+      val ts2v = byBasin.getOrElse(b.basinID, Map.empty[String, Double])
+      b.attrs ++
+        tsCols.map(t => t -> (ts2v.getOrElse(t, Double.NaN): Any)).toMap +
+        ("BasinIDNew" -> b.basinID.toLong)
+    }
+    ShpWriter.write(basePath, ordered.map(_.geomOut).toSeq, attrs,
+      attrOrder ++ tsCols :+ "BasinIDNew")
+    true
+  }
+
   def write(series: DataFrame, outPath: String, maxCols: Int = 500): Boolean = {
     val tsCols = series.select(date_format(col("ts"), "yyMMddHHmm").as("t"))
       .distinct().orderBy("t").collect().map(_.getString(0))

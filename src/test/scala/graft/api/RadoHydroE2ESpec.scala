@@ -130,6 +130,35 @@ class RadoHydroE2ESpec extends AnyFunSuite {
     assert(lines.size == 3 + 3)
   }
 
+  test("wide SHAPEFILE sink (K2) writes basins + ts columns, readable back") {
+    assume(available)
+    val (dir, _) = buildFixture()
+    val res = RadoHydro.run(spark, dir, s"$examples/einzugsgebiet.shp",
+      RadoHydro.Config(datasource = "radolan"))
+    val base = Files.createTempDirectory("rado_shp").toString + "/polygon_values"
+    assert(graft.out.WideSink.writeShapefile(res.series, res.basins, res.attrOrder, base))
+    val back = Shp.read(s"$base.shp")
+    assert(back.features.size == 5)
+    // ts columns present as digit-named numeric fields (P4 semantics)
+    val digitFields = back.fields.map(_._1).filter(_.forall(_.isDigit))
+    assert(digitFields.size == 6)
+    assert(back.features.head.attrs("BasinIDNew") == 1L)
+    // geometry survives: areas match the Q10 basin areas
+    back.features.zip(res.basins.sortBy(_.basinID)).foreach { case (f, b) =>
+      assert(math.abs(graft.geo.Geom.area(f.geom) - b.areaOut) / b.areaOut < 1e-9)
+    }
+    // values match the series pivot
+    val rain = res.series.collect().map(r =>
+      (r.getInt(0), new java.text.SimpleDateFormat("yyMMddHHmm").format(r.getTimestamp(1))) -> r.getDouble(2)).toMap
+    back.features.foreach { f =>
+      val id = f.attrs("BasinIDNew").asInstanceOf[Long].toInt
+      digitFields.foreach { t =>
+        val got = f.attrs(t).asInstanceOf[Double]
+        assert(math.abs(got - rain((id, t))) < 1e-6, s"basin $id ts $t")
+      }
+    }
+  }
+
   test("wide sink pivots to one column per timestamp with <500 guard") {
     assume(available)
     val (dir, _) = buildFixture()
