@@ -19,7 +19,8 @@ object SparkEntry {
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Similarity.queries, operators.Similarity.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
-      (operators.StreamingOps.queries, operators.StreamingOps.oracles)
+      (operators.StreamingOps.queries, operators.StreamingOps.oracles),
+      (operators.GeoPipelineOps.queries, operators.GeoPipelineOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
