@@ -117,11 +117,70 @@ object Similarity {
        |WHERE rk <= 3
        |ORDER BY qid, rk""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // s3 — IVF-style ANN: coarse quantization by nearest of 8 data-derived
+  // centroids (cells), queries probe their nprobe=2 best cells and rank only
+  // those candidates. At scale the corpus partitions by cell id once
+  // (shuffle on cell), and each query touches nprobe partitions — the
+  // classic inverted-file trade of recall for a bounded candidate set.
+  private val NumCells = 8
+  private val NProbe = 2
+
+  private def s3IvfAnn(s: SparkSession, d: String): DataFrame = {
+    val e = vecsD(s, d).cache()
+    val cents = e.where(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // rank centroids per vector by cosine; rank 1 = assignment, <= NProbe = probes
+    val ranked = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
+    val assigned = ranked.where(col("crk") === 1)
+      .select(col("vec_id").as("cid"), col("v").as("bd"), col("nrm").as("nb"), col("cell"))
+    val probes = ranked.where(col("crk") <= NProbe &&
+        col("vec_id") >= 200 && col("vec_id") < 205)
+      .select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"), col("cell"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("cos", cosCol)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
+      .where(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("cid"), col("cell"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("qid", "rk")
+  }
+
+  private val s3Sql =
+    s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cell, v AS cv FROM ev WHERE vec_id < $NumCells),
+       |ranked AS (
+       |  SELECT e.vec_id, e.v, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS crk
+       |  FROM ev e, cents c
+       |), assigned AS (
+       |  SELECT vec_id AS cid, v AS bv, cell FROM ranked WHERE crk = 1
+       |), probes AS (
+       |  SELECT vec_id AS qid, v AS qv, cell FROM ranked
+       |  WHERE crk <= $NProbe AND vec_id >= 200 AND vec_id < 205
+       |)
+       |SELECT qid, rk, cid, cell, cos_r FROM (
+       |  SELECT p.qid, a.cid, a.cell,
+       |    round(list_cosine_similarity(p.qv, a.bv), 6) AS cos_r,
+       |    row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY list_cosine_similarity(p.qv, a.bv) DESC, a.cid) AS rk
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE p.qid <> a.cid)
+       |WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> s1CosineTopK _,
-    "s2_lsh_ann"     -> s2LshAnn _)
+    "s2_lsh_ann"     -> s2LshAnn _,
+    "s3_ivf_ann"     -> s3IvfAnn _)
 
   val oracles: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Sql,
-    "s2_lsh_ann"     -> s2Sql)
+    "s2_lsh_ann"     -> s2Sql,
+    "s3_ivf_ann"     -> s3Sql)
 }
