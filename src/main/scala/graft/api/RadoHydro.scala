@@ -146,6 +146,22 @@ object RadoHydro {
     val values: Dataset[(Timestamp, Int, Int, java.lang.Double)] = bin.flatMap { case (path, bytes) =>
       val fname = path.substring(path.lastIndexOf('/') + 1)
       Archives.expand(fname, bytes)
+        .filter { m =>
+          // S4 inter-level pruning (radohydro.py:296-297): skip a nested
+          // daily archive entirely when its name-carried date is out of
+          // range — members are never decompressed
+          val digits = m.name.replaceAll("[^0-9]", "")
+          if (digits.length < 8 || (startTs.isEmpty && endTs.isEmpty)) true
+          else {
+            try {
+              val dayStart = Timestamp.valueOf(
+                LocalDateTime.parse(digits.take(8) + "0000", radolanTsFmt))
+              val dayEnd = Timestamp.valueOf(
+                LocalDateTime.parse(digits.take(8) + "2359", radolanTsFmt))
+              startTs.forall(!dayEnd.before(_)) && endTs.forall(!dayStart.after(_))
+            } catch { case _: Exception => true }
+          }
+        }
         .flatMap(m => Archives.expand(m.name, m.bytes))
         .flatMap { m =>
           val ts = parseMemberTs(ds, m.name)

@@ -134,6 +134,26 @@ object SpatialPipeline {
     *
     * @param numerator F7 scale divide (10: 0.1 mm -> mm).
     */
+  /** Streaming variant of the weighted aggregation (§2.11 stretch goal):
+    * identical join/weight arithmetic over a STREAMING values frame, with a
+    * watermark bounding the (basinID, window) state. The NaN-cleaning gate
+    * is inherently retrospective (it needs the cell's full history), so the
+    * streaming path takes precomputed weights — e.g. from a previous batch
+    * run or `weights(cellMap, allKept)` — which is also the correct
+    * production shape: the cell map is static dimension state.
+    */
+  def weightedSeriesStream(valuesStream: DataFrame, wgts: DataFrame,
+      numerator: Double, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    valuesStream
+      .withWatermark("ts", watermark)
+      .join(broadcast(wgts), Seq("row", "col"))
+      .select(col("basinID"), col("ts"),
+        (coalesce(col("v"), lit(Double.NaN)) / lit(numerator) * col("wgt")).as("contrib"))
+      .groupBy(col("basinID"), window(col("ts"), window_))
+      .agg(sum(col("contrib")).as("rain"))
+      .select(col("basinID"), col("window.start").as("wstart"), col("rain"))
+
   def weightedSeries(values: DataFrame, cellMap: DataFrame, numerator: Double): DataFrame = {
     val joined = values.join(broadcast(cellMap.select("basinID", "row", "col")), Seq("row", "col"))
     val kept = nanCleanGate(joined)
