@@ -56,17 +56,29 @@ object RadoHydro {
   }
 
   private val radolanTsFmt = DateTimeFormatter.ofPattern("yyyyMMddHHmm")
-  private val regnieTsFmt = DateTimeFormatter.ofPattern("yyMMdd")
 
-  /** Digits-concat filename timestamp parse (reference radohydro.py:64-78). */
+  /** LocalDateTime -> Timestamp pinned to UTC (Timestamp.valueOf would use
+    * the JVM default zone and skew every label on non-UTC hosts — the
+    * session timezone is UTC everywhere in this engine).
+    */
+  private def utcTs(ldt: LocalDateTime): Timestamp =
+    Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+
+  /** Digits-concat filename timestamp parse (reference radohydro.py:64-78).
+    * REGNIE member names carry 2-digit years parsed with Python's %y pivot
+    * (69-99 -> 19xx, 00-68 -> 20xx; radohydro.py:434) — Java's 'yy' (base
+    * 2000) would push 1999 data into 2099.
+    */
   def parseMemberTs(datasource: String, name: String): Timestamp = {
     val digits = name.replaceAll("[^0-9]", "")
     datasource match {
       case "radolan" =>
-        Timestamp.valueOf(LocalDateTime.parse(digits.take(12), radolanTsFmt))
+        utcTs(LocalDateTime.parse(digits.take(12), radolanTsFmt))
       case _ =>
-        val d = java.time.LocalDate.parse(digits.take(6), regnieTsFmt)
-        Timestamp.valueOf(d.atStartOfDay)
+        val yy = digits.take(2).toInt
+        val year = if (yy >= 69) 1900 + yy else 2000 + yy
+        val d = java.time.LocalDate.of(year, digits.slice(2, 4).toInt, digits.slice(4, 6).toInt)
+        utcTs(d.atStartOfDay)
     }
   }
 
@@ -83,7 +95,8 @@ object RadoHydro {
     val m = members.next()
     if (datasource == "regnie") {
       val text = new String(m.bytes, java.nio.charset.StandardCharsets.US_ASCII)
-      val lines = text.linesIterator.count(_.trim.nonEmpty)
+      // minus the discarded trailer line (radohydro.py:442)
+      val lines = math.max(0, text.linesIterator.size - 1)
       GridMeta(lines, Regnie.ValuesPerLine,
         Grid.Transform(Regnie.ulx, Regnie.xres, Regnie.uly, Regnie.yres),
         Regnie.Nodata.toDouble)
@@ -139,8 +152,8 @@ object RadoHydro {
     val (rLo, rHi, cLo, cHi) = (win.rowLo, win.rowHi, win.colLo, win.colHi)
     val mask = cfg.maskNodata
     val (startTs, endTs) = (
-      cfg.startDate.map(s => Timestamp.valueOf(LocalDateTime.parse(s + "0000", radolanTsFmt))),
-      cfg.endDate.map(s => Timestamp.valueOf(LocalDateTime.parse(s + "2359", radolanTsFmt))))
+      cfg.startDate.map(s => utcTs(LocalDateTime.parse(s + "0000", radolanTsFmt))),
+      cfg.endDate.map(s => utcTs(LocalDateTime.parse(s + "2359", radolanTsFmt))))
     val bin = spark.read.format("binaryFile").load(gridDir)
       .select("path", "content").as[(String, Array[Byte])]
     val values: Dataset[(Timestamp, Int, Int, java.lang.Double)] = bin.flatMap { case (path, bytes) =>
@@ -154,10 +167,8 @@ object RadoHydro {
           if (digits.length < 8 || (startTs.isEmpty && endTs.isEmpty)) true
           else {
             try {
-              val dayStart = Timestamp.valueOf(
-                LocalDateTime.parse(digits.take(8) + "0000", radolanTsFmt))
-              val dayEnd = Timestamp.valueOf(
-                LocalDateTime.parse(digits.take(8) + "2359", radolanTsFmt))
+              val dayStart = utcTs(LocalDateTime.parse(digits.take(8) + "0000", radolanTsFmt))
+              val dayEnd = utcTs(LocalDateTime.parse(digits.take(8) + "2359", radolanTsFmt))
               startTs.forall(!dayEnd.before(_)) && endTs.forall(!dayStart.after(_))
             } catch { case _: Exception => true }
           }

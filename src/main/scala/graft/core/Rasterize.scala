@@ -10,8 +10,9 @@ import graft.ingest.AsciiGrid
   * v1 there, implemented here for surface completeness).
   *
   * Semantics match rasterio.features.rasterize defaults: a cell takes the
-  * attribute of the polygon containing its CENTER; polygons earlier in the
-  * frame win ties (`first` by polygon order); untouched cells = nodata.
+  * attribute of the polygon containing its CENTER; with MergeAlg.replace
+  * (rasterio's default) the LAST polygon burned wins overlaps; untouched
+  * cells = nodata.
   * Same grid-bucketed shape as the spatial join: polygons explode to their
   * covered (row, col) ranges — no per-cell polygon scan.
   */
@@ -32,7 +33,7 @@ object Rasterize {
       .withColumn("cy", (col("ymin") + col("ymax")) / 2)
       .where(centerInUdf(col("geom"), col("cx"), col("cy")))
       .groupBy("row", "col")
-      .agg(min_by(col("attr"), col("ord")).as("attr"))
+      .agg(max_by(col("attr"), col("ord")).as("attr")) // last burned wins (MergeAlg.replace)
   }
 
   /** Dense ASCII-grid export of a rasterized frame (the GeoTIFF-writer

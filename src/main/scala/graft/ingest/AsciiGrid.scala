@@ -63,7 +63,7 @@ object AsciiGrid {
     val h = parseHeader(text)
     val (r0, r1) = rowRange.getOrElse((0, h.nrows))
     val (c0, c1) = colRange.getOrElse((0, h.ncols))
-    val it = text.linesIterator.filter(_.nonEmpty)
+    val it = text.linesIterator.filter(_.trim.nonEmpty) // skip blank/space-only lines
     // skip header lines (those starting with a letter)
     val dataLines = it.dropWhile { l =>
       val t = l.trim

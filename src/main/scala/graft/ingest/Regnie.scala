@@ -77,12 +77,20 @@ object Regnie {
     * semantics (radohydro.py:448). Pass `keepNodata = true` to keep them as
     * NaN for the A2 cleaning path.
     */
-  def parseFile(text: String, keepNodata: Boolean = false): Iterator[Cell] =
-    text.linesIterator.filter(_.trim.nonEmpty).zipWithIndex.flatMap { case (line, row) =>
-      val vals = parseLine(line)
-      vals.iterator.zipWithIndex.collect {
-        case (v, col) if v != Nodata => Cell(row, col, v.toDouble)
-        case (v, col) if keepNodata  => Cell(row, col, Double.NaN)
+  def parseFile(text: String, keepNodata: Boolean = false): Iterator[Cell] = {
+    // the reference unconditionally discards the file's final line
+    // ("last line is not necessary", radohydro.py:441-442)
+    val lines = text.linesIterator.toArray
+    val data = if (lines.nonEmpty) lines.init else lines
+    data.iterator.zipWithIndex.flatMap { case (line, row) =>
+      if (line.trim.isEmpty) Iterator.empty
+      else {
+        val vals = parseLine(line)
+        vals.iterator.zipWithIndex.collect {
+          case (v, col) if v != Nodata => Cell(row, col, v.toDouble)
+          case (v, col) if keepNodata  => Cell(row, col, Double.NaN)
+        }
       }
     }
+  }
 }

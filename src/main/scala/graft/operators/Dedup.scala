@@ -146,9 +146,10 @@ object Dedup {
   // ---------------------------------------------------------------------------
   // d4 — SimHash (32-bit): per-token hash bit votes, majority per bit.
   private def d4Simhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashRegistry.register(s)
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .withColumn("h", TextOps.hash60(col("tok")))
+      .withColumn("h", expr("graft_hash60(tok)")) // JVM-native, not conv/BigInteger
       .withColumn("b", explode(expr("sequence(0, 31)")))
       .withColumn("vote", when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1))
     toks.groupBy("doc_id", "b").agg(sum("vote").as("votes"))
@@ -182,9 +183,12 @@ object Dedup {
     // the intersect/union inner loops; both engines share the hash
     val grams = Tables.documents(s, d)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
+      // guard: <3 tokens -> no 3-grams (concat_ws would silently skip the
+      // out-of-bounds nulls here while the oracle's || propagates NULL)
       .withColumn("grams", expr(
-        "array_distinct(transform(sequence(0, greatest(size(toks)-3, 0)), " +
-          "i -> graft_hash60(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))"))
+        "CASE WHEN size(toks) < 3 THEN array() ELSE " +
+          "array_distinct(transform(sequence(0, size(toks)-3), " +
+          "i -> graft_hash60(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) END"))
       .withColumn("blk", floor(col("doc_id") / 100))
       .select("doc_id", "blk", "grams")
       .cache() // reused by both block-join branches
@@ -193,7 +197,7 @@ object Dedup {
       .withColumn("inter", expr("size(array_intersect(a.grams, b.grams))"))
       .withColumn("uni", expr("size(array_distinct(concat(a.grams, b.grams)))"))
       .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
-      .where(col("jaccard") >= 0.03)
+      .where(col("uni") > 0 && col("jaccard") >= 0.03)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("inter"), col("uni"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -202,8 +206,9 @@ object Dedup {
   private val d5Sql =
     """WITH g AS (
       |  SELECT doc_id, CAST(floor(doc_id / 100) AS BIGINT) AS blk,
-      |    list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
-      |      i -> CAST(('0x'||substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),1,15)) AS BIGINT))) AS grams
+      |    CASE WHEN len(toks) < 3 THEN [] ELSE
+      |      list_distinct(list_transform(range(1, len(toks)-1),
+      |        i -> CAST(('0x'||substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),1,15)) AS BIGINT))) END AS grams
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
       |)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -212,7 +217,8 @@ object Dedup {
       |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
       |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
       |FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+      |  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
       |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.03
       |ORDER BY doc_a, doc_b""".stripMargin
 

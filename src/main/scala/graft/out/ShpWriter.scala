@@ -20,18 +20,22 @@ object ShpWriter {
   case object FDouble extends FieldType { val code = 'N' }
   case object FString extends FieldType { val code = 'C' }
 
-  final case class Field(name: String, typ: FieldType, len: Int, dec: Int)
+  /** `name` is the (max 10 char) dbf field name; `srcKey` the attribute-map
+    * key values are looked up by — they differ when a key is truncated.
+    */
+  final case class Field(name: String, srcKey: String, typ: FieldType, len: Int, dec: Int)
 
   /** Infer dbf field specs from the first record's values. */
   def inferFields(attrs: Seq[Map[String, Any]], order: Seq[String]): Seq[Field] =
-    order.map { name =>
-      val values = attrs.flatMap(_.get(name))
+    order.map { key =>
+      val values = attrs.flatMap(_.get(key))
+      val name = key.take(10)
       values.headOption match {
-        case Some(_: Long) | Some(_: Int)       => Field(name.take(10), FLong, 18, 0)
-        case Some(_: Double) | Some(_: Float)   => Field(name.take(10), FDouble, 19, 11)
+        case Some(_: Long) | Some(_: Int)       => Field(name, key, FLong, 18, 0)
+        case Some(_: Double) | Some(_: Float)   => Field(name, key, FDouble, 19, 11)
         case _ =>
           val maxLen = math.max(1, values.map(v => String.valueOf(v).length).maxOption.getOrElse(1))
-          Field(name.take(10), FString, math.min(254, maxLen), 0)
+          Field(name, key, FString, math.min(254, maxLen), 0)
       }
     }
 
@@ -128,7 +132,7 @@ object ShpWriter {
     records.foreach { rec =>
       buf.put(' '.toByte)
       fields.foreach { f =>
-        val raw = rec.get(f.name).map {
+        val raw = rec.get(f.srcKey).map {
           case d: Double => s"%${f.len}.${f.dec}f".format(d).take(f.len)
           case v         => String.valueOf(v)
         }.getOrElse("")

@@ -33,9 +33,12 @@ object CsvSink {
   def writeFaithful(series: DataFrame, basins: Seq[BasinInfo], outDir: String,
       outName: String = "radohydro", header: String = "rainfall[mm/h]"): Seq[String] = {
     Files.createDirectories(Paths.get(outDir))
+    // order by the timestamp itself, not its 2-digit-year string (lexical
+    // 'yyMMddHHmm' order breaks across the 1999->2000 boundary)
     val rows = series
-      .select(col("basinID"), date_format(col("ts"), "yyMMddHHmm").as("tstr"), col("rain"))
-      .orderBy("basinID", "tstr")
+      .select(col("basinID"), date_format(col("ts"), "yyMMddHHmm").as("tstr"),
+        col("rain"), col("ts"))
+      .orderBy("basinID", "ts")
       .collect()
     val width = zfillWidth(basins.size)
     val byBasin = rows.groupBy(_.getInt(0))
@@ -83,9 +86,11 @@ object WideSink {
   def writeShapefile(series: DataFrame, basins: Seq[BasinInfo], attrOrder: Seq[String],
       basePath: String, maxCols: Int = 500): Boolean = {
     val rows = series
-      .select(col("basinID"), date_format(col("ts"), "yyMMddHHmm").as("t"), col("rain"))
+      .select(col("basinID"), date_format(col("ts"), "yyMMddHHmm").as("t"),
+        col("rain"), col("ts"))
+      .orderBy("ts")
       .collect()
-    val tsCols = rows.map(_.getString(1)).distinct.sorted.toSeq
+    val tsCols = rows.map(_.getString(1)).distinct.toSeq // chronological order
     if (tsCols.size >= maxCols) return false
     val byBasin = rows.groupBy(_.getInt(0))
       .view.mapValues(_.map(r => r.getString(1) -> r.getDouble(2)).toMap).toMap
@@ -102,8 +107,8 @@ object WideSink {
   }
 
   def write(series: DataFrame, outPath: String, maxCols: Int = 500): Boolean = {
-    val tsCols = series.select(date_format(col("ts"), "yyMMddHHmm").as("t"))
-      .distinct().orderBy("t").collect().map(_.getString(0))
+    val tsCols = series.select(col("ts"), date_format(col("ts"), "yyMMddHHmm").as("t"))
+      .distinct().orderBy("ts").collect().map(_.getString(1))
     if (tsCols.length >= maxCols) false
     else {
       series

@@ -49,10 +49,12 @@ object StreamOps {
     t
   }
 
-  /** Custom sessionization with flatMapGroupsWithState: emits a session once
-    * the gap elapses (event-time driven; timeout closes stragglers). The
-    * explicit-state twin of `session_window` for when per-session logic
-    * outgrows SQL (the `KeyValueGroupedDataset` path).
+  /** Custom sessionization with flatMapGroupsWithState: a session is emitted
+    * when a later event closes it (gap elapsed in event time). The final
+    * open session per user intentionally REMAINS in state — in a live
+    * stream it may still grow; callers needing a flush add an end-of-stream
+    * sentinel or an event-time timeout policy. The explicit-state twin of
+    * `session_window` for when per-session logic outgrows SQL.
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000): Dataset[Session] = {
     import events.sparkSession.implicits._

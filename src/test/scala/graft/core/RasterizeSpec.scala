@@ -27,17 +27,17 @@ class RasterizeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val t = Grid.Transform(0.0, 1.0, 4.0, -1.0) // 4x4 grid, y from 4 down
 
-  test("cell centers take containing polygon attr; first polygon wins overlaps") {
+  test("cell centers take containing polygon attr; LAST polygon wins overlaps (MergeAlg.replace)") {
     import spark.implicits._
     val polys = Seq(
       // covers cells with centers x in (0,2), y in (2,4): rows 0-1, cols 0-1
       (1, 7, Seq(Seq(0.0, 2.0, 2.0, 2.0, 2.0, 4.0, 0.0, 4.0))),
-      // overlapping box covering rows 0-2, cols 0-2 — loses where 1 covers
+      // overlapping box covering rows 0-2, cols 0-2 — burned later, wins overlaps
       (2, 9, Seq(Seq(0.0, 1.0, 3.0, 1.0, 3.0, 4.0, 0.0, 4.0)))
     ).toDF("ord", "attr", "geom")
     val cells = Rasterize.rasterize(polys, t, 4, 4).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
-    assert(cells((0, 0)) == 7 && cells((1, 1)) == 7)
+    assert(cells((0, 0)) == 9 && cells((1, 1)) == 9) // overlap: last wins
     assert(cells((0, 2)) == 9 && cells((2, 0)) == 9 && cells((2, 2)) == 9)
     assert(!cells.contains((3, 3)))
     assert(cells.size == 9) // 3x3 covered region

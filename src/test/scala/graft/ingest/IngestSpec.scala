@@ -38,6 +38,11 @@ class AsciiGridSpec extends AnyFunSuite {
     assert(m.map(_.value) == Seq(4.0, 5.0, 7.0, 8.0))
   }
 
+  test("whitespace-only trailing line is ignored, not parsed as a data row") {
+    val (_, cells) = AsciiGrid.parse(fixture + "   \n")
+    assert(cells.size == 9)
+  }
+
   test("render round-trips") {
     val h = AsciiGrid.Header(3, 3, 100, 200, 10, -1)
     val txt = AsciiGrid.render(h, Array(Array(1, 2, 3), Array(4, 5, 6), Array(7, 8, 9)))
@@ -118,10 +123,11 @@ class RegnieSpec extends AnyFunSuite {
     assert(vals.toSeq == Seq(11, -999, 1000, 22))
   }
 
-  test("parseFile: drops nodata, maps grid positions") {
+  test("parseFile: drops nodata, maps grid positions, discards the trailer line") {
     val l1 = Seq(10, -999, 30).map(v => f"$v%4d").mkString("")
     val l2 = Seq(-999, 50, -999).map(v => f"$v%4d").mkString("")
-    val cells = Regnie.parseFile(l1 + "\n" + l2 + "\n").toSeq
+    // real REGNIE files end with a metadata trailer the reference discards
+    val cells = Regnie.parseFile(l1 + "\n" + l2 + "\nTRAILER METADATA\n").toSeq
     assert(cells == Seq(Regnie.Cell(0, 0, 10), Regnie.Cell(0, 2, 30), Regnie.Cell(1, 1, 50)))
   }
 

@@ -30,6 +30,16 @@ class ShpWriterSpec extends AnyFunSuite {
     assert(f2.attrs("NAME") == "beta")
   }
 
+  test("attribute keys longer than 10 chars truncate the dbf name but keep their values") {
+    val base = Files.createTempDirectory("shpw3").toString + "/longkey"
+    val poly: Geom.Polygon = Array(Geom.boxRing(0, 0, 1, 1))
+    ShpWriter.write(base, Seq(poly),
+      Seq(Map[String, Any]("VERY_LONG_FIELD_NAME" -> 42L)), Seq("VERY_LONG_FIELD_NAME"))
+    val back = Shp.read(s"$base.shp")
+    assert(back.fields.map(_._1) == Seq("VERY_LONG_"))
+    assert(back.features.head.attrs("VERY_LONG_") == 42L)
+  }
+
   test("round-trips the reference einzugsgebiet through write+read") {
     val src = "/root/reference/Examples/einzugsgebiet.shp"
     assume(Files.exists(Paths.get(src)))
