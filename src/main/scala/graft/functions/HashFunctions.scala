@@ -88,10 +88,37 @@ case class Hash60(child: Expression) extends UnaryExpression with CodegenFallbac
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `graft_sorted_intersect(array<long>, array<long>) -> int`: intersection
+  * cardinality of two SORTED distinct long arrays by linear merge walk — no
+  * per-call hash set, no boxing. |A∪B| derives as |A|+|B|-|A∩B|, so one call
+  * yields exact Jaccard for the near-dup verification joins.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object HashRegistry {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_minhash_sigs", exprs => MinHashSigs(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_hash60", exprs => Hash60(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 }

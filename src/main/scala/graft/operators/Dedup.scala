@@ -184,18 +184,21 @@ object Dedup {
     val grams = Tables.documents(s, d)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       // guard: <3 tokens -> no 3-grams (concat_ws would silently skip the
-      // out-of-bounds nulls here while the oracle's || propagates NULL)
+      // out-of-bounds nulls here while the oracle's || propagates NULL).
+      // sorted arrays enable the merge-walk intersect below
       .withColumn("grams", expr(
         "CASE WHEN size(toks) < 3 THEN array() ELSE " +
-          "array_distinct(transform(sequence(0, size(toks)-3), " +
-          "i -> graft_hash60(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) END"))
+          "sort_array(array_distinct(transform(sequence(0, size(toks)-3), " +
+          "i -> graft_hash60(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))) END"))
       .withColumn("blk", floor(col("doc_id") / 100))
       .select("doc_id", "blk", "grams")
       .cache() // reused by both block-join branches
     val a = grams.as("a"); val b = grams.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("inter", expr("size(array_intersect(a.grams, b.grams))"))
-      .withColumn("uni", expr("size(array_distinct(concat(a.grams, b.grams)))"))
+      // merge-walk intersect on sorted distinct arrays; union by inclusion-
+      // exclusion — same values as array_intersect/array_distinct(concat)
+      .withColumn("inter", expr("graft_sorted_intersect(a.grams, b.grams)"))
+      .withColumn("uni", expr("size(a.grams) + size(b.grams) - inter"))
       .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
       .where(col("uni") > 0 && col("jaccard") >= 0.03)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
