@@ -35,7 +35,10 @@ object RadoHydro {
       shapeCrs: String = "epsg:25833",
       bufferCells: Int = 2,            // quirk Q7
       numerator: Double = 10.0,        // F7: 0.1 mm -> mm
-      maskNodata: Boolean = true)      // false = faithful quirk Q1 (RADOLAN)
+      maskNodata: Boolean = true,      // false = faithful quirk Q1 (RADOLAN)
+      dedupeInputs: Boolean = true)    // drop duplicate (ts,row,col) readings
+                                       // (overlapping recent+historical archives
+                                       // would otherwise double-count rainfall)
 
   final case class BasinInfo(basinID: Int, areaOut: Double, attrs: Map[String, Any],
       geomOut: Geom.Polygon)
@@ -86,7 +89,8 @@ object RadoHydro {
     * the cell grid derives from the first grid only).
     */
   def peekFirstGrid(dir: String, datasource: String): GridMeta = {
-    val files = new java.io.File(dir).listFiles().filter(_.isFile).sortBy(_.getName)
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).filter(_.isFile).sortBy(_.getName)
     require(files.nonEmpty, s"no grid files in $dir")
     val bytes = java.nio.file.Files.readAllBytes(files.head.toPath)
     val members = Archives.expand(files.head.getName, bytes)
@@ -162,15 +166,28 @@ object RadoHydro {
         .filter { m =>
           // S4 inter-level pruning (radohydro.py:296-297): skip a nested
           // daily archive entirely when its name-carried date is out of
-          // range — members are never decompressed
+          // range — members are never decompressed. RADOLAN names carry
+          // yyyyMMdd (8 digits); REGNIE daily members carry yyMMdd (6,
+          // Python %y pivot).
           val digits = m.name.replaceAll("[^0-9]", "")
-          if (digits.length < 8 || (startTs.isEmpty && endTs.isEmpty)) true
+          if (startTs.isEmpty && endTs.isEmpty) true
           else {
-            try {
-              val dayStart = utcTs(LocalDateTime.parse(digits.take(8) + "0000", radolanTsFmt))
-              val dayEnd = utcTs(LocalDateTime.parse(digits.take(8) + "2359", radolanTsFmt))
-              startTs.forall(!dayEnd.before(_)) && endTs.forall(!dayStart.after(_))
-            } catch { case _: Exception => true }
+            val day8 =
+              if (digits.length >= 8) Some(digits.take(8))
+              else if (digits.length >= 6) {
+                val yy = digits.take(2).toInt
+                val year = if (yy >= 69) 1900 + yy else 2000 + yy
+                Some(f"$year%04d" + digits.slice(2, 6))
+              } else None
+            day8 match {
+              case None => true
+              case Some(d8) =>
+                try {
+                  val dayStart = utcTs(LocalDateTime.parse(d8 + "0000", radolanTsFmt))
+                  val dayEnd = utcTs(LocalDateTime.parse(d8 + "2359", radolanTsFmt))
+                  startTs.forall(!dayEnd.before(_)) && endTs.forall(!dayStart.after(_))
+                } catch { case _: Exception => true }
+            }
           }
         }
         .flatMap(m => Archives.expand(m.name, m.bytes))
@@ -181,8 +198,9 @@ object RadoHydro {
           else {
             val text = new String(m.bytes, java.nio.charset.StandardCharsets.US_ASCII)
             if (ds == "regnie") {
-              Regnie.parseFile(text, keepNodata = true).flatMap { c =>
-                if (c.row < rLo || c.row >= rHi || c.col < cLo || c.col >= cHi) Iterator.empty
+              Regnie.parseFile(text, keepNodata = true,
+                  rowRange = Some((rLo, rHi))).flatMap { c =>
+                if (c.col < cLo || c.col >= cHi) Iterator.empty
                 else {
                   val v: java.lang.Double =
                     if (c.value.isNaN) { if (mask) null else java.lang.Double.valueOf(Regnie.Nodata.toDouble) }
@@ -201,7 +219,11 @@ object RadoHydro {
           }
         }
     }
-    val valuesDf = values.toDF("ts", "row", "col", "v")
+    // the values frame is already window-clipped, so this dedup shuffles only
+    // the clipped working set, not the raw raster
+    val valuesDf0 = values.toDF("ts", "row", "col", "v")
+    val valuesDf =
+      if (cfg.dedupeInputs) valuesDf0.dropDuplicates("ts", "row", "col") else valuesDf0
 
     // --- weighted aggregation (A2/A3/A4) ------------------------------------
     val series = SpatialPipeline.weightedSeries(valuesDf, cellMap, cfg.numerator)

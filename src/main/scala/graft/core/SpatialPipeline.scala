@@ -71,6 +71,9 @@ object SpatialPipeline {
     val tx = t.ulx / divisor; val rx = t.xres / divisor
     val ty = t.uly / divisor; val ry = t.yres / divisor // ry < 0
     polys
+      // empty geometries would bbox to +/-Infinity and blow up the ANSI int
+      // casts below — drop them here (they cover no cells by definition)
+      .where(size(col("geom")) > 0)
       .withColumn("bb", bboxUdf(col("geom")))
       .withColumn("colLo", greatest(lit(0), floor((col("bb._1") - lit(tx)) / lit(rx))).cast("int"))
       .withColumn("colHi", least(lit(ncols - 1), floor((col("bb._3") - lit(tx)) / lit(rx))).cast("int"))
@@ -155,11 +158,19 @@ object SpatialPipeline {
       .select(col("basinID"), col("window.start").as("wstart"), col("rain"))
 
   def weightedSeries(values: DataFrame, cellMap: DataFrame, numerator: Double): DataFrame = {
-    val joined = values.join(broadcast(cellMap.select("basinID", "row", "col")), Seq("row", "col"))
+    // persist the basin-joined window: it feeds BOTH the NaN gate and the
+    // final aggregation, and without materialization each action would
+    // re-execute the full raster lineage (gunzip + untar + text parse) twice.
+    // This is the clipped window x basins — the same working set the
+    // reference holds as its stacked array, orders of magnitude smaller than
+    // the raw raster.
+    val joined = values
+      .join(broadcast(cellMap.select("basinID", "row", "col")), Seq("row", "col"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = nanCleanGate(joined)
     val wgts = weights(cellMap, kept)
-    values
-      .join(broadcast(wgts), Seq("row", "col"))
+    joined
+      .join(broadcast(wgts), Seq("basinID", "row", "col"))
       .select(col("basinID"), col("ts"),
         (coalesce(col("v"), lit(Double.NaN)) / lit(numerator) * col("wgt")).as("contrib"))
       .groupBy("basinID", "ts")

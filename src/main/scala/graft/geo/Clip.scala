@@ -18,12 +18,6 @@ import Geom.{Polygon, Ring}
   */
 object Clip {
 
-  /** True iff the polygon's bbox overlaps the box (cheap pre-filter). */
-  def bboxOverlaps(p: Polygon, xmin: Double, ymin: Double, xmax: Double, ymax: Double): Boolean = {
-    val (bxmin, bymin, bxmax, bymax) = Geom.bbox(p)
-    bxmin < xmax && bxmax > xmin && bymin < ymax && bymax > ymin
-  }
-
   // Edge ids: 0 = left (x>=xmin), 1 = bottom (y>=ymin), 2 = right (x<=xmax), 3 = top (y<=ymax)
   private def inside(edge: Int, bound: Double, x: Double, y: Double): Boolean = edge match {
     case 0 => x >= bound

@@ -28,6 +28,7 @@ object AsciiGrid {
   def parseHeader(text: String): Header = {
     var ncols = -1; var nrows = -1
     var xll = Double.NaN; var yll = Double.NaN
+    var xllCenter = Double.NaN; var yllCenter = Double.NaN
     var cs = Double.NaN; var nodata = Double.NaN
     val it = text.linesIterator
     var reading = true
@@ -40,13 +41,19 @@ object AsciiGrid {
           case "nrows"        => nrows = parts(1).toInt
           case "xllcorner"    => xll = parts(1).toDouble
           case "yllcorner"    => yll = parts(1).toDouble
+          // legal ESRI variant: lower-left CELL CENTER instead of corner
+          case "xllcenter"    => xllCenter = parts(1).toDouble
+          case "yllcenter"    => yllCenter = parts(1).toDouble
           case "cellsize"     => cs = parts(1).toDouble
           case "nodata_value" => nodata = parts(1).toDouble
           case _              => ()
         }
       } else reading = false
     }
-    require(ncols > 0 && nrows > 0 && !cs.isNaN, s"bad ASCII grid header")
+    if (xll.isNaN && !xllCenter.isNaN) xll = xllCenter - cs / 2
+    if (yll.isNaN && !yllCenter.isNaN) yll = yllCenter - cs / 2
+    require(ncols > 0 && nrows > 0 && !cs.isNaN && !xll.isNaN && !yll.isNaN,
+      s"bad ASCII grid header (ncols=$ncols nrows=$nrows cellsize=$cs xll=$xll yll=$yll)")
     Header(ncols, nrows, xll, yll, cs, nodata)
   }
 

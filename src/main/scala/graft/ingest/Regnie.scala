@@ -77,13 +77,16 @@ object Regnie {
     * semantics (radohydro.py:448). Pass `keepNodata = true` to keep them as
     * NaN for the A2 cleaning path.
     */
-  def parseFile(text: String, keepNodata: Boolean = false): Iterator[Cell] = {
+  def parseFile(text: String, keepNodata: Boolean = false,
+      rowRange: Option[(Int, Int)] = None): Iterator[Cell] = {
     // the reference unconditionally discards the file's final line
     // ("last line is not necessary", radohydro.py:441-442)
     val lines = text.linesIterator.toArray
     val data = if (lines.nonEmpty) lines.init else lines
+    val (r0, r1) = rowRange.getOrElse((0, Int.MaxValue))
     data.iterator.zipWithIndex.flatMap { case (line, row) =>
-      if (line.trim.isEmpty) Iterator.empty
+      // row pushdown (SURVEY X1): out-of-window lines are never tokenized
+      if (row < r0 || row >= r1 || line.trim.isEmpty) Iterator.empty
       else {
         val vals = parseLine(line)
         vals.iterator.zipWithIndex.collect {

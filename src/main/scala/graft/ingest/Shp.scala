@@ -47,7 +47,11 @@ object Shp {
       val contentLen = buf.getInt(off + 4) * 2 // bytes
       val rec = ByteBuffer.wrap(bytes, off + 8, contentLen).order(ByteOrder.LITTLE_ENDIAN)
       val shapeType = rec.getInt
-      if (shapeType == 5 || shapeType == 15) {
+      if (shapeType != 5 && shapeType != 15) {
+        // null shapes (type 0) and unexpected types become empty polygons so
+        // geometry/attribute records stay index-aligned with the dbf
+        out += Array.empty[Geom.Ring]
+      } else {
         rec.position(rec.position() + 32) // skip box
         val numParts = rec.getInt
         val numPoints = rec.getInt
@@ -103,6 +107,9 @@ object Shp {
       flds += Fld(name, typ, len, dec)
       off += 32
     }
+    // NB: the dBASE deletion flag (first record byte '*') is intentionally
+    // ignored — Fiona/GeoPandas (the reference's reader) also treat flagged
+    // records as live, and honoring it would break shp/dbf index alignment.
     val records = (0 until numRecords).map { r =>
       val base = headerSize + r * recordSize + 1 // +1 deletion flag
       var pos = base
