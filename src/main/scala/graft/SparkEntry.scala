@@ -20,6 +20,7 @@ object SparkEntry {
       (operators.Similarity.queries, operators.Similarity.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.StreamingOps.queries, operators.StreamingOps.oracles),
+      (operators.AnalyticOps.queries, operators.AnalyticOps.oracles),
       (operators.GeoPipelineOps.queries, operators.GeoPipelineOps.oracles)
     )
 

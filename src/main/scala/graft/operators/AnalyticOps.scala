@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Analytic surface beyond the reference (engine-extension queries): rollup
+  * grouping sets, window frames (running totals, lag deltas), and exact
+  * interpolated percentiles — each cross-checked against DuckDB.
+  */
+object AnalyticOps {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  // u6 — ROLLUP over (returnflag, linestatus): subtotal + grand-total rows.
+  private def u6Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("price_sum"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val u6Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // o5 — window frames: per-customer running order total + gap to the
+  // previous order (lag) in days.
+  private def o5WindowFrames(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast(DoubleType))
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), col("prev_date")).cast(IntegerType))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "running_total", "gap_days")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  private val o5Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
+      |  CAST(date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS INTEGER) AS gap_days
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // a7 — exact interpolated percentiles per group (quantity is
+  // integer-valued, so the linear interpolation is exact in both engines).
+  private def a7Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+        expr("percentile(l_quantity, 0.9)").as("qty_p90"),
+        expr("percentile(l_quantity, 0.99)").as("qty_p99"))
+      .orderBy("l_returnflag")
+
+  private val a7Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS qty_p50,
+      |  quantile_cont(l_quantity, 0.9) AS qty_p90,
+      |  quantile_cont(l_quantity, 0.99) AS qty_p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u6_rollup"        -> u6Rollup _,
+    "o5_window_frames" -> o5WindowFrames _,
+    "a7_percentiles"   -> a7Percentiles _)
+
+  val oracles: Map[String, String] = Map(
+    "u6_rollup"        -> u6Sql,
+    "o5_window_frames" -> o5Sql,
+    "a7_percentiles"   -> a7Sql)
+}
