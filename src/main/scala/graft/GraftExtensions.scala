@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Spark-native extension wiring: install the engine's Catalyst expressions
+  * through `SparkSessionExtensions` so any session created with
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  * has `graft_dot`, `graft_hash60`, `graft_minhash_sigs`,
+  * `graft_sorted_intersect` available in SQL and `expr(...)` without any
+  * per-module registration call. [[Graft.setup]] is the imperative
+  * equivalent for an existing session (also registers the st_* geometry
+  * UDFs, which need a live session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two double arrays"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_hash60"),
+      info("graft_hash60", "graft_hash60(s) - 60-bit md5-prefix hash"),
+      (exprs: Seq[Expression]) => Hash60(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sigs"),
+      info("graft_minhash_sigs", "graft_minhash_sigs(shingles) - 8 MinHash values"),
+      (exprs: Seq[Expression]) => MinHashSigs(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_sorted_intersect"),
+      info("graft_sorted_intersect", "graft_sorted_intersect(a, b) - |A intersect B| for sorted arrays"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+  }
+}
+
+/** One-call setup for an existing session. */
+object Graft {
+  def setup(spark: SparkSession): SparkSession = {
+    HashRegistry.register(spark)
+    VectorFunctions.register(spark)
+    GeoSql.register(spark)
+    spark
+  }
+}
