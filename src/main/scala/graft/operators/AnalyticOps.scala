@@ -71,13 +71,45 @@ object AnalyticOps {
       |  quantile_cont(l_quantity, 0.99) AS qty_p99
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // a8 — salted two-phase aggregation: the skew-mitigation pattern as an
+  // operator. l_returnflag has 3 values (extreme skew at scale: a plain
+  // groupBy funnels a third of 100 TB through one reducer); salting spreads
+  // phase 1 over key x 16 salt buckets (map-side partials land evenly),
+  // phase 2 reduces 3 x 16 tiny rows. DECIMAL partials keep the result
+  // bit-equal to the unsalted plan, so the oracle is the plain GROUP BY.
+  private def a8SaltedAgg(s: SparkSession, d: String): DataFrame = {
+    val salted = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("part_price"),
+        sum(col("l_quantity")).as("part_qty"),
+        count(lit(1)).as("part_n"))
+    salted
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("part_price")).cast(DoubleType).as("price_sum"),
+        sum(col("part_qty")).as("qty_sum"),
+        sum(col("part_n")).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val a8Sql =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+      |  sum(l_quantity) AS qty_sum,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u6_rollup"        -> u6Rollup _,
     "o5_window_frames" -> o5WindowFrames _,
-    "a7_percentiles"   -> a7Percentiles _)
+    "a7_percentiles"   -> a7Percentiles _,
+    "a8_salted_agg"    -> a8SaltedAgg _)
 
   val oracles: Map[String, String] = Map(
     "u6_rollup"        -> u6Sql,
     "o5_window_frames" -> o5Sql,
-    "a7_percentiles"   -> a7Sql)
+    "a7_percentiles"   -> a7Sql,
+    "a8_salted_agg"    -> a8Sql)
 }
