@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Cells, Grid, SpatialPipeline}
 import graft.geo.{Crs, Geom}
-import graft.ingest.{Archives, AsciiGrid, Regnie, Shp}
+import graft.ingest.{Archives, AsciiGrid, GeoTiff, Regnie, Shp}
 
 /** The `radohydro()`-equivalent entry point (reference radohydro.py:503-546),
   * re-expressed as one lazy Spark plan:
@@ -104,10 +104,18 @@ object RadoHydro {
       GridMeta(lines, Regnie.ValuesPerLine,
         Grid.Transform(Regnie.ulx, Regnie.xres, Regnie.uly, Regnie.yres),
         Regnie.Nodata.toDouble)
+    } else if (isTiff(m.name)) {
+      val (t, _) = GeoTiff.parse(m.bytes, rowRange = Some((0, 0)))
+      GridMeta(t.nrows, t.ncols, Grid.Transform(t.ulx, t.xres, t.uly, t.yres), t.nodata)
     } else {
       val h = AsciiGrid.parseHeader(new String(m.bytes, java.nio.charset.StandardCharsets.US_ASCII))
       GridMeta(h.nrows, h.ncols, Grid.Transform(h.ulx, h.xres, h.uly, h.yres), h.nodata)
     }
+  }
+
+  private def isTiff(name: String): Boolean = {
+    val n = name.toLowerCase
+    n.endsWith(".tif") || n.endsWith(".tiff")
   }
 
   /** Run the pipeline. `gridDir` holds raster files (plain .asc, .tar,
@@ -207,6 +215,13 @@ object RadoHydro {
                     else java.lang.Double.valueOf(c.value)
                   Iterator.single((ts, c.row - rLo, c.col - cLo, v))
                 }
+              }
+            } else if (isTiff(m.name)) {
+              val (t, cells) = GeoTiff.parse(m.bytes, Some((rLo, rHi)), Some((cLo, cHi)))
+              cells.map { c =>
+                val v: java.lang.Double =
+                  if (mask && c.value == t.nodata) null else java.lang.Double.valueOf(c.value)
+                (ts, c.row - rLo, c.col - cLo, v)
               }
             } else {
               val (h, cells) = AsciiGrid.parse(text, Some((rLo, rHi)), Some((cLo, cHi)))

@@ -31,12 +31,20 @@ object Crs {
 
   private[geo] def atanh(x: Double): Double = 0.5 * log((1 + x) / (1 - x))
 
-  /** Parse the identifiers used across the reference surface. */
+  /** Parse the identifiers used across the reference surface, plus the
+    * generalized families: any `epsg:258xx`/`epsg:326xx` UTM zone and Web
+    * Mercator.
+    */
   def of(s: String): Crs = s.trim.toLowerCase match {
     case "epsg:4326" | "wgs84" | "4326"            => Wgs84
     case "epsg:25833" | "25833" | "utm33n"         => Utm33N
+    case "epsg:3857" | "webmercator"               => WebMercator
     case "radolan" | "radolan_m" | "stere"         => RadolanStereo(unitsKm = false)
     case "radolan_km"                              => RadolanStereo(unitsKm = true)
+    case z if z.startsWith("epsg:258") && z.length == 10 =>
+      TransverseMercator.utm(z.drop(8).toInt, grs80 = true)  // ETRS89 zones
+    case z if z.startsWith("epsg:326") && z.length == 10 =>
+      TransverseMercator.utm(z.drop(8).toInt, grs80 = false) // WGS84 north zones
     case other => throw new IllegalArgumentException(s"unsupported CRS: $other")
   }
 
@@ -82,15 +90,38 @@ object Crs {
     }
   }
 
-  /** Transverse Mercator (Krüger series, 6th order in n) on GRS80 —
-    * ETRS89 / UTM zone 33N.
-    */
-  case object Utm33N extends Crs {
-    val name = "EPSG:25833"
+  /** Spherical Web Mercator (EPSG:3857) — the tile-pyramid CRS. */
+  case object WebMercator extends Crs {
+    val name = "EPSG:3857"
+    private val R = 6378137.0
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lat = toRadians(latDeg)
+      (R * toRadians(lonDeg), R * log(tan(PI / 4 + lat / 2)))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) =
+      (toDegrees(x / R), toDegrees(2 * atan(exp(y / R)) - PI / 2))
+  }
+
+  object TransverseMercator {
+    /** Northern-hemisphere UTM zone on GRS80 (ETRS89 258xx) or WGS84
+      * (326xx) — the two ellipsoids differ only in 1/f's 9th decimal.
+      */
+    def utm(zone: Int, grs80: Boolean): TransverseMercator = {
+      require(zone >= 1 && zone <= 60, s"bad UTM zone $zone")
+      TransverseMercator(
+        name0 = s"EPSG:${if (grs80) 25800 + zone else 32600 + zone}",
+        lon0Deg = zone * 6.0 - 183.0,
+        invF = if (grs80) 298.257222101 else 298.257223563)
+    }
+  }
+
+  /** Transverse Mercator (Krüger series, 6th order in n). */
+  final case class TransverseMercator(name0: String, lon0Deg: Double, invF: Double) extends Crs {
+    val name: String = name0
     private val a = 6378137.0
-    private val f = 1.0 / 298.257222101 // GRS80
+    private val f = 1.0 / invF
     private val k0 = 0.9996
-    private val lon0 = toRadians(15.0)
+    private val lon0 = toRadians(lon0Deg)
     private val fe = 500000.0
     private val fn = 0.0
 
@@ -158,4 +189,7 @@ object Crs {
       (toDegrees(lon), toDegrees(lat))
     }
   }
+
+  /** ETRS89 / UTM zone 33N — the reference's output CRS (radohydro.py:507). */
+  val Utm33N: TransverseMercator = TransverseMercator.utm(33, grs80 = true)
 }

@@ -192,6 +192,33 @@ class CrsSpec extends AnyFunSuite {
     assert(close(dist / arc, 0.9996, 1e-7), s"scale ${dist / arc}")
   }
 
+  test("generalized UTM zones: 32N differs from 33N by the central meridian; of() parses families") {
+    val utm32 = Crs.of("epsg:25832")
+    val (x32, _) = utm32.forward(9.0, 50.0)   // zone 32 central meridian
+    assert(close(x32, 500000.0, 1e-6))
+    val (x33, _) = Crs.of("epsg:25833").forward(15.0, 50.0)
+    assert(close(x33, 500000.0, 1e-6))
+    // WGS84 zone (326xx) agrees with ETRS89 zone to sub-mm at mid-latitudes
+    val (xe, ye) = Crs.of("epsg:25833").forward(13.5, 50.8)
+    val (xw, yw) = Crs.of("epsg:32633").forward(13.5, 50.8)
+    assert(close(xe, xw, 1e-3) && close(ye, yw, 1e-3))
+    // round-trip a non-reference zone
+    val (lon2, lat2) = utm32.inverse(utm32.forward(7.7, 47.3)._1, utm32.forward(7.7, 47.3)._2)
+    assert(close(lon2, 7.7, 1e-10) && close(lat2, 47.3, 1e-10))
+  }
+
+  test("Web Mercator: known anchors and round-trip") {
+    val wm = Crs.of("epsg:3857")
+    val (x0, y0) = wm.forward(0.0, 0.0)
+    assert(close(x0, 0.0, 1e-9) && close(y0, 0.0, 1e-9))
+    // lon 180 -> 20037508.342789244 (the tile-pyramid half-width)
+    assert(close(wm.forward(180.0, 0.0)._1, 20037508.342789244, 1e-6))
+    // equatorial aspect: y(85.0511287798) ~ x(180) (square world)
+    assert(close(wm.forward(0.0, 85.0511287798066)._2, 20037508.342789244, 1e-3))
+    val (lon2, lat2) = wm.inverse(wm.forward(13.4, 52.5)._1, wm.forward(13.4, 52.5)._2)
+    assert(close(lon2, 13.4, 1e-10) && close(lat2, 52.5, 1e-10))
+  }
+
   test("cross-CRS reproject: RADOLAN km -> UTM33N round trip") {
     val src = Crs.RadolanStereo(unitsKm = true)
     val poly: Geom.Polygon = Array(Geom.boxRing(-100.0, -4400.0, -99.0, -4399.0))
