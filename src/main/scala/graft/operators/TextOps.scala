@@ -38,7 +38,11 @@ object TextOps {
           / length(col("text"))).as("punct_ratio"),
         (length(regexp_replace(col("text"), " ", "")).cast(DoubleType)
           / size(col("toks"))).as("avg_token_len"),
-        size(expr("filter(toks, t -> length(t) >= 6)")).as("n_long_tokens"))
+        size(expr("filter(toks, t -> length(t) >= 6)")).as("n_long_tokens"),
+        // BPE-ish subword count: alpha runs / digit runs / single symbols
+        // (lookaround-free so RE2 [DuckDB] and java.util.regex agree)
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .as("n_subtokens"))
       .orderBy("doc_id")
 
   private val t1Sql =
@@ -48,7 +52,8 @@ object TextOps {
       |  len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS n_stopwords,
       |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
       |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len,
-      |  len(list_filter(toks, t -> length(t) >= 6)) AS n_long_tokens
+      |  len(list_filter(toks, t -> length(t) >= 6)) AS n_long_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subtokens
       |FROM (SELECT *, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
