@@ -31,11 +31,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_hash60", "graft_hash60(s) - 60-bit md5-prefix hash"),
       (exprs: Seq[Expression]) => Hash60(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_minhash_sigs"),
-      info("graft_minhash_sigs", "graft_minhash_sigs(shingles) - 8 MinHash values"),
-      (exprs: Seq[Expression]) => MinHashSigs(exprs.head)))
+      info("graft_minhash_sigs", "graft_minhash_sigs(shingles[, n]) - n MinHash values (default 8)"),
+      (exprs: Seq[Expression]) => MinHashSigs(exprs.head,
+        if (exprs.size > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 8)))
     ext.injectFunction((FunctionIdentifier("graft_sorted_intersect"),
       info("graft_sorted_intersect", "graft_sorted_intersect(a, b) - |A intersect B| for sorted arrays"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash_agg"),
+      info("graft_simhash_agg", "graft_simhash_agg(h) - 32-bit SimHash aggregate over token hashes"),
+      (exprs: Seq[Expression]) => SimHashAgg(exprs.head)))
   }
 }
 

@@ -27,15 +27,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HashFunctions {
 
-  /** 8 affine mix pairs (odd A < 2^30, B < 2^30) — fixed engine constants. */
-  val A: Array[Long] = Array(
-    387420489L, 268435459L, 536870923L, 715827883L,
-    111111113L, 999999937L, 624485141L, 846572969L)
-  val B: Array[Long] = Array(
-    12582917L, 897654321L, 31415927L, 271828183L,
-    41421357L, 173205081L, 577215665L, 141592653L)
-  val Mod: Long = 2147483647L // 2^31 - 1
-
+  /** Affine mix pairs (odd A < 2^30, B < 2^30) — fixed engine constants.
+    * The first 8 are the original hand-picked values (d2's public signature
+    * surface depends on them); the remaining 56 are derived deterministically
+    * from md5 so both engines can embed identical literals. 64 total supports
+    * the d3 LSH parameterization (8 bands x 8 rows).
+    */
   private val digest = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
@@ -51,16 +48,27 @@ object HashFunctions {
     (v << 4) | ((h(7) >> 4) & 0xfL)
   }
 
-  def minhashSigs(shingles: ArrayData): ArrayData = {
+  val MaxHashes = 64
+  val A: Array[Long] = Array(
+    387420489L, 268435459L, 536870923L, 715827883L,
+    111111113L, 999999937L, 624485141L, 846572969L) ++
+    Array.tabulate(56)(i => (hash60(s"graft-minhash-A-${i + 8}".getBytes("UTF-8")) & ((1L << 30) - 1)) | 1L)
+  val B: Array[Long] = Array(
+    12582917L, 897654321L, 31415927L, 271828183L,
+    41421357L, 173205081L, 577215665L, 141592653L) ++
+    Array.tabulate(56)(i => hash60(s"graft-minhash-B-${i + 8}".getBytes("UTF-8")) & ((1L << 30) - 1))
+  val Mod: Long = 2147483647L // 2^31 - 1
+
+  def minhashSigs(shingles: ArrayData, numHashes: Int): ArrayData = {
     val n = shingles.numElements()
-    val mins = Array.fill(8)(Long.MaxValue)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
       val s = shingles.getUTF8String(i)
       if (s != null) {
         val base = hash60(s.getBytes) & 0xffffffffL
         var k = 0
-        while (k < 8) {
+        while (k < numHashes) {
           val h = (A(k) * base + B(k)) % Mod
           if (h < mins(k)) mins(k) = h
           k += 1
@@ -72,11 +80,15 @@ object HashFunctions {
   }
 }
 
-/** `graft_minhash_sigs(array<string>) -> array<long>`: 8 MinHash values. */
-case class MinHashSigs(child: Expression) extends UnaryExpression with CodegenFallback {
+/** `graft_minhash_sigs(array<string>[, numHashes]) -> array<long>`: MinHash
+  * values (default 8, up to [[HashFunctions.MaxHashes]]).
+  */
+case class MinHashSigs(child: Expression, numHashes: Int) extends UnaryExpression with CodegenFallback {
+  require(numHashes > 0 && numHashes <= HashFunctions.MaxHashes,
+    s"numHashes must be in 1..${HashFunctions.MaxHashes}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    HashFunctions.minhashSigs(input.asInstanceOf[ArrayData])
+    HashFunctions.minhashSigs(input.asInstanceOf[ArrayData], numHashes)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -113,12 +125,79 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `graft_simhash_agg(hash: long) -> long`: 32-bit SimHash over a group's
+  * token hashes in ONE aggregate pass — per-bit majority votes accumulate in a
+  * 32-int buffer (update: +-1 per bit, merge: elementwise add, eval: pack bits
+  * with positive votes). Replaces the explode-x32 formulation: same result as
+  * `sum(CASE WHEN votes > 0 THEN 1<<b END)` over per-(doc,b) vote sums, at
+  * 1/32nd the shuffled rows and with map-side partial aggregation.
+  */
+case class SimHashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Int]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](32)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var b = 0
+      while (b < 32) {
+        buf(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < 32) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (buf(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(128)
+    buf.foreach(bb.putInt)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(32)(bb.getInt())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): SimHashAgg = copy(child = c)
+}
+
 object HashRegistry {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_minhash_sigs", exprs => MinHashSigs(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sigs", exprs => MinHashSigs(exprs.head,
+      if (exprs.size > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 8), "built-in")
     reg.createOrReplaceTempFunction("graft_hash60", exprs => Hash60(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_intersect",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash_agg",
+      exprs => SimHashAgg(exprs.head), "built-in")
   }
 }

@@ -20,7 +20,22 @@ import graft.Tables
 object Dedup {
 
   private val NumHashes = 8
-  private val BandSize = 2 // 4 bands of 2 -> LSH candidates
+  private val BandSize = 2 // d2's public signature surface: 4 bands of 2
+
+  // d3/d5 LSH parameterization: 64 hashes in 8 bands of 8. Band collision
+  // probability is ~jaccard^8 — near-unique docs almost never collide, while
+  // true near-dups (j >= 0.7) land in >= 1 shared band with prob ~1-(1-j^8)^8
+  // (~0.5 at j=0.7, ~0.97 at j=0.85). The round-1 4x2 parameterization put
+  // ~every doc pair in some bucket (quadratic candidate blowup, 88 s of the
+  // 167 s bench); these are the standard production values.
+  private val LshNumHashes = 64
+  private val LshBands = 8
+  private val LshBandSize = 8
+  // Skew guard: buckets larger than this are boilerplate-degenerate; they are
+  // dropped (bounding the per-bucket pair count at cap^2) — standard LSH
+  // practice. At the test SFs no bucket reaches the cap, so the oracle's
+  // identical HAVING clause keeps the hash compare exact.
+  private val LshMaxBucket = 64
 
   // Spark-side shingle + minhash SQL fragments (shared shape with oracles).
   // MinHash: ONE md5 per shingle, 8 seed variants via affine mix — see
@@ -91,71 +106,117 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------------
-  // d3 — MinHash-LSH candidate pairs: explode band keys, self-join on
-  // (band index, band hash), estimate similarity as matching-signature
-  // fraction. The join key is the band bucket — the scale-safe formulation.
-  private def d3MinhashPairs(s: SparkSession, d: String): DataFrame = {
-    // cache: the signature frame is tiny but EXPENSIVE (8 x md5-per-shingle);
-    // without it both self-join branches (x 4 band explosions) recompute it
-    val sigs = d2Minhash(s, d).cache()
-    val longBands = sigs.select(
-      col("doc_id"),
-      explode(array((0 until NumHashes / BandSize).map { b =>
-        struct(lit(b).as("band_idx"), col(s"band$b").as("band_hash"))
-      }: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
-    val a = longBands.as("a"); val b = longBands.as("b")
-    // dedup candidate pairs BEFORE scoring (a pair colliding in k bands would
-    // pay the comparison k times) and shuffle only scalar pair keys — the
-    // signatures rejoin via broadcast of the small per-doc frame
-    val pairs = a.join(b,
+  // d3 — MinHash-LSH candidate pairs at production parameters (64 hashes, 8
+  // bands of 8, bucket-size cap). Shared with d5's blocking stage.
+
+  /** (doc_id, sig: array<long>[64]) — ONE md5 per shingle, 64 affine variants. */
+  private def lshSigs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashRegistry.register(s)
+    Tables.documents(s, d)
+      .withColumn("norm", expr(normExpr))
+      .withColumn("shingles", expr(shinglesExpr))
+      .select(col("doc_id"), expr(s"graft_minhash_sigs(shingles, $LshNumHashes)").as("sig"))
+  }
+
+  /** Exploded (doc_id, band_idx, band_hash) with degenerate buckets pruned:
+    * only buckets of 2..LshMaxBucket members enter the self-join (singletons
+    * cannot form pairs — pruning them first means only colliding docs shuffle
+    * into the join; oversize buckets are the LSH skew guard, dropped).
+    */
+  private def lshBands(sigs: DataFrame): DataFrame = {
+    val bandHashExpr = (0 until LshBands).map { b =>
+      s"graft_hash60(array_join(transform(slice(sig, ${b * LshBandSize + 1}, $LshBandSize), x -> cast(x AS string)), ','))"
+    }.mkString("array(", ", ", ")")
+    val bands = sigs.select(col("doc_id"),
+      posexplode(expr(bandHashExpr)).as(Seq("band_idx", "band_hash")))
+    val keep = bands.groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") >= 2 && col("bsz") <= LshMaxBucket)
+      .select("band_idx", "band_hash")
+    // keep is tiny (only buckets that actually collide) -> broadcast semi-ish
+    // inner join; the bands frame shuffles once on the band key at most
+    bands.join(broadcast(keep), Seq("band_idx", "band_hash"))
+  }
+
+  /** Distinct candidate (doc_a, doc_b) pairs from the pruned band buckets —
+    * dedup BEFORE scoring so a pair colliding in k bands is compared once,
+    * and only scalar pair keys shuffle.
+    */
+  private def lshCandidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sa = sigs.select(col("doc_id").as("doc_a"),
-      array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("siga"))
-    val sb = sigs.select(col("doc_id").as("doc_b"),
-      array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sigb"))
+  }
+
+  /** Shared oracle CTE chain mirroring [[lshSigs]]/[[lshBands]]/[[lshCandidatePairs]]:
+    * defines docs/shingle/mh/sig/bands/keep/cand.
+    */
+  private def lshCandSqlCtes: String = {
+    val aList = graft.functions.HashFunctions.A.mkString("[", ", ", "]")
+    val bList = graft.functions.HashFunctions.B.mkString("[", ", ", "]")
+    s"""docs AS (
+       |  SELECT doc_id, $duckShingles AS shingles
+       |  FROM (SELECT doc_id, $duckNorm AS norm FROM documents)
+       |), shingle AS (
+       |  SELECT doc_id, CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) & 4294967295 AS base
+       |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM docs)
+       |), mh AS (
+       |  SELECT doc_id, r.range AS k,
+       |    min((($aList)[r.range + 1] * base + ($bList)[r.range + 1]) % 2147483647) AS mh
+       |  FROM shingle, range(0, $LshNumHashes) r GROUP BY doc_id, r.range
+       |), sig AS (
+       |  SELECT doc_id, list(mh ORDER BY k) AS sig FROM mh GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, r.range AS band_idx,
+       |    CAST(('0x'||substr(md5(array_to_string(list_transform(sig[r.range * $LshBandSize + 1 : r.range * $LshBandSize + $LshBandSize], x -> CAST(x AS VARCHAR)), ',')),1,15)) AS BIGINT) AS band_hash
+       |  FROM sig, range(0, $LshBands) r
+       |), keep AS (
+       |  SELECT band_idx, band_hash FROM bands GROUP BY band_idx, band_hash
+       |  HAVING count(*) BETWEEN 2 AND $LshMaxBucket
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN keep k ON a.band_idx = k.band_idx AND a.band_hash = k.band_hash
+       |       JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |         AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
+  private def d3MinhashPairs(s: SparkSession, d: String): DataFrame = {
+    // cache: the signature frame is small but EXPENSIVE (md5 per shingle);
+    // both self-join branches and the rejoin reuse it
+    val sigs = lshSigs(s, d).cache()
+    val pairs = lshCandidatePairs(lshBands(sigs))
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb"))
     pairs
-      .join(broadcast(sa), "doc_a").join(broadcast(sb), "doc_b")
+      .join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))").cast(DoubleType)
-          / NumHashes).as("est_jaccard"))
+          / LshNumHashes).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
-  private val d3Sql = {
-    val sigList = (0 until NumHashes).map(i => s"mh$i").mkString(", ")
-    val bandUnion = (0 until NumHashes / BandSize)
-      .map(b => s"SELECT doc_id, [$sigList] AS sig, $b AS band_idx, band$b AS band_hash FROM s")
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH s AS (
-       |  ${d2Sql.replace("ORDER BY doc_id", "")}
-       |), bands AS (
-       |  $bandUnion
-       |)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $NumHashes AS est_jaccard
-       |FROM bands a JOIN bands b
-       |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  private val d3Sql =
+    s"""WITH $lshCandSqlCtes
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(len(list_filter(range(1, ${LshNumHashes + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $LshNumHashes AS est_jaccard
+       |FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // ---------------------------------------------------------------------------
-  // d4 — SimHash (32-bit): per-token hash bit votes, majority per bit.
+  // d4 — SimHash (32-bit): per-token hash bit votes, majority per bit, folded
+  // into ONE aggregate pass by the [[graft.functions.SimHashAgg]] custom
+  // aggregate (32-int vote buffer, map-side partial agg) — no x32 bit explode.
   private def d4Simhash(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashRegistry.register(s)
-    val toks = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .withColumn("h", expr("graft_hash60(tok)")) // JVM-native, not conv/BigInteger
-      .withColumn("b", explode(expr("sequence(0, 31)")))
-      .withColumn("vote", when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1))
-    toks.groupBy("doc_id", "b").agg(sum("vote").as("votes"))
       .groupBy("doc_id")
-      .agg(sum(when(col("votes") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
-        .as("simhash"))
+      .agg(expr("graft_simhash_agg(h)").as("simhash"))
       .withColumn("sim_bucket", expr("simhash >> 24").cast(IntegerType))
       .orderBy("doc_id")
   }
@@ -175,8 +236,10 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // d5 — token-3-gram Jaccard near-dup within id-blocks (block join keeps the
-  // pair space bounded; at scale the block key would be an LSH prefix).
+  // d5 — token-3-gram Jaccard near-dup over LSH-blocked candidates: blocking
+  // reuses d3's pruned band buckets (similarity-preserving — a near-dup pair
+  // collides in >= 1 band wherever its doc_ids fall), then the exact Jaccard
+  // verifies each candidate. LSH proposes, exact set math disposes.
   private def d5NgramJaccard(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashRegistry.register(s)
     // set ops run over hashed grams (long equality), not strings — ~10x on
@@ -190,40 +253,41 @@ object Dedup {
         "CASE WHEN size(toks) < 3 THEN array() ELSE " +
           "sort_array(array_distinct(transform(sequence(0, size(toks)-3), " +
           "i -> graft_hash60(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))) END"))
-      .withColumn("blk", floor(col("doc_id") / 100))
-      .select("doc_id", "blk", "grams")
-      .cache() // reused by both block-join branches
-    val a = grams.as("a"); val b = grams.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select("doc_id", "grams")
+    val pairs = lshCandidatePairs(lshBands(lshSigs(s, d)))
+    val ga = grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+    // equi-joins on doc id — candidate side is small, AQE broadcasts it
+    pairs.join(ga, "doc_a").join(gb, "doc_b")
       // merge-walk intersect on sorted distinct arrays; union by inclusion-
       // exclusion — same values as array_intersect/array_distinct(concat)
-      .withColumn("inter", expr("graft_sorted_intersect(a.grams, b.grams)"))
-      .withColumn("uni", expr("size(a.grams) + size(b.grams) - inter"))
+      .withColumn("inter", expr("graft_sorted_intersect(ga, gb)"))
+      .withColumn("uni", expr("size(ga) + size(gb) - inter"))
       .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
       .where(col("uni") > 0 && col("jaccard") >= 0.03)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("inter"), col("uni"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
   private val d5Sql =
-    """WITH g AS (
-      |  SELECT doc_id, CAST(floor(doc_id / 100) AS BIGINT) AS blk,
-      |    CASE WHEN len(toks) < 3 THEN [] ELSE
-      |      list_distinct(list_transform(range(1, len(toks)-1),
-      |        i -> CAST(('0x'||substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),1,15)) AS BIGINT))) END AS grams
-      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
-      |)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  len(list_intersect(a.grams, b.grams)) AS inter,
-      |  len(list_distinct(list_concat(a.grams, b.grams))) AS uni,
-      |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-      |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
-      |FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
-      |WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
-      |  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-      |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.03
-      |ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH $lshCandSqlCtes,
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN [] ELSE
+       |      list_distinct(list_transform(range(1, len(toks)-1),
+       |        i -> CAST(('0x'||substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),1,15)) AS BIGINT))) END AS grams
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+       |)
+       |SELECT c.doc_a, c.doc_b,
+       |  len(list_intersect(a.grams, b.grams)) AS inter,
+       |  len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS uni,
+       |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+       |    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+       |FROM cand c JOIN g a ON a.doc_id = c.doc_a JOIN g b ON b.doc_id = c.doc_b
+       |WHERE len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) > 0
+       |  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+       |    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.03
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------------
   // d6 — embedding-cosine near-dup, brute-force baseline (the ANN variant

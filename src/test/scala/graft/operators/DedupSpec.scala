@@ -1,0 +1,94 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.TestSpark
+import graft.functions.HashFunctions
+
+/** LSH behavior specs for the dedup family. The round-1 d5 blocked on
+  * `floor(doc_id/100)`, which hides duplicate pairs whose ids land in
+  * different blocks; d3/d5 now block on MinHash band buckets (64 hashes,
+  * 8 bands of 8), which is similarity-preserving regardless of id layout.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = TestSpark.spark
+
+  /** Tiny documents table: a near-dup pair whose doc_ids (5, 505) fall in
+    * DIFFERENT old id-blocks, plus unrelated filler docs.
+    */
+  private lazy val fixtureDir: String = {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles carry umbrellas across the windy bridge toward the old " +
+      "lighthouse keeper who waves every single morning without fail"
+    val nearDup = base.replace("windy", "stormy") // one-token edit
+    val rows = Seq(
+      (5L, base, "en", "web", base.length.toLong),
+      (505L, nearDup, "en", "web", nearDup.length.toLong)) ++
+      (0 until 20).map { i =>
+        // no shared vocabulary between filler docs: every token is derived
+        // from the doc index, so true pairwise similarity is ~0
+        val t = (0 until 25).map { w =>
+          val h = HashFunctions.hash60(s"filler-$i-$w".getBytes("UTF-8"))
+          java.lang.Long.toString(h, 36)
+        }.mkString(" ")
+        (1000L + i, t, "en", "web", t.length.toLong)
+      }
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d5 blocking is similarity-preserving: finds pairs across old id-blocks") {
+    val out = Dedup.queries("d5_ngram_jaccard")(spark, fixtureDir).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((5L, 505L)),
+      s"near-dup pair (5, 505) spanning id-blocks 0 and 5 must be found; got $pairs")
+    val j = out.find(r => r.getLong(0) == 5L && r.getLong(1) == 505L).get.getDouble(4)
+    assert(j > 0.8, s"one-token edit should have token-3-gram jaccard > 0.8, got $j")
+    // unrelated docs must NOT pair up (the round-1 parameterization paired everything)
+    assert(pairs.forall { case (a, b) => a == 5L && b == 505L || !(a >= 1000L && b >= 1000L) },
+      s"no unrelated-doc pairs expected, got $pairs")
+  }
+
+  test("d3 LSH surfaces the true near-dup with high estimated jaccard") {
+    val out = Dedup.queries("d3_minhash_pairs")(spark, fixtureDir).collect()
+    val hit = out.find(r => r.getLong(0) == 5L && r.getLong(1) == 505L)
+    assert(hit.isDefined, "band buckets must propose the (5, 505) candidate")
+    assert(hit.get.getDouble(2) > 0.6,
+      s"estimated jaccard over 64 hashes should be high, got ${hit.get.getDouble(2)}")
+  }
+
+  test("graft_minhash_sigs(_, 64): first 8 values equal the default-8 signature") {
+    graft.functions.HashRegistry.register(spark)
+    val row = spark.sql(
+      "SELECT graft_minhash_sigs(array('abcde','bcdef','cdefg')) AS s8, " +
+        "graft_minhash_sigs(array('abcde','bcdef','cdefg'), 64) AS s64").collect()(0)
+    val s8 = row.getSeq[Long](0); val s64 = row.getSeq[Long](1)
+    assert(s8.length == 8 && s64.length == 64)
+    assert(s64.take(8) == s8, "affine constants 0..7 are shared, so prefixes must agree")
+    assert(HashFunctions.A.length == 64 && HashFunctions.B.length == 64)
+    assert(HashFunctions.A.forall(a => a > 0 && a < (1L << 30) && a % 2 == 1))
+    assert(HashFunctions.B.forall(b => b >= 0 && b < (1L << 30)))
+  }
+
+  test("graft_simhash_agg matches a per-bit vote reference computation") {
+    val out = Dedup.queries("d4_simhash")(spark, fixtureDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: per-token hash60, +-1 vote per bit, pack majorities
+    val texts = Map(5L -> ("the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles carry umbrellas across the windy bridge toward the old " +
+      "lighthouse keeper who waves every single morning without fail"))
+    texts.foreach { case (id, text) =>
+      val votes = new Array[Int](32)
+      text.trim.split("\\s+").foreach { tok =>
+        val h = HashFunctions.hash60(tok.getBytes("UTF-8"))
+        (0 until 32).foreach(b => votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1))
+      }
+      val expected = (0 until 32).foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
+      assert(out(id) == expected, s"simhash mismatch for doc $id")
+    }
+  }
+}
