@@ -74,10 +74,10 @@ object Dedup {
   // shingles, plus the banded LSH bucket keys used for candidate joins.
   private def d2Minhash(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashRegistry.register(s)
-    val base = Tables.documents(s, d)
-      .withColumn("norm", expr(normExpr))
-      .withColumn("shingles", expr(shinglesExpr))
-      .withColumn("sig", expr("graft_minhash_sigs(shingles)"))
+    // derived from the cached 64-hash frame: affine pairs 0..7 are the
+    // original d2 constants, so sig[0..7] IS the 8-hash signature — one
+    // shared materialization serves d2, d3 and d5
+    val base = lshSigs(s, d)
     val withSigs = (0 until NumHashes).foldLeft(base) { (df, i) =>
       df.withColumn(s"mh$i", expr(s"sig[$i]"))
     }
@@ -109,13 +109,19 @@ object Dedup {
   // d3 — MinHash-LSH candidate pairs at production parameters (64 hashes, 8
   // bands of 8, bucket-size cap). Shared with d5's blocking stage.
 
-  /** (doc_id, sig: array<long>[64]) — ONE md5 per shingle, 64 affine variants. */
+  /** (doc_id, sig: array<long>[64]) — ONE md5 per shingle, 64 affine variants.
+    * Cached: this is the expensive shared input of d2 (prefix-8 view), d3 and
+    * d5 — Spark's CacheManager matches the identical logical plan, so
+    * whichever query runs first materializes it for the rest of the session.
+    * Size is 64 longs/doc — negligible next to the text itself.
+    */
   private def lshSigs(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashRegistry.register(s)
     Tables.documents(s, d)
       .withColumn("norm", expr(normExpr))
       .withColumn("shingles", expr(shinglesExpr))
       .select(col("doc_id"), expr(s"graft_minhash_sigs(shingles, $LshNumHashes)").as("sig"))
+      .cache()
   }
 
   /** Exploded (doc_id, band_idx, band_hash) with degenerate buckets pruned:
@@ -185,9 +191,7 @@ object Dedup {
   }
 
   private def d3MinhashPairs(s: SparkSession, d: String): DataFrame = {
-    // cache: the signature frame is small but EXPENSIVE (md5 per shingle);
-    // both self-join branches and the rejoin reuse it
-    val sigs = lshSigs(s, d).cache()
+    val sigs = lshSigs(s, d) // cached inside lshSigs
     val pairs = lshCandidatePairs(lshBands(sigs))
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb"))
