@@ -36,9 +36,16 @@ object Rasterize {
       .agg(max_by(col("attr"), col("ord")).as("attr")) // last burned wins (MergeAlg.replace)
   }
 
-  /** Dense ASCII-grid export of a rasterized frame (the GeoTIFF-writer
-    * stand-in, K4: same grid + nodata semantics, text container). Collects
-    * the (small) raster to the driver like any single-file sink.
+  /** GeoTIFF export of a rasterized frame — the real K4 sink (reference
+    * `export_geotiff`, geotools/geotools.py:369-381: GTiff, nodata -9999).
+    */
+  def toGeoTiff(cells: DataFrame, t: Grid.Transform, nrows: Int, ncols: Int,
+      path: String, nodata: Double = -9999): Unit =
+    graft.out.GeoTiffWriter.write(cells, t, nrows, ncols, path, nodata)
+
+  /** Dense ASCII-grid export of a rasterized frame (text-container twin of
+    * [[toGeoTiff]]: same grid + nodata semantics). Collects the (small)
+    * raster to the driver like any single-file sink.
     */
   def toAsciiGrid(cells: DataFrame, t: Grid.Transform, nrows: Int, ncols: Int,
       nodata: Double = -9999): String = {

@@ -2,17 +2,23 @@ package graft.ingest
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Minimal GeoTIFF reader (SURVEY S9 — the reference's `gdal.Open` branch,
-  * geotools/geotools.py:49-54, reachable only when a raster path is passed
+/** GeoTIFF reader (SURVEY S9 — the reference's `gdal.Open` branch,
+  * geotools/geotools.py:49-54, reachable when a raster path is passed
   * directly; implemented here so the engine accepts .tif members the same
   * way it accepts ASCII grids).
   *
-  * Scope: single-band, uncompressed (Compression=1), stripped TIFF in
-  * either byte order; 8/16/32-bit integer (signed/unsigned) and 32/64-bit
-  * float samples; georeferencing from ModelPixelScale + ModelTiepoint
-  * (the GDAL-standard tags), nodata from GDAL_NODATA. Tiled or compressed
-  * files are rejected with a clear error — at pipeline scale, raster
-  * decompression belongs upstream of the columnar engine anyway.
+  * Scope: single-band TIFF in either byte order; stripped OR tiled layout;
+  * uncompressed, deflate (8 / 32946) or LZW (5) compression, with TIFF
+  * predictor 1 (none) or 2 (horizontal differencing); 8/16/32-bit integer
+  * (signed/unsigned) and 32/64-bit float samples; georeferencing from
+  * ModelPixelScale + ModelTiepoint (the GDAL-standard tags), nodata from
+  * GDAL_NODATA. This covers what `gdal_translate`'s common
+  * `-co COMPRESS=DEFLATE|LZW [-co TILED=YES] [-co PREDICTOR=2]` outputs.
+  *
+  * Window pushdown survives compression: only the strips/tiles that
+  * intersect the requested (rowRange, colRange) are decompressed — at
+  * scale, a bbox slice of a tiled raster touches O(window) tiles, not the
+  * whole image.
   */
 object GeoTiff {
 
@@ -78,14 +84,18 @@ object GeoTiff {
     val nrows = intVal(257, throw new IllegalArgumentException("TIFF: no ImageLength"))
     val bits = intVal(258, 1)
     val compression = intVal(259, 1)
-    require(compression == 1, s"GeoTiff: only uncompressed supported (compression=$compression)")
-    require(!entries.contains(322), "GeoTiff: tiled TIFFs not supported (stripped only)")
+    require(compression == 1 || compression == 5 || compression == 8 || compression == 32946,
+      s"GeoTiff: unsupported compression=$compression (none/LZW/deflate only)")
+    val predictor = intVal(317, 1)
+    require(predictor == 1 || predictor == 2,
+      s"GeoTiff: unsupported predictor=$predictor (1=none, 2=horizontal only)")
     val samplesPerPixel = intVal(277, 1)
     require(samplesPerPixel == 1, s"GeoTiff: single-band only (got $samplesPerPixel)")
-    val rowsPerStrip = intVal(278, nrows)
     val sampleFormat = intVal(339, 1) // 1 uint, 2 int, 3 float
-    val stripOffsets = longArray(entries(273))
-    val stripCounts = entries.get(279).map(longArray).getOrElse(Array.empty[Long])
+    require(predictor != 2 || sampleFormat != 3,
+      "GeoTiff: predictor=2 applies to integer samples only")
+    val bytesPerSample = bits / 8
+    val tiled = entries.contains(322)
 
     val (scaleX, scaleY) = entries.get(33550).map(doubleArray) match {
       case Some(Array(sx, sy, _*)) => (sx, sy)
@@ -100,32 +110,207 @@ object GeoTiff {
       .map(_.toDouble).getOrElse(Double.NaN)
 
     val meta = Meta(ncols, nrows, ulx, uly, scaleX, -scaleY, nodata)
-    val bytesPerSample = bits / 8
     val (r0, r1) = rowRange.getOrElse((0, nrows))
     val (c0, c1) = colRange.getOrElse((0, ncols))
+    val rLo = math.max(0, r0); val rHi = math.min(nrows, r1)
+    val cLo = math.max(0, c0); val cHi = math.min(ncols, c1)
 
-    def sampleAt(stripData: Int, idx: Int): Double = {
-      val off = stripData + idx * bytesPerSample
+    /** Decompress one strip/tile payload to exactly `expected` bytes and undo
+      * the predictor (rows of `width` samples).
+      */
+    def decodeBlock(fileOff: Long, byteCount: Long, expected: Int, width: Int): ByteBuffer = {
+      val decoded = compression match {
+        case 1 =>
+          val a = new Array[Byte](expected)
+          System.arraycopy(bytes, fileOff.toInt, a, 0, math.min(expected, byteCount.toInt))
+          a
+        case 5 =>
+          TiffLzw.decode(bytes, fileOff.toInt, byteCount.toInt, expected)
+        case _ =>
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(bytes, fileOff.toInt, byteCount.toInt)
+          val a = new Array[Byte](expected)
+          var at = 0
+          while (at < expected && !inf.finished()) {
+            val got = inf.inflate(a, at, expected - at)
+            if (got == 0 && inf.needsInput())
+              throw new IllegalArgumentException("GeoTiff: truncated deflate block")
+            at += got
+          }
+          inf.end()
+          a
+      }
+      if (predictor == 2) undoHorizontalPredictor(decoded, width, bytesPerSample, order)
+      ByteBuffer.wrap(decoded).order(order)
+    }
+
+    def sampleAt(block: ByteBuffer, idx: Int): Double = {
+      val off = idx * bytesPerSample
       (sampleFormat, bits) match {
-        case (3, 32) => buf.getFloat(off).toDouble
-        case (3, 64) => buf.getDouble(off)
-        case (2, 16) => buf.getShort(off).toDouble
-        case (2, 32) => buf.getInt(off).toDouble
-        case (1, 8)  => (bytes(off) & 0xff).toDouble
-        case (1, 16) => (buf.getShort(off) & 0xffff).toDouble
-        case (1, 32) => (buf.getInt(off) & 0xffffffffL).toDouble
+        case (3, 32) => block.getFloat(off).toDouble
+        case (3, 64) => block.getDouble(off)
+        case (2, 16) => block.getShort(off).toDouble
+        case (2, 32) => block.getInt(off).toDouble
+        case (1, 8)  => (block.get(off) & 0xff).toDouble
+        case (1, 16) => (block.getShort(off) & 0xffff).toDouble
+        case (1, 32) => (block.getInt(off) & 0xffffffffL).toDouble
         case other   => throw new IllegalArgumentException(s"GeoTiff: unsupported sample $other")
       }
     }
 
-    val cells = Iterator.range(math.max(0, r0), math.min(nrows, r1)).flatMap { row =>
-      val strip = row / rowsPerStrip
-      val rowInStrip = row % rowsPerStrip
-      val stripData = stripOffsets(strip).toInt
-      Iterator.range(math.max(0, c0), math.min(ncols, c1)).map { col =>
-        Cell(row, col, sampleAt(stripData, rowInStrip * ncols + col))
+    val cells: Iterator[Cell] =
+      if (rLo >= rHi || cLo >= cHi) Iterator.empty
+      else if (tiled) {
+        val tw = intVal(322, ncols)
+        val th = intVal(323, nrows)
+        val tileOffsets = longArray(entries.getOrElse(324,
+          throw new IllegalArgumentException("TIFF: tiled but no TileOffsets")))
+        val tileCounts = longArray(entries.getOrElse(325,
+          throw new IllegalArgumentException("TIFF: tiled but no TileByteCounts")))
+        val tilesAcross = (ncols + tw - 1) / tw
+        val expected = tw * th * bytesPerSample
+        // only tiles intersecting the window are decompressed
+        Iterator.range(rLo / th, (rHi - 1) / th + 1).flatMap { tr =>
+          Iterator.range(cLo / tw, (cHi - 1) / tw + 1).flatMap { tc =>
+            val t = tr * tilesAcross + tc
+            val block = decodeBlock(tileOffsets(t), tileCounts(t), expected, tw)
+            val rowIn0 = math.max(rLo, tr * th) - tr * th
+            val rowIn1 = math.min(rHi, (tr + 1) * th) - tr * th
+            val colIn0 = math.max(cLo, tc * tw) - tc * tw
+            val colIn1 = math.min(cHi, (tc + 1) * tw) - tc * tw
+            Iterator.range(rowIn0, rowIn1).flatMap { ri =>
+              Iterator.range(colIn0, colIn1).map { ci =>
+                Cell(tr * th + ri, tc * tw + ci, sampleAt(block, ri * tw + ci))
+              }
+            }
+          }
+        }
+      } else {
+        val rowsPerStrip = intVal(278, nrows)
+        val stripOffsets = longArray(entries(273))
+        val stripCounts = entries.get(279).map(longArray).getOrElse(
+          Array.fill(stripOffsets.length)(Long.MaxValue))
+        // only strips intersecting the row window are decompressed
+        Iterator.range(rLo / rowsPerStrip, (rHi - 1) / rowsPerStrip + 1).flatMap { strip =>
+          val stripRows = math.min(rowsPerStrip, nrows - strip * rowsPerStrip)
+          val block = decodeBlock(stripOffsets(strip), stripCounts(strip),
+            stripRows * ncols * bytesPerSample, ncols)
+          val rowIn0 = math.max(rLo, strip * rowsPerStrip) - strip * rowsPerStrip
+          val rowIn1 = math.min(rHi, strip * rowsPerStrip + stripRows) - strip * rowsPerStrip
+          Iterator.range(rowIn0, rowIn1).flatMap { ri =>
+            Iterator.range(cLo, cHi).map { ci =>
+              Cell(strip * rowsPerStrip + ri, ci, sampleAt(block, ri * ncols + ci))
+            }
+          }
+        }
+      }
+    (meta, cells)
+  }
+
+  /** TIFF predictor 2: within each row, sample[i] = sample[i-1] + delta —
+    * undo by cumulative sum over the row, on the integer interpretation at
+    * the file's sample width/byte order. In place.
+    */
+  private def undoHorizontalPredictor(data: Array[Byte], width: Int,
+      bytesPerSample: Int, order: ByteOrder): Unit = {
+    val bb = ByteBuffer.wrap(data).order(order)
+    val rows = data.length / (width * bytesPerSample)
+    var r = 0
+    while (r < rows) {
+      val base = r * width * bytesPerSample
+      var c = 1
+      bytesPerSample match {
+        case 1 =>
+          while (c < width) { data(base + c) = (data(base + c) + data(base + c - 1)).toByte; c += 1 }
+        case 2 =>
+          while (c < width) {
+            bb.putShort(base + c * 2, (bb.getShort(base + c * 2) + bb.getShort(base + (c - 1) * 2)).toShort)
+            c += 1
+          }
+        case 4 =>
+          while (c < width) {
+            bb.putInt(base + c * 4, bb.getInt(base + c * 4) + bb.getInt(base + (c - 1) * 4))
+            c += 1
+          }
+        case other =>
+          throw new IllegalArgumentException(s"GeoTiff: predictor=2 with $other-byte samples")
+      }
+      r += 1
+    }
+  }
+}
+
+/** TIFF-variant LZW decoder (Compression=5): MSB-first bit packing, codes
+  * start at 9 bits, ClearCode=256, EOI=257, code width grows one entry
+  * EARLY (libtiff convention: at table size 510/1022/2046 the next code is
+  * read at the wider size).
+  */
+object TiffLzw {
+
+  def decode(in: Array[Byte], off: Int, len: Int, expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    val totalBits = len.toLong * 8
+    var bitPos = 0L
+    var codeSize = 9
+
+    // dictionary: flat byte arrays; entries 0..255 literal, 256 clear, 257 EOI
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    var i = 0
+    while (i < 256) { dict(i) = Array(i.toByte); i += 1 }
+
+    def nextCode(): Int = {
+      if (bitPos + codeSize > totalBits) 257 // ran off the end: treat as EOI
+      else {
+        var v = 0
+        var k = 0
+        while (k < codeSize) {
+          val b = bitPos + k
+          v = (v << 1) | ((in(off + (b >> 3).toInt) >> (7 - (b & 7).toInt)) & 1)
+          k += 1
+        }
+        bitPos += codeSize
+        v
       }
     }
-    (meta, cells)
+    def emit(entry: Array[Byte]): Unit = {
+      val m = math.min(entry.length, expected - outPos)
+      System.arraycopy(entry, 0, out, outPos, m)
+      outPos += m
+    }
+
+    var prev: Array[Byte] = null
+    var code = nextCode()
+    while (code != 257 && outPos < expected) {
+      if (code == 256) { // clear
+        java.util.Arrays.fill(dict.asInstanceOf[Array[AnyRef]], 258, dictSize, null)
+        dictSize = 258
+        codeSize = 9
+        prev = null
+      } else {
+        val entry =
+          if (code < dictSize && dict(code) != null) dict(code)
+          else if (code == dictSize && prev != null) { // KwKwK case
+            val e = java.util.Arrays.copyOf(prev, prev.length + 1)
+            e(prev.length) = prev(0)
+            e
+          } else throw new IllegalArgumentException(s"TiffLzw: bad code $code (dict $dictSize)")
+        emit(entry)
+        if (prev != null && dictSize < 4096) {
+          val ne = java.util.Arrays.copyOf(prev, prev.length + 1)
+          ne(prev.length) = entry(0)
+          dict(dictSize) = ne
+          dictSize += 1
+        }
+        prev = entry
+        // TIFF early change: grow the read width one entry before the table
+        // actually overflows the current width
+        if (dictSize == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+      }
+      code = nextCode()
+    }
+    require(outPos == expected, s"TiffLzw: decoded $outPos of $expected bytes")
+    out
   }
 }

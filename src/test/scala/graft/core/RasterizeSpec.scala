@@ -54,6 +54,38 @@ class RasterizeSpec extends AnyFunSuite {
     assert(parsed.count(_.value == 5.0) == 16)
   }
 
+  test("GeoTIFF export round-trips through the GeoTIFF reader (real K4)") {
+    import spark.implicits._
+    // partial coverage: rows 0-1 x cols 0-1 burned, rest stays nodata
+    val polys = Seq((1, 5, Seq(Seq(0.0, 2.0, 2.0, 2.0, 2.0, 4.0, 0.0, 4.0))))
+      .toDF("ord", "attr", "geom")
+    val cells = Rasterize.rasterize(polys, t, 4, 4)
+    val path = java.nio.file.Files.createTempFile("graft-k4", ".tif").toString
+    Rasterize.toGeoTiff(cells, t, 4, 4, path)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val (meta, parsed) = graft.ingest.GeoTiff.parse(bytes)
+    assert(meta.ncols == 4 && meta.nrows == 4)
+    assert(meta.ulx == 0.0 && meta.uly == 4.0 && meta.xres == 1.0 && meta.yres == -1.0)
+    assert(meta.nodata == -9999.0)
+    val vals = parsed.map(c => (c.row, c.col) -> c.value).toMap
+    assert(vals((0, 0)) == 5.0 && vals((1, 1)) == 5.0)
+    assert(vals((2, 2)) == -9999.0 && vals((3, 0)) == -9999.0)
+    assert(vals.size == 16)
+  }
+
+  test("GeoTIFF export with a window pushdown read slices the written raster") {
+    import spark.implicits._
+    val polys = Seq((1, 3, Seq(Seq(0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0))))
+      .toDF("ord", "attr", "geom")
+    val path = java.nio.file.Files.createTempFile("graft-k4w", ".tif").toString
+    Rasterize.toGeoTiff(Rasterize.rasterize(polys, t, 4, 4), t, 4, 4, path)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val (_, win) = graft.ingest.GeoTiff.parse(bytes, rowRange = Some((1, 3)), colRange = Some((2, 4)))
+    val got = win.toSeq
+    assert(got.size == 4 && got.forall(_.value == 3.0))
+    assert(got.map(c => (c.row, c.col)).toSet == Set((1, 2), (1, 3), (2, 2), (2, 3)))
+  }
+
   test("geo functions are callable from SQL") {
     graft.functions.GeoSql.register(spark)
     val area = spark.sql(

@@ -2,64 +2,202 @@ package graft.ingest
 
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.file.{Files, Paths}
+import scala.collection.mutable.ArrayBuffer
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Minimal GeoTIFF byte builder for tests: single-band int16, stripped,
-  * little-endian, with ModelPixelScale + ModelTiepoint + GDAL_NODATA.
+/** GeoTIFF byte builder for tests: single-band int16, little-endian, with
+  * ModelPixelScale + ModelTiepoint + GDAL_NODATA; optionally deflate- or
+  * LZW-compressed, tiled, and horizontally predicted — the gdal_translate
+  * `-co COMPRESS=… -co TILED=… -co PREDICTOR=2` surface the reader claims.
   */
 object TiffFixture {
-  def build(nrows: Int, ncols: Int, ulx: Double, uly: Double, cell: Double,
-      nodata: Double, value: (Int, Int) => Int): Array[Byte] = {
-    val data = Array.tabulate(nrows * ncols)(i => value(i / ncols, i % ncols).toShort)
-    val nEntries = 12
-    val ifdOffset = 8
-    val afterIfd = ifdOffset + 2 + nEntries * 12 + 4
-    val scaleOff = afterIfd
-    val tieOff = scaleOff + 24
-    val nodataStr = s"$nodata "
-    val nodataOff = tieOff + 48
-    val dataOff = nodataOff + nodataStr.length
-    val buf = ByteBuffer.allocate(dataOff + data.length * 2).order(ByteOrder.LITTLE_ENDIAN)
-    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffset)
-    buf.putShort(nEntries.toShort)
-    def entry(tag: Int, typ: Int, count: Int, v: Long): Unit = {
-      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
-      if (typ == 3 && count == 1) { buf.putShort(v.toShort).putShort(0) }
-      else buf.putInt(v.toInt)
+
+  /** TIFF-variant LZW encoder (test-side twin of [[TiffLzw]]): MSB-first,
+    * 9-bit start, early code-width change at table size (1<<width)-1.
+    */
+  def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    var bitBuf = 0L; var nBits = 0
+    var codeSize = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << codeSize) | code
+      nBits += codeSize
+      while (nBits >= 8) { out += ((bitBuf >> (nBits - 8)) & 0xff).toByte; nBits -= 8 }
     }
-    entry(256, 3, 1, ncols); entry(257, 3, 1, nrows)
-    entry(258, 3, 1, 16); entry(259, 3, 1, 1)
-    entry(273, 4, 1, dataOff); entry(277, 3, 1, 1)
-    entry(278, 3, 1, nrows); entry(279, 4, 1, data.length * 2)
-    entry(339, 3, 1, 2)
-    entry(33550, 12, 3, scaleOff)
-    entry(33922, 12, 6, tieOff)
-    entry(42113, 2, nodataStr.length, nodataOff)
+    val dict = scala.collection.mutable.HashMap.empty[String, Int]
+    var dictSize = 258
+    def key(bytes: Seq[Byte]) = new String(bytes.map(b => (b & 0xff).toChar).toArray)
+    put(256) // clear
+    var w = Vector.empty[Byte]
+    def codeOf(s: Vector[Byte]): Int = if (s.length == 1) s.head & 0xff else dict(key(s))
+    data.foreach { b =>
+      val wb = w :+ b
+      if (wb.length == 1 || dict.contains(key(wb))) w = wb
+      else {
+        put(codeOf(w))
+        dict(key(wb)) = dictSize
+        dictSize += 1
+        // the decoder's table lags one entry behind, so it grows its read
+        // width at (1<<n)-1 while the encoder grows its write width at 1<<n
+        if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        if (dictSize >= 4093) { put(256); dict.clear(); dictSize = 258; codeSize = 9 }
+        w = Vector(b)
+      }
+    }
+    if (w.nonEmpty) put(codeOf(w))
+    put(257) // EOI
+    if (nBits > 0) out += ((bitBuf << (8 - nBits)) & 0xff).toByte
+    out.toArray
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](data.length * 2 + 64)
+    val n = d.deflate(buf)
+    d.end()
+    java.util.Arrays.copyOf(buf, n)
+  }
+
+  /** Forward TIFF predictor 2 on int16 LE rows (encode side). */
+  private def predict2(block: Array[Byte], width: Int): Array[Byte] = {
+    val a = block.clone()
+    val bb = ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN)
+    val rows = a.length / (width * 2)
+    for (r <- 0 until rows; c <- (width - 1) until 0 by -1) {
+      val base = r * width * 2
+      bb.putShort(base + c * 2, (bb.getShort(base + c * 2) - bb.getShort(base + (c - 1) * 2)).toShort)
+    }
+    a
+  }
+
+  def build(nrows: Int, ncols: Int, ulx: Double, uly: Double, cell: Double,
+      nodata: Double, value: (Int, Int) => Int,
+      compression: Int = 1, tile: Option[(Int, Int)] = None,
+      predictor: Int = 1): Array[Byte] = {
+
+    def rawBlock(r0: Int, c0: Int, h: Int, w: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(h * w * 2).order(ByteOrder.LITTLE_ENDIAN)
+      for (r <- 0 until h; c <- 0 until w) {
+        val v = if (r0 + r < nrows && c0 + c < ncols) value(r0 + r, c0 + c) else 0
+        bb.putShort(v.toShort)
+      }
+      bb.array()
+    }
+    def encode(block: Array[Byte], width: Int): Array[Byte] = {
+      val pred = if (predictor == 2) predict2(block, width) else block
+      compression match {
+        case 1 => pred
+        case 5 => lzwEncode(pred)
+        case 8 => deflate(pred)
+        case other => throw new IllegalArgumentException(s"fixture: compression $other")
+      }
+    }
+
+    val blocks: Seq[Array[Byte]] = tile match {
+      case Some((tw, th)) =>
+        for (tr <- 0 until (nrows + th - 1) / th; tc <- 0 until (ncols + tw - 1) / tw)
+          yield encode(rawBlock(tr * th, tc * tw, th, tw), tw)
+      case None => Seq(encode(rawBlock(0, 0, nrows, ncols), ncols))
+    }
+
+    // entries: (tag, typ, count, inlineValue | -1 marker for deferred arrays)
+    final case class Tag(tag: Int, typ: Int, count: Int, inline: Option[Long],
+        longs: Array[Long] = Array.empty, doubles: Array[Double] = Array.empty,
+        ascii: String = "")
+    val nodataStr = s"$nodata "
+    var tags = ArrayBuffer(
+      Tag(256, 3, 1, Some(ncols)), Tag(257, 3, 1, Some(nrows)),
+      Tag(258, 3, 1, Some(16)), Tag(259, 3, 1, Some(compression)),
+      Tag(277, 3, 1, Some(1)), Tag(339, 3, 1, Some(2)),
+      Tag(33550, 12, 3, None, doubles = Array(cell, cell, 0.0)),
+      Tag(33922, 12, 6, None, doubles = Array(0, 0, 0, ulx, uly, 0)),
+      Tag(42113, 2, nodataStr.length, None, ascii = nodataStr))
+    if (predictor == 2) tags += Tag(317, 3, 1, Some(2))
+    tile match {
+      case Some((tw, th)) =>
+        tags += Tag(322, 3, 1, Some(tw))
+        tags += Tag(323, 3, 1, Some(th))
+        tags += Tag(324, 4, blocks.length, None, longs = new Array[Long](blocks.length))
+        tags += Tag(325, 4, blocks.length, None,
+          longs = blocks.map(_.length.toLong).toArray)
+      case None =>
+        tags += Tag(273, 4, 1, None, longs = new Array[Long](1))
+        tags += Tag(278, 3, 1, Some(nrows))
+        tags += Tag(279, 4, 1, None, longs = Array(blocks.head.length.toLong))
+    }
+    tags = tags.sortBy(_.tag)
+
+    val ifdOffset = 8
+    val afterIfd = ifdOffset + 2 + tags.length * 12 + 4
+    // lay out the deferred (out-of-line) areas
+    var cursor = afterIfd
+    val offsets = tags.map { t =>
+      val bytes = t.typ match {
+        case 2  => t.count
+        case 4  => if (t.count == 1) 0 else t.count * 4
+        case 12 => t.count * 8
+        case _  => 0
+      }
+      val o = if (t.inline.isDefined || bytes == 0) -1 else { val c = cursor; cursor += (bytes + 1) & ~1; c }
+      o
+    }
+    val dataStart = cursor
+    val blockOffsets = blocks.scanLeft(dataStart.toLong)((acc, b) => acc + b.length).init.toArray
+
+    val total = dataStart + blocks.map(_.length).sum
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffset)
+    buf.putShort(tags.length.toShort)
+    tags.zipWithIndex.foreach { case (t, i) =>
+      buf.putShort(t.tag.toShort).putShort(t.typ.toShort).putInt(t.count)
+      t.inline match {
+        case Some(v) if t.typ == 3 => buf.putShort(v.toShort).putShort(0)
+        case Some(v)               => buf.putInt(v.toInt)
+        case None =>
+          val isBlockOffsets = t.tag == 273 || t.tag == 324
+          if (t.typ == 4 && t.count == 1)
+            buf.putInt(if (isBlockOffsets) blockOffsets(0).toInt else t.longs(0).toInt)
+          else buf.putInt(offsets(i))
+      }
+    }
     buf.putInt(0)
-    buf.position(scaleOff); buf.putDouble(cell).putDouble(cell).putDouble(0.0)
-    buf.position(tieOff)
-    buf.putDouble(0).putDouble(0).putDouble(0).putDouble(ulx).putDouble(uly).putDouble(0)
-    buf.position(nodataOff); buf.put(nodataStr.getBytes("US-ASCII"))
-    buf.position(dataOff); data.foreach(buf.putShort)
+    tags.zipWithIndex.foreach { case (t, i) =>
+      if (offsets(i) >= 0) {
+        buf.position(offsets(i))
+        t.typ match {
+          case 2  => buf.put(t.ascii.getBytes("US-ASCII"))
+          case 12 => t.doubles.foreach(buf.putDouble)
+          case 4 =>
+            val vals = if (t.tag == 324) blockOffsets else t.longs
+            vals.foreach(v => buf.putInt(v.toInt))
+        }
+      }
+    }
+    buf.position(dataStart)
+    blocks.foreach(buf.put)
     buf.array()
   }
 }
 
 class GeoTiffSpec extends AnyFunSuite {
-  private def tiff = TiffFixture.build(3, 4, 406000, 5620800, 1000.0, -1.0,
-    (r, c) => r * 10 + c)
+  private def values(r: Int, c: Int): Int = r * 10 + c
+  private def tiff = TiffFixture.build(3, 4, 406000, 5620800, 1000.0, -1.0, values)
 
-  test("parses int16 stripped LE tiff with scale/tiepoint/nodata tags") {
-    val (meta, cells) = GeoTiff.parse(tiff)
-    assert(meta.ncols == 4 && meta.nrows == 3)
+  private def assertParsesLikeBaseline(bytes: Array[Byte], nrows: Int = 3, ncols: Int = 4): Unit = {
+    val (meta, cells) = GeoTiff.parse(bytes)
+    assert(meta.ncols == ncols && meta.nrows == nrows)
     assert(meta.ulx == 406000.0 && meta.uly == 5620800.0)
-    assert(meta.xres == 1000.0 && meta.yres == -1000.0)
     assert(meta.nodata == -1.0)
     val m = cells.toSeq
-    assert(m.size == 12)
-    assert(m.head == GeoTiff.Cell(0, 0, 0.0))
-    assert(m.last == GeoTiff.Cell(2, 3, 23.0))
-    assert(m.find(c => c.row == 1 && c.col == 2).get.value == 12.0)
+    assert(m.size == nrows * ncols)
+    m.foreach(c => assert(c.value == values(c.row, c.col).toDouble, s"(${c.row},${c.col})"))
+  }
+
+  test("parses int16 stripped LE tiff with scale/tiepoint/nodata tags") {
+    assertParsesLikeBaseline(tiff)
+    val (meta, _) = GeoTiff.parse(tiff)
+    assert(meta.xres == 1000.0 && meta.yres == -1000.0)
   }
 
   test("window pushdown restricts parsed cells") {
@@ -67,12 +205,60 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(cells.toSeq.map(_.value) == Seq(12.0, 13.0, 22.0, 23.0))
   }
 
-  test("rejects compressed input with a clear error") {
+  test("deflate-compressed stripped tiff parses identically") {
+    assertParsesLikeBaseline(TiffFixture.build(3, 4, 406000, 5620800, 1000.0, -1.0,
+      values, compression = 8))
+  }
+
+  test("deflate + tiled (2x2 tiles over 3x4 with edge padding) parses identically") {
+    val bytes = TiffFixture.build(3, 4, 406000, 5620800, 1000.0, -1.0,
+      values, compression = 8, tile = Some((2, 2)))
+    assertParsesLikeBaseline(bytes)
+    // window pushdown on tiles: only the lower-right region
+    val (_, win) = GeoTiff.parse(bytes, rowRange = Some((1, 3)), colRange = Some((2, 4)))
+    assert(win.toSeq.map(_.value).sorted == Seq(12.0, 13.0, 22.0, 23.0))
+  }
+
+  test("deflate + predictor 2 parses identically") {
+    assertParsesLikeBaseline(TiffFixture.build(3, 4, 406000, 5620800, 1000.0, -1.0,
+      values, compression = 8, predictor = 2))
+  }
+
+  test("LZW-compressed (stripped and tiled+predictor) parses identically") {
+    assertParsesLikeBaseline(TiffFixture.build(3, 4, 406000, 5620800, 1000.0, -1.0,
+      values, compression = 5))
+    assertParsesLikeBaseline(TiffFixture.build(7, 9, 406000, 5620800, 1000.0, -1.0,
+      values, compression = 5, tile = Some((4, 4)), predictor = 2), nrows = 7, ncols = 9)
+  }
+
+  test("TiffLzw decodes a hand-packed known vector") {
+    // codes 256(clear), 7, 258(KwKwK), 8, 257(EOI) at 9 bits, MSB-first:
+    // 100000000 000000111 100000010 000001000 100000001 -> bytes below
+    val in = Array(0x80, 0x01, 0xE0, 0x40, 0x88, 0x08).map(_.toByte)
+    val out = TiffLzw.decode(in, 0, in.length, 4)
+    assert(out.toSeq == Seq[Byte](7, 7, 7, 8))
+  }
+
+  test("TiffLzw round-trips random and repetitive payloads incl. width growth") {
+    val rnd = new scala.util.Random(42)
+    // > 253 distinct-following pairs forces dictSize past 511 -> 10-bit codes
+    val payloads = Seq(
+      Array.tabulate(4096)(i => (i % 251).toByte),
+      Array.fill(2048)(rnd.nextInt(256).toByte),
+      Array.tabulate(3000)(i => if (i % 7 < 5) 42.toByte else (i % 13).toByte))
+    payloads.foreach { p =>
+      val enc = TiffFixture.lzwEncode(p)
+      assert(TiffLzw.decode(enc, 0, enc.length, p.length).toSeq == p.toSeq)
+    }
+  }
+
+  test("rejects unsupported compression with a clear error") {
     val bytes = tiff
-    val compValueOff = 8 + 2 + 3 * 12 + 8 // 4th entry's value field
-    bytes(compValueOff) = 5 // LZW
+    // compression entry is the 4th tag (tags sorted: 256,257,258,259,...)
+    val compValueOff = 8 + 2 + 3 * 12 + 8
+    bytes(compValueOff) = 7 // JPEG
     val e = intercept[IllegalArgumentException](GeoTiff.parse(bytes))
-    assert(e.getMessage.contains("uncompressed"))
+    assert(e.getMessage.contains("unsupported compression"))
   }
 
   test("pipeline parity: .tif members produce the same series as .asc members") {
@@ -94,8 +280,10 @@ class GeoTiffSpec extends AnyFunSuite {
     Files.write(Paths.get(ascDir, "RW_20180101_0050.asc"),
       AsciiGrid.render(h, Array.tabulate(nrows, ncols)((r, c) => v(r, c).toDouble)).getBytes)
     val tifDir = Files.createTempDirectory("parity_tif").toString
+    // compressed + tiled variant — the live pipeline must read it the same
     Files.write(Paths.get(tifDir, "RW_20180101_0050.tif"),
-      TiffFixture.build(nrows, ncols, xll, yll + nrows * 1000.0, 1000.0, -1.0, v))
+      TiffFixture.build(nrows, ncols, xll, yll + nrows * 1000.0, 1000.0, -1.0, v,
+        compression = 8, tile = Some((64, 64)), predictor = 2))
 
     def series(dir: String) = graft.api.RadoHydro
       .run(spark, dir, s"$examples/einzugsgebiet.shp",
