@@ -80,11 +80,18 @@ object WideSink {
 
   /** The reference's actual K2 output: basin polygons + one numeric dbf
     * column per timestamp + BasinIDNew, as a real shapefile (readable back
-    * by [[graft.ingest.Shp]]). Honors the <500-column dbase guard. Sorts by
-    * basinID (sane mode; quirk Q2 documented divergence).
+    * by [[graft.ingest.Shp]]). Honors the <500-column dbase guard.
+    *
+    * Sane default sorts features by basinID. `faithful = true` reproduces
+    * quirk Q2 (geotools/geotools.py:324-325): the reference argsorts the
+    * VALUE MATRIX by its last data column (`polyg_values[:, -2]`, NaN last)
+    * and writes those rows back into the geodataframe WITHOUT reordering
+    * geometries or the original attributes — so with >1 differently-ordered
+    * timestep, rainfall columns + BasinIDNew are misaligned with the
+    * polygons they describe.
     */
   def writeShapefile(series: DataFrame, basins: Seq[BasinInfo], attrOrder: Seq[String],
-      basePath: String, maxCols: Int = 500): Boolean = {
+      basePath: String, maxCols: Int = 500, faithful: Boolean = false): Boolean = {
     val rows = series
       .select(col("basinID"), date_format(col("ts"), "yyMMddHHmm").as("t"),
         col("rain"), col("ts"))
@@ -94,15 +101,34 @@ object WideSink {
     if (tsCols.size >= maxCols) return false
     val byBasin = rows.groupBy(_.getInt(0))
       .view.mapValues(_.map(r => r.getString(1) -> r.getDouble(2)).toMap).toMap
-    val ordered = basins.sortBy(_.basinID)
-    val attrs = ordered.map { b =>
-      val ts2v = byBasin.getOrElse(b.basinID, Map.empty[String, Double])
-      b.attrs ++
-        tsCols.map(t => t -> (ts2v.getOrElse(t, Double.NaN): Any)).toMap +
-        ("BasinIDNew" -> b.basinID.toLong)
+    if (faithful) {
+      // geometries + original attrs stay in input (gdfbnd) order; the data
+      // matrix rows are sorted by the LAST timestamp column independently
+      val dataRows = basins.map { b =>
+        val ts2v = byBasin.getOrElse(b.basinID, Map.empty[String, Double])
+        (b.basinID, tsCols.map(t => ts2v.getOrElse(t, Double.NaN)))
+      }
+      val sortedRows = dataRows.sortBy { case (_, vals) =>
+        val last = vals.lastOption.getOrElse(Double.NaN)
+        (last.isNaN, last) // np.argsort: NaN sorts last
+      }
+      val attrs = basins.zip(sortedRows).map { case (b, (sortedId, vals)) =>
+        b.attrs ++ tsCols.zip(vals.map(v => v: Any)).toMap +
+          ("BasinIDNew" -> sortedId.toLong)
+      }
+      ShpWriter.write(basePath, basins.map(_.geomOut).toSeq, attrs,
+        attrOrder ++ tsCols :+ "BasinIDNew")
+    } else {
+      val ordered = basins.sortBy(_.basinID)
+      val attrs = ordered.map { b =>
+        val ts2v = byBasin.getOrElse(b.basinID, Map.empty[String, Double])
+        b.attrs ++
+          tsCols.map(t => t -> (ts2v.getOrElse(t, Double.NaN): Any)).toMap +
+          ("BasinIDNew" -> b.basinID.toLong)
+      }
+      ShpWriter.write(basePath, ordered.map(_.geomOut).toSeq, attrs,
+        attrOrder ++ tsCols :+ "BasinIDNew")
     }
-    ShpWriter.write(basePath, ordered.map(_.geomOut).toSeq, attrs,
-      attrOrder ++ tsCols :+ "BasinIDNew")
     true
   }
 

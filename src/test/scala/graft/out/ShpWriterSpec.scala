@@ -40,6 +40,50 @@ class ShpWriterSpec extends AnyFunSuite {
     assert(back.features.head.attrs("VERY_LONG_") == 42L)
   }
 
+  test("faithful Q2 sort: rainfall columns re-sorted by last timestep, geometries not") {
+    val spark = graft.core.TestSpark.spark
+    import spark.implicits._
+    // two timesteps whose last-column ordering (30,10,20 -> basins 2,3,1)
+    // differs from basinID order — the reference's polyg_values[:, -2]
+    // argsort misaligns data from geometry (geotools/geotools.py:324-325)
+    val series = Seq(
+      (1, java.sql.Timestamp.valueOf("2018-01-01 00:50:00"), 1.0),
+      (2, java.sql.Timestamp.valueOf("2018-01-01 00:50:00"), 2.0),
+      (3, java.sql.Timestamp.valueOf("2018-01-01 00:50:00"), 3.0),
+      (1, java.sql.Timestamp.valueOf("2018-01-01 01:50:00"), 30.0),
+      (2, java.sql.Timestamp.valueOf("2018-01-01 01:50:00"), 10.0),
+      (3, java.sql.Timestamp.valueOf("2018-01-01 01:50:00"), 20.0)
+    ).toDF("basinID", "ts", "rain")
+    val basins = Seq(1, 2, 3).map { id =>
+      graft.api.RadoHydro.BasinInfo(id, 1.0, Map[String, Any]("gridcode" -> id.toLong),
+        Array(Geom.boxRing(id * 10, 0, id * 10 + 1, 1)))
+    }
+
+    val saneBase = Files.createTempDirectory("shpq2s").toString + "/sane"
+    assert(WideSink.writeShapefile(series, basins, Seq("gridcode"), saneBase))
+    val sane = Shp.read(s"$saneBase.shp")
+    // sane mode: everything aligned — basin i carries its own values
+    sane.features.foreach { f =>
+      val id = f.attrs("gridcode").asInstanceOf[Long]
+      assert(f.attrs("BasinIDNew") == id)
+      assert(f.attrs("1801010150").asInstanceOf[Double] == (id match {
+        case 1 => 30.0; case 2 => 10.0; case 3 => 20.0
+      }))
+    }
+
+    val base = Files.createTempDirectory("shpq2f").toString + "/faithful"
+    assert(WideSink.writeShapefile(series, basins, Seq("gridcode"), base, faithful = true))
+    val layer = Shp.read(s"$base.shp")
+    assert(layer.features.size == 3)
+    // geometry + gridcode stay in input order 1,2,3...
+    assert(layer.features.map(_.attrs("gridcode")) == Seq(1L, 2L, 3L))
+    // ...but the data rows are sorted by the LAST column (10,20,30 ascending),
+    // i.e. BasinIDNew order 2,3,1 — misaligned, exactly like the reference
+    assert(layer.features.map(_.attrs("BasinIDNew")) == Seq(2L, 3L, 1L))
+    assert(layer.features.map(_.attrs("1801010150")) == Seq(10.0, 20.0, 30.0))
+    assert(layer.features.map(_.attrs("1801010050")) == Seq(2.0, 3.0, 1.0))
+  }
+
   test("round-trips the reference einzugsgebiet through write+read") {
     val src = "/root/reference/Examples/einzugsgebiet.shp"
     assume(Files.exists(Paths.get(src)))
