@@ -49,7 +49,8 @@ object RadoHydro {
   final case class GridMeta(nrows: Int, ncols: Int, t: Grid.Transform, nodata: Double)
 
   final case class Result(series: DataFrame, basins: Seq[BasinInfo],
-      window: Grid.Window, meta: GridMeta, attrOrder: Seq[String])
+      window: Grid.Window, meta: GridMeta, attrOrder: Seq[String],
+      cellMap: DataFrame, values: DataFrame)
 
   private def gridCrsNames(cfg: Config): (String, String, Double) = cfg.datasource match {
     // (CRS for windowing in raw units, CRS of cell/divided coords, divisor Q8)
@@ -242,6 +243,6 @@ object RadoHydro {
 
     // --- weighted aggregation (A2/A3/A4) ------------------------------------
     val series = SpatialPipeline.weightedSeries(valuesDf, cellMap, cfg.numerator)
-    Result(series, basinInfos, win, meta, layer.fields.map(_._1))
+    Result(series, basinInfos, win, meta, layer.fields.map(_._1), cellMap, valuesDf)
   }
 }

@@ -63,10 +63,92 @@ object GeoPipelineOps {
       .orderBy("basinID", "t")
   }
 
+  /** g2 — SQL-expressible invariants of the geometric pipeline, giving the
+    * g1 surface a REAL DuckDB hash-check: the query exports the pipeline's
+    * raw ingredients (cell map with clip areas; the windowed value scan) to
+    * parquet, then both engines independently compute, per basin, the A2
+    * gate counts, surviving-cell count, normalized-weight sum and the
+    * weighted rain total. Double sums route through DECIMAL (exact in both
+    * engines); the weight denominator is summed as DECIMAL(38,18) so the
+    * per-cell weights are bit-identical before rounding.
+    */
+  private def g2Invariants(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureFixture()
+    val res = RadoHydro.run(s, dir, s"$examples/einzugsgebiet.shp",
+      RadoHydro.Config(datasource = "radolan"))
+    import org.apache.spark.sql.functions._
+    res.cellMap.write.mode("overwrite").parquet(cellMapExport)
+    res.values
+      .select(date_format(col("ts"), "yyMMddHHmm").as("t"), col("row"), col("col"), col("v"))
+      .write.mode("overwrite").parquet(valuesExport)
+    val cm = s.read.parquet(cellMapExport)
+    val vals = s.read.parquet(valuesExport)
+    val miss = vals.groupBy("row", "col")
+      .agg(count(when(col("v").isNull, 1)).as("nmiss"))
+    val pc = cm.join(miss, Seq("row", "col"))
+    val gate = pc.groupBy("basinID").agg(
+      count(lit(1)).as("n_cells"),
+      count(when(col("nmiss") > 1, 1)).as("n_bad"))
+    val kept = pc.join(gate, "basinID")
+      .where(col("n_bad") >= col("n_cells") || col("nmiss") === 0)
+      .select("basinID", "row", "col", "clip_area")
+    val wden = kept.groupBy("basinID")
+      .agg(sum(col("clip_area").cast("decimal(38,18)")).cast("double").as("den"))
+    val w = kept.join(wden, "basinID").withColumn("wgt", col("clip_area") / col("den"))
+    val keptAgg = kept.groupBy("basinID").agg(count(lit(1)).as("n_kept"))
+    val wsum = w.groupBy("basinID").agg(round(sum("wgt"), 9).as("w_sum_r"))
+    val rain = w.join(vals, Seq("row", "col"))
+      .where(col("v").isNotNull)
+      .groupBy("basinID")
+      .agg(round(sum((col("v") / 10 * col("wgt")).cast("decimal(28,10)")).cast("double"), 6)
+        .as("rain_total_r"))
+    gate.join(keptAgg, "basinID").join(wsum, "basinID").join(rain, "basinID")
+      .select(col("basinID").as("basin_id"), col("n_cells"), col("n_bad"),
+        col("n_kept"), col("w_sum_r"), col("rain_total_r"))
+      .orderBy("basin_id")
+  }
+
+  private val cellMapExport = s"$fixtureDir/cellmap_parquet"
+  private val valuesExport = s"$fixtureDir/values_parquet"
+
+  private val g2Sql =
+    s"""WITH cm AS (SELECT * FROM read_parquet('$cellMapExport/*.parquet')),
+       |vals AS (SELECT * FROM read_parquet('$valuesExport/*.parquet')),
+       |miss AS (SELECT row, col, count(*) FILTER (WHERE v IS NULL) AS nmiss
+       |         FROM vals GROUP BY row, col),
+       |pc AS (SELECT c.basinID, c.row, c.col, c.clip_area, m.nmiss
+       |       FROM cm c JOIN miss m ON c.row = m.row AND c.col = m.col),
+       |gate AS (SELECT basinID, count(*) AS n_cells,
+       |                count(*) FILTER (WHERE nmiss > 1) AS n_bad
+       |         FROM pc GROUP BY basinID),
+       |kept AS (SELECT p.basinID, p.row, p.col, p.clip_area
+       |         FROM pc p JOIN gate g ON p.basinID = g.basinID
+       |         WHERE g.n_bad >= g.n_cells OR p.nmiss = 0),
+       |wden AS (SELECT basinID,
+       |                CAST(sum(CAST(clip_area AS DECIMAL(38,18))) AS DOUBLE) AS den
+       |         FROM kept GROUP BY basinID),
+       |w AS (SELECT k.basinID, k.row, k.col, k.clip_area / d.den AS wgt
+       |      FROM kept k JOIN wden d ON k.basinID = d.basinID),
+       |keptagg AS (SELECT basinID, count(*) AS n_kept FROM kept GROUP BY basinID),
+       |wsum AS (SELECT basinID, round(sum(wgt), 9) AS w_sum_r FROM w GROUP BY basinID),
+       |rain AS (SELECT w.basinID,
+       |                round(CAST(sum(CAST(v.v / 10 * w.wgt AS DECIMAL(28,10))) AS DOUBLE), 6) AS rain_total_r
+       |         FROM w JOIN vals v ON w.row = v.row AND w.col = v.col
+       |         WHERE v.v IS NOT NULL GROUP BY w.basinID)
+       |SELECT g.basinID AS basin_id, g.n_cells, g.n_bad, ka.n_kept, ws.w_sum_r, r.rain_total_r
+       |FROM gate g JOIN keptagg ka ON g.basinID = ka.basinID
+       |     JOIN wsum ws ON g.basinID = ws.basinID
+       |     JOIN rain r ON g.basinID = r.basinID
+       |ORDER BY basin_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     if (Files.exists(Paths.get(s"$examples/einzugsgebiet.shp")))
-      Map("g1_radohydro_pipeline" -> g1Radohydro _)
+      Map("g1_radohydro_pipeline" -> g1Radohydro _,
+          "g2_pipeline_invariants" -> g2Invariants _)
     else Map.empty
 
-  val oracles: Map[String, String] = Map.empty // geometry: ScalaTest goldens instead
+  val oracles: Map[String, String] =
+    if (Files.exists(Paths.get(s"$examples/einzugsgebiet.shp")))
+      Map("g2_pipeline_invariants" -> g2Sql) // g1 itself: ScalaTest goldens
+    else Map.empty
 }
