@@ -40,6 +40,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash_agg"),
       info("graft_simhash_agg", "graft_simhash_agg(h) - 32-bit SimHash aggregate over token hashes"),
       (exprs: Seq[Expression]) => SimHashAgg(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("st_area"),
+      info("st_area", "st_area(geom) - shoelace area, holes negative"),
+      (e: Seq[Expression]) => StArea(e.head)))
+    ext.injectFunction((FunctionIdentifier("st_bbox"),
+      info("st_bbox", "st_bbox(geom) - struct(xmin,ymin,xmax,ymax)"),
+      (e: Seq[Expression]) => StBBox(e.head)))
+    ext.injectFunction((FunctionIdentifier("st_clip_box"),
+      info("st_clip_box", "st_clip_box(geom, xmin, ymin, xmax, ymax) - box clip"),
+      (e: Seq[Expression]) => StClipBox(e(0), e(1), e(2), e(3), e(4))))
+    ext.injectFunction((FunctionIdentifier("st_clip_area"),
+      info("st_clip_area", "st_clip_area(geom, xmin, ymin, xmax, ymax) - area of the clip"),
+      (e: Seq[Expression]) => StClipArea(e(0), e(1), e(2), e(3), e(4))))
+    ext.injectFunction((FunctionIdentifier("st_contains_point"),
+      info("st_contains_point", "st_contains_point(geom, x, y) - even-odd point-in-polygon"),
+      (e: Seq[Expression]) => StContainsPoint(e(0), e(1), e(2))))
+    ext.injectFunction((FunctionIdentifier("st_reproject"),
+      info("st_reproject", "st_reproject(geom, src, dst) - closed-form CRS transform"),
+      (e: Seq[Expression]) => StReproject(e(0), e(1), e(2))))
+    ext.injectFunction((FunctionIdentifier("graft_clip_areas"),
+      info("graft_clip_areas", "graft_clip_areas(geom, box..., src, dst) - clip+cell areas in output CRS"),
+      (e: Seq[Expression]) => ClipAreas(e(0), e(1), e(2), e(3), e(4), e(5), e(6))))
   }
 }
 

@@ -18,20 +18,17 @@ import graft.ingest.AsciiGrid
   */
 object Rasterize {
 
-  private val centerInUdf = udf { (geom: Seq[Seq[Double]], cx: Double, cy: Double) =>
-    PointInPolygon.contains(geom.iterator.map(_.toArray).toArray, cx, cy)
-  }
-
   /** @param polys (ord, attr, geom) — geometry in grid CRS units.
     * @return (row, col, attr) for touched cells.
     */
   def rasterize(polys: DataFrame, t: Grid.Transform, nrows: Int, ncols: Int): DataFrame = {
+    graft.functions.GeoSql.register(polys.sparkSession)
     val boxed = Cells.withCellBox(
       SpatialPipeline.explodeToCells(polys, t, nrows, ncols, 1.0), t, 1.0)
     boxed
       .withColumn("cx", (col("xmin") + col("xmax")) / 2)
       .withColumn("cy", (col("ymin") + col("ymax")) / 2)
-      .where(centerInUdf(col("geom"), col("cx"), col("cy")))
+      .where(expr("st_contains_point(geom, cx, cy)"))
       .groupBy("row", "col")
       .agg(max_by(col("attr"), col("ord")).as("attr")) // last burned wins (MergeAlg.replace)
   }

@@ -27,29 +27,11 @@ import graft.geo.{Clip, Crs, Geom}
   */
 object SpatialPipeline {
 
-  private def toPolygon(geom: Seq[Seq[Double]]): Geom.Polygon =
-    geom.iterator.map(_.toArray).toArray
-
-  /** geometry bbox as a 4-field struct — input: Array[Array[Double]] rings. */
-  private val bboxUdf = udf { (geom: Seq[Seq[Double]]) =>
-    val (xmin, ymin, xmax, ymax) = Geom.bbox(toPolygon(geom))
-    (xmin, ymin, xmax, ymax)
-  }
-
-  /** Clip polygon to cell box in grid CRS; return (areaOut, cellAreaOut)
-    * measured after reprojection to the output CRS.
-    */
-  private def clipAreasUdf(srcName: String, dstName: String) = udf {
-    (geom: Seq[Seq[Double]], xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
-      val src = Crs.of(srcName); val dst = Crs.of(dstName)
-      val clipped = Clip.clipPolygonToBox(toPolygon(geom), xmin, ymin, xmax, ymax)
-      if (clipped.isEmpty) (0.0, 0.0)
-      else {
-        val clipArea = Geom.area(Crs.reproject(clipped, src, dst))
-        val cellRing: Geom.Polygon = Array(Geom.boxRing(xmin, ymin, xmax, ymax))
-        val cellArea = Geom.area(Crs.reproject(cellRing, src, dst))
-        (clipArea, cellArea)
-      }
+  // geometry kernels are native Catalyst expressions (functions/GeoExpressions
+  // .scala — no ScalaUDF row boxing); registered per session, idempotent
+  private def geo(df: DataFrame): DataFrame = {
+    graft.functions.GeoSql.register(df.sparkSession)
+    df
   }
 
   /** Build the basin->cell map: one row per (basin, covered cell) with areas.
@@ -70,15 +52,15 @@ object SpatialPipeline {
       divisor: Double): DataFrame = {
     val tx = t.ulx / divisor; val rx = t.xres / divisor
     val ty = t.uly / divisor; val ry = t.yres / divisor // ry < 0
-    polys
+    geo(polys)
       // empty geometries would bbox to +/-Infinity and blow up the ANSI int
       // casts below — drop them here (they cover no cells by definition)
       .where(size(col("geom")) > 0)
-      .withColumn("bb", bboxUdf(col("geom")))
-      .withColumn("colLo", greatest(lit(0), floor((col("bb._1") - lit(tx)) / lit(rx))).cast("int"))
-      .withColumn("colHi", least(lit(ncols - 1), floor((col("bb._3") - lit(tx)) / lit(rx))).cast("int"))
-      .withColumn("rowLo", greatest(lit(0), floor((col("bb._4") - lit(ty)) / lit(ry))).cast("int"))
-      .withColumn("rowHi", least(lit(nrows - 1), floor((col("bb._2") - lit(ty)) / lit(ry))).cast("int"))
+      .withColumn("bb", expr("st_bbox(geom)"))
+      .withColumn("colLo", greatest(lit(0), floor((col("bb.xmin") - lit(tx)) / lit(rx))).cast("int"))
+      .withColumn("colHi", least(lit(ncols - 1), floor((col("bb.xmax") - lit(tx)) / lit(rx))).cast("int"))
+      .withColumn("rowLo", greatest(lit(0), floor((col("bb.ymax") - lit(ty)) / lit(ry))).cast("int"))
+      .withColumn("rowHi", least(lit(nrows - 1), floor((col("bb.ymin") - lit(ty)) / lit(ry))).cast("int"))
       .where(col("colLo") <= col("colHi") && col("rowLo") <= col("rowHi"))
       .withColumn("row", explode(expr("sequence(rowLo, rowHi)")))
       .withColumn("col", explode(expr("sequence(colLo, colHi)")))
@@ -89,11 +71,11 @@ object SpatialPipeline {
       divisor: Double, gridCrs: String, outCrs: String): DataFrame = {
     val exploded = explodeToCells(basins, t, nrows, ncols, divisor)
     val boxed = Cells.withCellBox(exploded, t, divisor)
-    boxed
-      .withColumn("areas", clipAreasUdf(gridCrs, outCrs)(
-        col("geom"), col("xmin"), col("ymin"), col("xmax"), col("ymax")))
-      .withColumn("clip_area", col("areas._1"))
-      .withColumn("cell_area", col("areas._2"))
+    geo(boxed)
+      .withColumn("areas",
+        expr(s"graft_clip_areas(geom, xmin, ymin, xmax, ymax, '$gridCrs', '$outCrs')"))
+      .withColumn("clip_area", col("areas.clip_area"))
+      .withColumn("cell_area", col("areas.cell_area"))
       .where(col("clip_area") > lit(1e-12) * col("cell_area"))
       .select("basinID", "row", "col", "clip_area", "cell_area")
   }

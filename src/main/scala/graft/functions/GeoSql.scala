@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import graft.geo.{Clip, Crs, Geom, PointInPolygon}
 
-/** SQL-facing geometry functions (SURVEY §2.9): registered UDFs over the
-  * packed-ring geometry encoding (array<array<double>>), so the spatial
-  * operators are reachable from `spark.sql` as well as the DataFrame API.
+/** SQL-facing geometry functions (SURVEY §2.9): native Catalyst expressions
+  * (see [[GeoExpressions]]) over the packed-ring geometry encoding
+  * (array<array<double>>), so the spatial operators are reachable from
+  * `spark.sql` as well as the DataFrame API — with no ScalaUDF conversion
+  * overhead in any plan.
   *
   *   st_area(geom)                          shoelace area, holes negative
   *   st_bbox(geom)                          struct(xmin,ymin,xmax,ymax)
@@ -16,27 +17,19 @@ import graft.geo.{Clip, Crs, Geom, PointInPolygon}
   */
 object GeoSql {
 
-  private def toPoly(g: Seq[Seq[Double]]): Geom.Polygon =
-    g.iterator.map(_.toArray).toArray
-  private def fromPoly(p: Geom.Polygon): Seq[Seq[Double]] =
-    p.iterator.map(_.toSeq).toSeq
-
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("st_area",
-      (g: Seq[Seq[Double]]) => Geom.area(toPoly(g)))
-    spark.udf.register("st_bbox",
-      (g: Seq[Seq[Double]]) => Geom.bbox(toPoly(g)))
-    spark.udf.register("st_clip_box",
-      (g: Seq[Seq[Double]], xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
-        fromPoly(Clip.clipPolygonToBox(toPoly(g), xmin, ymin, xmax, ymax)))
-    spark.udf.register("st_clip_area",
-      (g: Seq[Seq[Double]], xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
-        Clip.clipArea(toPoly(g), xmin, ymin, xmax, ymax))
-    spark.udf.register("st_contains_point",
-      (g: Seq[Seq[Double]], x: Double, y: Double) =>
-        PointInPolygon.contains(toPoly(g), x, y))
-    spark.udf.register("st_reproject",
-      (g: Seq[Seq[Double]], src: String, dst: String) =>
-        fromPoly(Crs.reproject(toPoly(g), Crs.of(src), Crs.of(dst))))
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("st_area", e => StArea(e.head), "built-in")
+    reg.createOrReplaceTempFunction("st_bbox", e => StBBox(e.head), "built-in")
+    reg.createOrReplaceTempFunction("st_clip_box",
+      e => StClipBox(e(0), e(1), e(2), e(3), e(4)), "built-in")
+    reg.createOrReplaceTempFunction("st_clip_area",
+      e => StClipArea(e(0), e(1), e(2), e(3), e(4)), "built-in")
+    reg.createOrReplaceTempFunction("st_contains_point",
+      e => StContainsPoint(e(0), e(1), e(2)), "built-in")
+    reg.createOrReplaceTempFunction("st_reproject",
+      e => StReproject(e(0), e(1), e(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_clip_areas",
+      e => ClipAreas(e(0), e(1), e(2), e(3), e(4), e(5), e(6)), "built-in")
   }
 }

@@ -78,6 +78,19 @@ class SpatialPipelineGoldenSpec extends AnyFunSuite {
     assert(got(3)(ts(2)).isNaN && got(3)(ts(3)).isNaN)
   }
 
+  test("basinCellMap plan is UDF-free (native Catalyst geometry expressions)") {
+    import spark.implicits._
+    val basins = (1 to 50).map { i =>
+      (i, Seq(Seq(i * 2.0, 0.0, i * 2.0 + 1.5, 0.0, i * 2.0 + 1.5, 1.5, i * 2.0, 1.5)))
+    }.toDF("basinID", "geom")
+    val cm = SpatialPipeline.basinCellMap(basins, Grid.Transform(0, 1, 10, -1),
+      10, 120, 1.0, "epsg:25833", "epsg:25833")
+    val plan = cm.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("batcheval"),
+      s"geometry kernels must run as native expressions, plan was:\n$plan")
+    assert(cm.count() == 50 * 4) // each 1.5x1.5 box at integer offsets covers 2x2 cells
+  }
+
   test("weights sum to 1 per basin (A3 invariant)") {
     import spark.implicits._
     val (cellMap, _) = runPipeline()
