@@ -59,6 +59,53 @@ object HashFunctions {
     Array.tabulate(56)(i => hash60(s"graft-minhash-B-${i + 8}".getBytes("UTF-8")) & ((1L << 30) - 1))
   val Mod: Long = 2147483647L // 2^31 - 1
 
+  private def hash60FromDigest(h: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    (v << 4) | ((h(7) >> 4) & 0xfL)
+  }
+
+  /** Fused normalize-string -> 5-gram shingles -> MinHash: identical values
+    * to `minhashSigs(transform(sequence(1, greatest(len-4,1)), i ->
+    * substring(s, i, 5)), n)` but hashing the UTF-8 byte windows in place —
+    * no per-shingle UTF8String, no 300-element array per row. Code-point
+    * offsets are tracked so multibyte text windows match `substring`
+    * exactly.
+    */
+  def minhashText(u: UTF8String, numHashes: Int): ArrayData = {
+    val bytes = u.getBytes
+    var nChars = 0
+    var i = 0
+    while (i < bytes.length) { if ((bytes(i) & 0xc0) != 0x80) nChars += 1; i += 1 }
+    val offs = new Array[Int](nChars + 1)
+    var c = 0; i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { offs(c) = i; c += 1 }
+      i += 1
+    }
+    offs(nChars) = bytes.length
+    val nShingles = math.max(nChars - 4, 1)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val d = digest.get()
+    var s = 0
+    while (s < nShingles) {
+      val from = offs(math.min(s, nChars))
+      val until = offs(math.min(s + 5, nChars))
+      d.reset()
+      d.update(bytes, from, until - from)
+      val base = hash60FromDigest(d.digest()) & 0xffffffffL
+      var k = 0
+      while (k < numHashes) {
+        val h = (A(k) * base + B(k)) % Mod
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   def minhashSigs(shingles: ArrayData, numHashes: Int): ArrayData = {
     val n = shingles.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -89,6 +136,19 @@ case class MinHashSigs(child: Expression, numHashes: Int) extends UnaryExpressio
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     HashFunctions.minhashSigs(input.asInstanceOf[ArrayData], numHashes)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_minhash_text(str[, numHashes]) -> array<long>`: fused 5-gram
+  * shingling + MinHash over a (pre-normalized) string — the hot-path twin of
+  * [[MinHashSigs]] with no intermediate shingle array.
+  */
+case class MinHashText(child: Expression, numHashes: Int) extends UnaryExpression with CodegenFallback {
+  require(numHashes > 0 && numHashes <= HashFunctions.MaxHashes,
+    s"numHashes must be in 1..${HashFunctions.MaxHashes}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashFunctions.minhashText(input.asInstanceOf[UTF8String], numHashes)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -193,6 +253,8 @@ object HashRegistry {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_minhash_sigs", exprs => MinHashSigs(exprs.head,
+      if (exprs.size > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 8), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_text", exprs => MinHashText(exprs.head,
       if (exprs.size > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 8), "built-in")
     reg.createOrReplaceTempFunction("graft_hash60", exprs => Hash60(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_intersect",

@@ -119,8 +119,8 @@ object Dedup {
     graft.functions.HashRegistry.register(s)
     Tables.documents(s, d)
       .withColumn("norm", expr(normExpr))
-      .withColumn("shingles", expr(shinglesExpr))
-      .select(col("doc_id"), expr(s"graft_minhash_sigs(shingles, $LshNumHashes)").as("sig"))
+      // fused shingle+hash expression: no per-row 300-element shingle array
+      .select(col("doc_id"), expr(s"graft_minhash_text(norm, $LshNumHashes)").as("sig"))
       .cache()
   }
 

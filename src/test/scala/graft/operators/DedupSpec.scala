@@ -74,6 +74,20 @@ class DedupSpec extends AnyFunSuite {
     assert(HashFunctions.B.forall(b => b >= 0 && b < (1L << 30)))
   }
 
+  test("graft_minhash_text equals the explicit shingle-array formulation") {
+    graft.functions.HashRegistry.register(spark)
+    // incl. multibyte (ü, 雨), short (<5 chars) and empty strings
+    val samples = Seq("the quick brown fox", "grün über 雨雲 falls", "abc", "", "exact")
+    samples.foreach { t =>
+      val esc = t.replace("'", "''")
+      val row = spark.sql(
+        s"""SELECT graft_minhash_text('$esc', 64) AS fused,
+           |  graft_minhash_sigs(transform(sequence(1, greatest(length('$esc')-4, 1)),
+           |    i -> substring('$esc', i, 5)), 64) AS explicit""".stripMargin).collect()(0)
+      assert(row.getSeq[Long](0) == row.getSeq[Long](1), s"mismatch for '$t'")
+    }
+  }
+
   test("graft_simhash_agg matches a per-bit vote reference computation") {
     val out = Dedup.queries("d4_simhash")(spark, fixtureDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
