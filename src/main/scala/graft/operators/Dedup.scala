@@ -240,6 +240,55 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // d7 — SimHash hamming near-dup pairs: candidates from 4 byte-bands of the
+  // 32-bit hash (pigeonhole: any pair with hamming <= 3 shares at least one
+  // unchanged byte), verified by bit_count(xor). Same bucket-join shape as
+  // d3 — prune singleton/oversize buckets, distinct scalar pair keys.
+  private def d7SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sims = d4Simhash(s, d).select("doc_id", "simhash").cache()
+    val bands = sims.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, b * 8) & 255)"))
+        .as(Seq("band_idx", "band_key")))
+    val keep = bands.groupBy("band_idx", "band_key").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") >= 2 && col("bsz") <= SimhashMaxBucket)
+      .select("band_idx", "band_key")
+    val pruned = bands.join(broadcast(keep), Seq("band_idx", "band_key"))
+    val a = pruned.as("a"); val b = pruned.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val SimhashMaxBucket = 64
+
+  private val d7Sql =
+    s"""WITH sims AS (
+       |  ${d4Sql.replace("ORDER BY doc_id", "")}
+       |), bands AS (
+       |  SELECT doc_id, simhash, r.range AS band_idx,
+       |    (simhash >> (r.range * 8)) & 255 AS band_key
+       |  FROM sims, range(0, 4) r
+       |), keep AS (
+       |  SELECT band_idx, band_key FROM bands GROUP BY band_idx, band_key
+       |  HAVING count(*) BETWEEN 2 AND $SimhashMaxBucket
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |  FROM bands a
+       |       JOIN keep k ON a.band_idx = k.band_idx AND a.band_key = k.band_key
+       |       JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |         AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // d5 — token-3-gram Jaccard near-dup over LSH-blocked candidates: blocking
   // reuses d3's pruned band buckets (similarity-preserving — a near-dup pair
   // collides in >= 1 band wherever its doc_ids fall), then the exact Jaccard
@@ -327,7 +376,8 @@ object Dedup {
     "d3_minhash_pairs"  -> d3MinhashPairs _,
     "d4_simhash"        -> d4Simhash _,
     "d5_ngram_jaccard"  -> d5NgramJaccard _,
-    "d6_embed_cosine"   -> d6EmbedCosine _)
+    "d6_embed_cosine"   -> d6EmbedCosine _,
+    "d7_simhash_pairs"  -> d7SimhashPairs _)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup"    -> d1Sql,
@@ -335,5 +385,6 @@ object Dedup {
     "d3_minhash_pairs"  -> d3Sql,
     "d4_simhash"        -> d4Sql,
     "d5_ngram_jaccard"  -> d5Sql,
-    "d6_embed_cosine"   -> d6Sql)
+    "d6_embed_cosine"   -> d6Sql,
+    "d7_simhash_pairs"  -> d7Sql)
 }

@@ -113,13 +113,47 @@ object TextOps {
        |FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // t4 — vocabulary stats: per-language token frequencies, top-10 by count
+  // with a deterministic (count DESC, token ASC) tiebreak. The groupBy is
+  // map-side combinable — at 100 TB the shuffle carries only per-partition
+  // (lang, token) partial counts, and the window rank runs on the already-
+  // aggregated (small) frequency table.
+  private def t4TokenFreq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n").desc, col("tok"))))
+      .where(col("rk") <= 10)
+      .select("lang", "tok", "n", "rk")
+      .orderBy("lang", "rk")
+  }
+
+  private val t4Sql =
+    """WITH tf AS (
+      |  SELECT lang, tok, count(*) AS n
+      |  FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY lang, tok
+      |)
+      |SELECT lang, tok, n, rk FROM (
+      |  SELECT lang, tok, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rk
+      |  FROM tf)
+      |WHERE rk <= 10
+      |ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats"  -> t1TextStats _,
     "t2_lang_id"     -> t2LangId _,
-    "t3_fingerprint" -> t3Fingerprint _)
+    "t3_fingerprint" -> t3Fingerprint _,
+    "t4_token_freq"  -> t4TokenFreq _)
 
   val oracles: Map[String, String] = Map(
     "t1_text_stats"  -> t1Sql,
     "t2_lang_id"     -> t2Sql,
-    "t3_fingerprint" -> t3Sql)
+    "t3_fingerprint" -> t3Sql,
+    "t4_token_freq"  -> t4Sql)
 }
