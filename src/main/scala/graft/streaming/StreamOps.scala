@@ -85,16 +85,29 @@ object StreamOps {
       }
   }
 
+  /** Streaming ingestion dedup — the training-pipeline front door: drop
+    * events whose key was already seen, with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`: a key's dedup state is dropped once
+    * the watermark passes its event time + interval, so at 100 TB/day the
+    * state store holds only the retention horizon, not all history).
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Run any batch-or-stream transform over a parquet directory as a stream
     * into an in-memory table; returns the collected result (test/demo
     * harness for stream/batch parity).
     */
   def runFileStream(spark: SparkSession, dir: String,
-      transform: DataFrame => DataFrame, queryName: String): DataFrame = {
+      transform: DataFrame => DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Complete): DataFrame = {
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
     val q = transform(stream).writeStream
-      .outputMode(OutputMode.Complete)
+      .outputMode(mode)
       .format("memory")
       .queryName(queryName)
       .start()

@@ -41,6 +41,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(covered == 2 * totalEvents) // every event in exactly 2 windows
   }
 
+  test("dropDuplicatesWithinWatermark: stream dedup keeps exactly one row per key") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // duplicate every event 3x (new micro-batch-friendly file layout), then
+    // stream-dedup on event_id — the training-pipeline ingestion front door
+    val dupDir = Files.createTempDirectory("events_dup").toString
+    val base = spark.read.parquet(eventsDir).limit(500)
+    base.union(base).union(base).coalesce(2).write.mode("overwrite").parquet(dupDir)
+    val streamed = StreamOps.runFileStream(spark, dupDir,
+      df => StreamOps.dedupWithinWatermark(df, Seq("event_id")),
+      "dedup_parity", OutputMode.Append())
+    assert(streamed.count() == base.count())
+    assert(streamed.select("event_id").distinct().count() == base.count())
+    // every surviving row is one of the (identical) originals
+    val ids = streamed.select("event_id").collect().map(_.getLong(0)).toSet
+    val expected = base.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids == expected)
+  }
+
   test("flatMapGroupsWithState sessionization matches session_window on closed sessions") {
     import spark.implicits._
     val ev = spark.read.parquet(eventsDir)
