@@ -18,6 +18,7 @@ object SparkEntry {
       (operators.TextOps.queries, operators.TextOps.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Similarity.queries, operators.Similarity.oracles),
+      (operators.Clustering.queries, operators.Clustering.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.StreamingOps.queries, operators.StreamingOps.oracles),
       (operators.AnalyticOps.queries, operators.AnalyticOps.oracles),

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus clustering for training-data curation: deterministic Lloyd k-means
+  * over the embeddings table (stratified sampling / dedup-by-cluster /
+  * curriculum bucketing all start from exactly this assignment step).
+  *
+  * Declarative formulation — the whole 3-iteration run is ONE Catalyst plan,
+  * no driver-side collect between iterations:
+  *   - assign: corpus x broadcast(k centroids) with a fold-left squared
+  *     distance (`aggregate(zip_with(...))` — IEEE-identical to the
+  *     oracle's in-order list fold), argmin via a (dist, cid) window rank;
+  *   - update: explode the 64 dims, per-(cluster, dim) mean with the sum
+  *     routed through DECIMAL(28,14) (exact, order-independent — double
+  *     partial-agg order differs between engines), rebuilt into an array
+  *     with an ORDER BY dim collect.
+  *
+  * At 100 TB: centroids are k x 64 doubles — always a broadcast; the corpus
+  * is scanned once per iteration with no shuffle except the k x 64-row
+  * centroid update. Determinism (seeded init = lowest vec_ids, total
+  * tie-break order) is what makes the result oracle-checkable in DuckDB.
+  */
+object Clustering {
+
+  private val K = 4
+  private val Iters = 3
+  private val Dims = 64
+
+  private def e1Kmeans(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .cache()
+    // seeded init: the K lowest vec_ids are the starting centroids
+    var cents = vecs.orderBy("vec_id").limit(K)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+
+    def assign(cs: DataFrame): DataFrame = {
+      val scored = vecs.crossJoin(broadcast(cs))
+        .withColumn("dist2",
+          expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("cid"), col("dist2"))
+    }
+
+    for (_ <- 1 to Iters) {
+      val assigned = assign(cents)
+      // exact elementwise mean: DECIMAL sum is associative, so Spark's and
+      // DuckDB's different partial-agg orders produce identical centroids
+      cents = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg((sum(col("x").cast("decimal(28,14)")).cast("double") / count(lit(1))).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cid"), expr("transform(dm, e -> e.m)").as("c"))
+    }
+
+    assign(cents)
+      .select(col("vec_id"), col("cid").as("cluster"), round(col("dist2"), 6).as("dist2_r"))
+      .orderBy("vec_id")
+  }
+
+  private val e1Sql = {
+    val dist = "list_sum(list_transform(range(1, 65), i -> (a.v[i] - c.c[i]) * (a.v[i] - c.c[i])))"
+    def assignCte(vecsRel: String, centsRel: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, v, cid, dist2 FROM (
+         |    SELECT a.vec_id, a.v, c.cid, $dist AS dist2,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $dist, c.cid) AS rk
+         |    FROM $vecsRel a, $centsRel c)
+         |  WHERE rk = 1
+         |)""".stripMargin
+    def updateCte(assignRel: String, out: String) =
+      s"""$out AS (
+         |  SELECT cid, list(m ORDER BY dim) AS c FROM (
+         |    SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
+         |    FROM (SELECT cid, r.range AS dim, v[r.range + 1] AS x
+         |          FROM $assignRel, range(0, $Dims) r)
+         |    GROUP BY cid, dim)
+         |  GROUP BY cid
+         |)""".stripMargin
+    val ctes = new scala.collection.mutable.ListBuffer[String]
+    ctes += s"""vecs AS (
+               |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               |  FROM embeddings
+               |)""".stripMargin
+    ctes += s"""cents0 AS (
+               |  SELECT vec_id AS cid, v AS c FROM vecs ORDER BY vec_id LIMIT $K
+               |)""".stripMargin
+    for (it <- 1 to Iters) {
+      ctes += assignCte("vecs", s"cents${it - 1}", s"assign$it")
+      ctes += updateCte(s"assign$it", s"cents$it")
+    }
+    ctes += assignCte("vecs", s"cents$Iters", "final_assign")
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT vec_id, cid AS cluster, round(dist2, 6) AS dist2_r
+       |FROM final_assign ORDER BY vec_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_kmeans" -> e1Kmeans _)
+
+  val oracles: Map[String, String] = Map(
+    "e1_kmeans" -> e1Sql)
+}
