@@ -106,6 +106,60 @@ object HashFunctions {
     new GenericArrayData(mins)
   }
 
+  /** Fused tokenize -> word-3-gram -> hash60 -> sorted distinct: identical
+    * values to `sort_array(array_distinct(transform(sequence(0, n-3), i ->
+    * hash60(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))))` over
+    * `split(trim(text), "\\s+")` — but the md5 digests stream straight over
+    * the token byte ranges (ASCII whitespace bytes never occur inside UTF-8
+    * continuation sequences, so byte scanning matches java \s+ exactly);
+    * no token array, no concatenated gram strings.
+    */
+  def gramHashes(u: UTF8String): ArrayData = {
+    val bytes = u.getBytes
+    def isWs(b: Byte): Boolean =
+      b == 32 || b == 9 || b == 10 || b == 11 || b == 12 || b == 13
+    // token byte ranges
+    var nToks = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (!isWs(bytes(i)) && (i == 0 || isWs(bytes(i - 1)))) nToks += 1
+      i += 1
+    }
+    if (nToks < 3) return new GenericArrayData(Array.empty[Long])
+    val starts = new Array[Int](nToks); val ends = new Array[Int](nToks)
+    var t = -1; i = 0
+    while (i < bytes.length) {
+      if (!isWs(bytes(i))) {
+        if (i == 0 || isWs(bytes(i - 1))) { t += 1; starts(t) = i }
+        ends(t) = i + 1
+      }
+      i += 1
+    }
+    val d = digest.get()
+    val space = Array(' '.toByte)
+    val out = new Array[Long](nToks - 2)
+    var g = 0
+    while (g < nToks - 2) {
+      d.reset()
+      d.update(bytes, starts(g), ends(g) - starts(g))
+      d.update(space)
+      d.update(bytes, starts(g + 1), ends(g + 1) - starts(g + 1))
+      d.update(space)
+      d.update(bytes, starts(g + 2), ends(g + 2) - starts(g + 2))
+      out(g) = hash60FromDigest(d.digest())
+      g += 1
+    }
+    java.util.Arrays.sort(out)
+    // dedup in place on the sorted array
+    var w = 0
+    var r = 1
+    while (r < out.length) {
+      if (out(r) != out(w)) { w += 1; out(w) = out(r) }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w + 1))
+  }
+
   def minhashSigs(shingles: ArrayData, numHashes: Int): ArrayData = {
     val n = shingles.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -149,6 +203,16 @@ case class MinHashText(child: Expression, numHashes: Int) extends UnaryExpressio
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     HashFunctions.minhashText(input.asInstanceOf[UTF8String], numHashes)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_gram_hashes(text) -> array<long>`: fused word-3-gram fingerprint
+  * set (sorted distinct hash60 values) — the d5 verification input.
+  */
+case class GramHashes(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashFunctions.gramHashes(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -256,6 +320,8 @@ object HashRegistry {
       if (exprs.size > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 8), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_text", exprs => MinHashText(exprs.head,
       if (exprs.size > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 8), "built-in")
+    reg.createOrReplaceTempFunction("graft_gram_hashes",
+      exprs => GramHashes(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_hash60", exprs => Hash60(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_intersect",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")

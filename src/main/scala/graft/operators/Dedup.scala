@@ -297,16 +297,11 @@ object Dedup {
     graft.functions.HashRegistry.register(s)
     // set ops run over hashed grams (long equality), not strings — ~10x on
     // the intersect/union inner loops; both engines share the hash
+    // fused tokenize+gram+hash expression (sorted distinct; <3 tokens ->
+    // empty) — no token array or concatenated gram strings per row; sorted
+    // arrays enable the merge-walk intersect below
     val grams = Tables.documents(s, d)
-      .withColumn("toks", split(trim(col("text")), "\\s+"))
-      // guard: <3 tokens -> no 3-grams (concat_ws would silently skip the
-      // out-of-bounds nulls here while the oracle's || propagates NULL).
-      // sorted arrays enable the merge-walk intersect below
-      .withColumn("grams", expr(
-        "CASE WHEN size(toks) < 3 THEN array() ELSE " +
-          "sort_array(array_distinct(transform(sequence(0, size(toks)-3), " +
-          "i -> graft_hash60(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))) END"))
-      .select("doc_id", "grams")
+      .select(col("doc_id"), expr("graft_gram_hashes(text)").as("grams"))
     val pairs = lshCandidatePairs(lshBands(lshSigs(s, d)))
     val ga = grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
     val gb = grams.select(col("doc_id").as("doc_b"), col("grams").as("gb"))

@@ -88,6 +88,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_gram_hashes equals the explicit split/concat formulation") {
+    graft.functions.HashRegistry.register(spark)
+    val samples = Seq("the quick brown fox jumps", "  padded   tokens  here now ",
+      "grün über 雨雲 falls again", "two tokens", "", "a b c", "x x x x x")
+    samples.foreach { t =>
+      val esc = t.replace("'", "''")
+      val row = spark.sql(
+        s"""SELECT graft_gram_hashes('$esc') AS fused,
+           |  CASE WHEN size(split(trim('$esc'), '\\\\s+')) < 3 THEN array()
+           |  ELSE sort_array(array_distinct(transform(
+           |    sequence(0, size(split(trim('$esc'), '\\\\s+')) - 3),
+           |    i -> graft_hash60(concat_ws(' ', split(trim('$esc'), '\\\\s+')[i],
+           |      split(trim('$esc'), '\\\\s+')[i+1], split(trim('$esc'), '\\\\s+')[i+2]))))) END
+           |  AS explicit""".stripMargin).collect()(0)
+      assert(row.getSeq[Long](0) == row.getSeq[Long](1), s"mismatch for '$t'")
+    }
+  }
+
   test("graft_simhash_agg matches a per-bit vote reference computation") {
     val out = Dedup.queries("d4_simhash")(spark, fixtureDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
