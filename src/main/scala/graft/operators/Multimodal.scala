@@ -102,9 +102,43 @@ object Multimodal {
       |  CAST(n_chars % 480 AS INTEGER) AS height
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // m2 — frame-sample planning: every media row explodes to its sampled
+  // frame windows (width 32, stride 16 over the decoded sample stream — the
+  // FakeDecoder's "samples" are the payload chars), each fingerprinted.
+  // The plan shape IS the production one: per-row frame count from
+  // metadata, lateral explode, windowed extraction — a real codec changes
+  // only the decode expression. Guarded sequence(): n_frames = 0 must give
+  // an empty array, not sequence(0, -1) (which Spark reads as step -1).
+  private val FrameW = 32
+  private val FrameStride = 16
+
+  private def m2FrameSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_frames",
+        greatest(expr(s"(length(text) - $FrameW) div $FrameStride + 1"), lit(0)))
+      .select(col("doc_id").as("media_id"), col("text"),
+        explode(expr("CASE WHEN n_frames > 0 THEN sequence(0, n_frames - 1) ELSE array() END"))
+          .as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_idx") * FrameStride).as("frame_off"),
+        md5(expr(s"substring(text, frame_idx * $FrameStride + 1, $FrameW)")).as("frame_md5"))
+      .orderBy("media_id", "frame_idx")
+
+  private val m2Sql =
+    s"""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+       |f AS (SELECT media_id, text,
+       |        unnest(range(0, greatest((n - $FrameW) // $FrameStride + 1, 0))) AS frame_idx
+       |      FROM m)
+       |SELECT media_id, frame_idx, frame_idx * $FrameStride AS frame_off,
+       |  md5(substring(text, frame_idx * $FrameStride + 1, $FrameW)) AS frame_md5
+       |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m1_binary_meta" -> m1BinaryMeta _)
+    "m1_binary_meta"  -> m1BinaryMeta _,
+    "m2_frame_sample" -> m2FrameSample _)
 
   val oracles: Map[String, String] = Map(
-    "m1_binary_meta" -> m1Sql)
+    "m1_binary_meta"  -> m1Sql,
+    "m2_frame_sample" -> m2Sql)
 }
