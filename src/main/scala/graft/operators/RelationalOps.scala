@@ -92,6 +92,39 @@ object RelationalOps {
       |ORDER BY n_name""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q3 — shipping-priority style top-k (TPC-H Q3 shape on the harness
+  // schema): selective dimension filter -> fact join -> grouped revenue ->
+  // TakeOrdered. The segment filter prunes customer BEFORE the join
+  // (broadcast at any sane |customer-segment| size); lineitem's date filter
+  // is pushed to the parquet scan; the final top-10 is a
+  // TakeOrderedAndProject — no full sort of the aggregate.
+  private def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cutoff = "1998-06-15"
+    val li = Tables.lineitem(s, d).where(col("l_shipdate") > lit(cutoff))
+    val o  = Tables.orders(s, d).where(col("o_orderdate") < lit(cutoff))
+    val c  = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum2(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_shipdate > TIMESTAMP '1998-06-15'
+      |  AND o_orderdate < TIMESTAMP '1998-06-15'
+      |  AND c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // S10 — date-sequence generation (radohydro.py:39–46 daterange).
   private def s10DateSequence(s: SparkSession, d: String): DataFrame =
     s.range(1).select(explode(expr(
@@ -460,6 +493,7 @@ object RelationalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"   -> q1PricingSummary _,
     "q2_revenue_by_nation" -> q2RevenueByNation _,
+    "q3_shipping_priority" -> q3ShippingPriority _,
     "s10_date_sequence"    -> s10DateSequence _,
     "p1_between_filter"    -> p1BetweenFilter _,
     "j1_cross_contains"    -> j1CrossContains _,
@@ -483,6 +517,7 @@ object RelationalOps {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"   -> q1Sql,
     "q2_revenue_by_nation" -> q2Sql,
+    "q3_shipping_priority" -> q3Sql,
     "s10_date_sequence"    -> s10Sql,
     "p1_between_filter"    -> p1Sql,
     "j1_cross_contains"    -> j1Sql,
