@@ -145,15 +145,77 @@ object TextOps {
       |WHERE rk <= 10
       |ORDER BY lang, rk""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // t5 — quality filtering (the curation gate): per-doc composite score from
+  // token count, punctuation ratio and stopword coverage; keep-flag at a
+  // fixed threshold. Per-row arithmetic only — no cross-row sums, so the
+  // score is engine-exact; the filter runs inside whole-stage codegen next
+  // to the scan at any scale.
+  private def t5QualityFilter(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")).cast(DoubleType))
+      .withColumn("punct_ratio",
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast(DoubleType)
+          / length(col("text")))
+      .withColumn("stop_hits",
+        size(expr("filter(toks, t -> t IN ('the','a','of','and','to','in'))")).cast(DoubleType))
+      .withColumn("quality",
+        least(col("n_tokens") / 100, lit(1.0)) * 0.4 +
+          (lit(1.0) - col("punct_ratio")) * 0.3 +
+          least(col("stop_hits") / 10, lit(1.0)) * 0.3)
+      .select(col("doc_id"), round(col("quality"), 6).as("quality_r"),
+        (col("quality") >= 0.5).as("kept"))
+      .orderBy("doc_id")
+
+  private val t5Sql =
+    """SELECT doc_id, round(quality, 6) AS quality_r, quality >= 0.5 AS kept
+      |FROM (
+      |  SELECT doc_id,
+      |    least(CAST(len(toks) AS DOUBLE) / 100, 1.0) * 0.4 +
+      |    (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 +
+      |    least(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) / 10, 1.0) * 0.3
+      |      AS quality
+      |  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // t6 — deterministic stratified sampling: per-language rates via the
+  // portable hash of (lang, doc_id) — reproducible across engines AND across
+  // cluster sizes (no RNG, no partition dependence), the property a training
+  // snapshot needs for auditability.
+  private def t6StratifiedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", (hash60(concat(col("lang"), lit(":"), col("doc_id"))) % 100)
+        .cast(IntegerType))
+      .withColumn("rate",
+        when(col("lang") === "en", 50).when(col("lang") === "de", 25).otherwise(10))
+      .where(col("bucket") < col("rate"))
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+
+  private val t6Sql =
+    s"""SELECT doc_id, lang, bucket FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(${hash60Sql("lang || ':' || CAST(doc_id AS VARCHAR)")} % 100 AS INTEGER) AS bucket,
+       |    CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END AS rate
+       |  FROM documents)
+       |WHERE bucket < rate
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats"  -> t1TextStats _,
     "t2_lang_id"     -> t2LangId _,
     "t3_fingerprint" -> t3Fingerprint _,
-    "t4_token_freq"  -> t4TokenFreq _)
+    "t4_token_freq"  -> t4TokenFreq _,
+    "t5_quality_filter"     -> t5QualityFilter _,
+    "t6_stratified_sample"  -> t6StratifiedSample _)
 
   val oracles: Map[String, String] = Map(
     "t1_text_stats"  -> t1Sql,
     "t2_lang_id"     -> t2Sql,
     "t3_fingerprint" -> t3Sql,
-    "t4_token_freq"  -> t4Sql)
+    "t4_token_freq"  -> t4Sql,
+    "t5_quality_filter"    -> t5Sql,
+    "t6_stratified_sample" -> t6Sql)
 }
