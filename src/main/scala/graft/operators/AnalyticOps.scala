@@ -101,15 +101,53 @@ object AnalyticOps {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // j8 — salted skew join: lineitem's returnflag is a 3-value key (massively
+  // skewed if joined directly — one reducer per flag). The big side salts
+  // pmod(hash(orderkey, linenumber), 16); the 3-row dim EXPLODES x16 so
+  // every (flag, salt) bucket finds its match. The join key becomes
+  // (flag, salt) — 48 evenly-sized buckets instead of 3 whales. Output is
+  // identical to the unsalted join, so the oracle is the plain SQL join.
+  // (AQE's skew-join split is the runtime twin; this is the declared-plan
+  // version for engines/cases AQE can't rebalance, e.g. a custom
+  // aggregation downstream of the join.)
+  private def j8SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val flagDim = Seq(("R", "returned"), ("A", "ack"), ("N", "none"))
+      .toDF("flag", "flag_desc")
+    val Salts = 16
+    val dimSalted = flagDim
+      .withColumn("salt", explode(expr(s"sequence(0, ${Salts - 1})")))
+    val factSalted = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(Salts)))
+    factSalted
+      .join(broadcast(dimSalted),
+        col("l_returnflag") === col("flag") && factSalted("salt") === dimSalted("salt"))
+      .groupBy(col("flag_desc"))
+      .agg(
+        sum(col("l_quantity")).as("qty_sum"),
+        count(lit(1)).as("n"))
+      .orderBy("flag_desc")
+  }
+
+  private val j8Sql =
+    """SELECT flag_desc, sum(l_quantity) AS qty_sum, count(*) AS n
+      |FROM lineitem
+      |JOIN (VALUES ('R', 'returned'), ('A', 'ack'), ('N', 'none')) AS dim(flag, flag_desc)
+      |  ON l_returnflag = flag
+      |GROUP BY flag_desc ORDER BY flag_desc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u6_rollup"        -> u6Rollup _,
     "o5_window_frames" -> o5WindowFrames _,
     "a7_percentiles"   -> a7Percentiles _,
-    "a8_salted_agg"    -> a8SaltedAgg _)
+    "a8_salted_agg"    -> a8SaltedAgg _,
+    "j8_salted_join"   -> j8SaltedJoin _)
 
   val oracles: Map[String, String] = Map(
     "u6_rollup"        -> u6Sql,
     "o5_window_frames" -> o5Sql,
     "a7_percentiles"   -> a7Sql,
-    "a8_salted_agg"    -> a8Sql)
+    "a8_salted_agg"    -> a8Sql,
+    "j8_salted_join"   -> j8Sql)
 }
