@@ -139,7 +139,7 @@ object WideSink {
     else {
       series
         .groupBy("basinID")
-        .pivot(date_format(col("ts"), "yyMMddHHmm"), tsCols)
+        .pivot(date_format(col("ts"), "yyMMddHHmm"), tsCols.toIndexedSeq)
         .agg(first("rain"))
         .orderBy("basinID")
         .write.mode(SaveMode.Overwrite).parquet(outPath)
