@@ -97,6 +97,28 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join: clicks joined to the same user's purchases
+    * within the following hour. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so each side's state store holds
+    * only the watermark horizon (the unbounded-state stream join is
+    * rejected by Spark for good reason). Works identically on batch frames.
+    */
+  def clickToPurchase(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("click_value"), col("purchase_value"))
+  }
+
   /** Run any batch-or-stream transform over a parquet directory as a stream
     * into an in-memory table; returns the collected result (test/demo
     * harness for stream/batch parity).

@@ -59,6 +59,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == expected)
   }
 
+  test("stream-stream interval join (click->purchase) equals the batch join") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val streamed = StreamOps.runFileStream(spark, eventsDir,
+      df => StreamOps.clickToPurchase(df), "ssjoin_parity", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    val batch = StreamOps.clickToPurchase(spark.read.parquet(eventsDir))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("flatMapGroupsWithState sessionization matches session_window on closed sessions") {
     import spark.implicits._
     val ev = spark.read.parquet(eventsDir)
