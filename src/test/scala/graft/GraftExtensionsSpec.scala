@@ -32,6 +32,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val sigs = spark.sql(
         "SELECT graft_minhash_sigs(array('abcde','bcdef')) AS s").collect()(0).getSeq[Long](0)
       assert(sigs.length == 8 && sigs.forall(_ >= 0))
+      // geometry + aggregate expressions are injected too
+      assert(spark.sql("SELECT st_area(array(array(0D,0D, 2D,0D, 2D,2D, 0D,2D))) AS a")
+        .collect()(0).getDouble(0) === 4.0)
+      assert(spark.sql(
+        "SELECT graft_clip_areas(array(array(0D,0D, 2D,0D, 2D,2D, 0D,2D)), 1D, 0D, 3D, 2D, 'epsg:25833', 'epsg:25833').clip_area AS c")
+        .collect()(0).getDouble(0) === 2.0)
+      assert(spark.sql(
+        "SELECT graft_simhash_agg(h) AS s FROM VALUES (1L), (3L) AS t(h)")
+        .collect()(0).getLong(0) == 1L) // bit0: +2; bit1: 0 (tie -> 0); rest negative
     } finally {
       // do not stop (other suites share the SparkContext); restore the
       // previous default session so later suites see their own functions
