@@ -20,7 +20,10 @@ object Bench {
     // (at cluster scale the analogue is a shared in-memory/alluxio-cached table)
     try graft.Tables.documents(spark, sfDir).cache().count() catch { case _: Throwable => () }
     try graft.Tables.embeddings(spark, sfDir).cache().count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic name order: per-query numbers are comparable across
+    // rounds (map hash order isn't), and shared caches get materialized by
+    // the cheapest family member (d2 before d3/d5, g1 before g2)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes EVERY column (count() would let Catalyst
       // prune the expensive projections and undercount the real work)
@@ -30,7 +33,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
