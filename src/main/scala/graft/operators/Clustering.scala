@@ -42,11 +42,13 @@ object Clustering {
       val scored = vecs.crossJoin(broadcast(cs))
         .withColumn("dist2",
           expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+      // argmin as a lexicographic struct-min aggregate — hash agg with
+      // map-side combine, no per-iteration window sort; (dist2, cid) gives
+      // the same total tie-break order as the oracle's row_number
       scored
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))))
-        .where(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("cid"), col("dist2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("cid"))).as("m"), first(col("v")).as("v"))
+        .select(col("vec_id"), col("v"), col("m.cid").as("cid"), col("m.dist2").as("dist2"))
     }
 
     for (_ <- 1 to Iters) {
