@@ -7,13 +7,15 @@ import java.nio.{ByteBuffer, ByteOrder}
   * directly; implemented here so the engine accepts .tif members the same
   * way it accepts ASCII grids).
   *
-  * Scope: single-band TIFF in either byte order; stripped OR tiled layout;
-  * uncompressed, deflate (8 / 32946) or LZW (5) compression, with TIFF
-  * predictor 1 (none) or 2 (horizontal differencing); 8/16/32-bit integer
-  * (signed/unsigned) and 32/64-bit float samples; georeferencing from
-  * ModelPixelScale + ModelTiepoint (the GDAL-standard tags), nodata from
-  * GDAL_NODATA. This covers what `gdal_translate`'s common
-  * `-co COMPRESS=DEFLATE|LZW [-co TILED=YES] [-co PREDICTOR=2]` outputs.
+  * Scope: single-band classic TIFF (42) or BigTIFF (43) in either byte
+  * order; stripped OR tiled layout; uncompressed, deflate (8 / 32946) or
+  * LZW (5) compression, with TIFF predictor 1 (none) or 2 (horizontal
+  * differencing); 8/16/32-bit integer (signed/unsigned) and 32/64-bit
+  * float samples; georeferencing from ModelPixelScale + ModelTiepoint (the
+  * GDAL-standard tags), nodata from GDAL_NODATA. This covers what
+  * `gdal_translate`'s common
+  * `-co COMPRESS=DEFLATE|LZW [-co TILED=YES] [-co PREDICTOR=2] [-co BIGTIFF=YES]`
+  * outputs (within a single in-memory member, the binaryFile path's unit).
   *
   * Window pushdown survives compression: only the strips/tiles that
   * intersect the requested (rowRange, colRange) are decompressed — at
@@ -39,46 +41,65 @@ object GeoTiff {
       case _   => throw new IllegalArgumentException("not a TIFF (bad byte-order mark)")
     }
     buf.order(order)
-    require((buf.getShort(2) & 0xffff) == 42, "not a TIFF (magic != 42)")
-    val ifdOffset = buf.getInt(4) & 0xffffffffL
+    val version = buf.getShort(2) & 0xffff
+    require(version == 42 || version == 43, s"not a TIFF (magic $version != 42/43)")
+    // BigTIFF (43): 8-byte offsets, 20-byte IFD entries, 8-byte counts —
+    // the container GDAL writes for rasters past the classic 4 GB limit.
+    val isBig = version == 43
+    if (isBig) require((buf.getShort(4) & 0xffff) == 8 && buf.getShort(6) == 0,
+      "BigTIFF: bad offset bytesize header")
+    val ifdOffset = if (isBig) buf.getLong(8) else buf.getInt(4) & 0xffffffffL
 
-    // --- IFD ---------------------------------------------------------------
-    val n = buf.getShort(ifdOffset.toInt) & 0xffff
+    // --- IFD (layout-abstracted: classic vs BigTIFF) -----------------------
+    val entrySize = if (isBig) 20 else 12
+    val inlineCap = if (isBig) 8 else 4
+    val n: Int =
+      (if (isBig) buf.getLong(ifdOffset.toInt) else (buf.getShort(ifdOffset.toInt) & 0xffff).toLong).toInt
+    val firstEntry = ifdOffset.toInt + (if (isBig) 8 else 2)
+    def typeSize(typ: Int): Int = typ match {
+      case 1 | 2 | 6 | 7        => 1 // BYTE/ASCII/SBYTE/UNDEFINED
+      case 3                    => 2 // SHORT
+      case 4 | 9 | 11           => 4 // LONG/SLONG/FLOAT
+      case 5 | 10 | 12 | 16 | 17 | 18 => 8 // RATIONAL/DOUBLE/LONG8/IFD8
+      case other => throw new IllegalArgumentException(s"TIFF: unknown field type $other")
+    }
+    // Entry.valueOffset here is the absolute position of the VALUE FIELD;
+    // valueBase resolves inline-vs-pointed storage uniformly
     val entries = (0 until n).map { i =>
-      val off = ifdOffset.toInt + 2 + i * 12
+      val off = firstEntry + i * entrySize
+      val count = if (isBig) buf.getLong(off + 4) else (buf.getInt(off + 4) & 0xffffffffL)
       Entry(buf.getShort(off) & 0xffff, buf.getShort(off + 2) & 0xffff,
-        buf.getInt(off + 4), buf.getInt(off + 8) & 0xffffffffL)
+        count.toInt, (off + (if (isBig) 12 else 8)).toLong)
     }.map(e => e.tag -> e).toMap
 
+    def valueBase(e: Entry): Int = {
+      val fieldOff = e.valueOffset.toInt
+      if (e.count.toLong * typeSize(e.typ) <= inlineCap) fieldOff
+      else if (isBig) buf.getLong(fieldOff).toInt
+      else buf.getInt(fieldOff)
+    }
+    def longAt(typ: Int, off: Int): Long = typ match {
+      case 3           => buf.getShort(off) & 0xffffL
+      case 4 | 9       => buf.getInt(off) & 0xffffffffL
+      case 16 | 17 | 18 => buf.getLong(off)
+      case other => throw new IllegalArgumentException(s"TIFF: non-integer field type $other")
+    }
+    def longArray(e: Entry): Array[Long] = {
+      val base = valueBase(e)
+      val sz = typeSize(e.typ)
+      Array.tabulate(e.count)(i => longAt(e.typ, base + sz * i))
+    }
     def intVal(tag: Int, default: => Int): Int = entries.get(tag) match {
       case None    => default
-      case Some(e) =>
-        // SHORT values live inline in the first 2 bytes of the value field
-        if (e.typ == 3) shortInline(e) else e.valueOffset.toInt
+      case Some(e) => longAt(e.typ, valueBase(e)).toInt
     }
-    def shortInline(e: Entry): Int = {
-      // value field starts at entry offset + 8; find the entry position
-      val idx = (0 until n).find { i =>
-        (buf.getShort(ifdOffset.toInt + 2 + i * 12) & 0xffff) == e.tag
-      }.get
-      buf.getShort(ifdOffset.toInt + 2 + idx * 12 + 8) & 0xffff
-    }
-    def longArray(e: Entry): Array[Long] =
-      if (e.count == 1) Array(if (e.typ == 3) shortInline(e) else e.valueOffset)
-      else {
-        val off = e.valueOffset.toInt
-        Array.tabulate(e.count) { i =>
-          if (e.typ == 3) (buf.getShort(off + 2 * i) & 0xffff).toLong
-          else buf.getInt(off + 4 * i) & 0xffffffffL
-        }
-      }
     def doubleArray(e: Entry): Array[Double] = {
-      val off = e.valueOffset.toInt
+      val off = valueBase(e)
       Array.tabulate(e.count)(i => buf.getDouble(off + 8 * i))
     }
     def asciiVal(e: Entry): String =
-      if (e.count <= 4) "" // inline, not needed for GDAL_NODATA in practice
-      else new String(bytes, e.valueOffset.toInt, e.count - 1, "US-ASCII").trim
+      if (e.count < 2) ""
+      else new String(bytes, valueBase(e), e.count - 1, "US-ASCII").trim
 
     val ncols = intVal(256, throw new IllegalArgumentException("TIFF: no ImageWidth"))
     val nrows = intVal(257, throw new IllegalArgumentException("TIFF: no ImageLength"))

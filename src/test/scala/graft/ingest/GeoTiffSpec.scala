@@ -74,7 +74,7 @@ object TiffFixture {
   def build(nrows: Int, ncols: Int, ulx: Double, uly: Double, cell: Double,
       nodata: Double, value: (Int, Int) => Int,
       compression: Int = 1, tile: Option[(Int, Int)] = None,
-      predictor: Int = 1): Array[Byte] = {
+      predictor: Int = 1, big: Boolean = false): Array[Byte] = {
 
     def rawBlock(r0: Int, c0: Int, h: Int, w: Int): Array[Byte] = {
       val bb = ByteBuffer.allocate(h * w * 2).order(ByteOrder.LITTLE_ENDIAN)
@@ -114,65 +114,65 @@ object TiffFixture {
       Tag(33922, 12, 6, None, doubles = Array(0, 0, 0, ulx, uly, 0)),
       Tag(42113, 2, nodataStr.length, None, ascii = nodataStr))
     if (predictor == 2) tags += Tag(317, 3, 1, Some(2))
+    // BigTIFF exercises the LONG8 (type 16) field paths for block offsets
+    val offTyp = if (big) 16 else 4
     tile match {
       case Some((tw, th)) =>
         tags += Tag(322, 3, 1, Some(tw))
         tags += Tag(323, 3, 1, Some(th))
-        tags += Tag(324, 4, blocks.length, None, longs = new Array[Long](blocks.length))
-        tags += Tag(325, 4, blocks.length, None,
+        tags += Tag(324, offTyp, blocks.length, None, longs = new Array[Long](blocks.length))
+        tags += Tag(325, offTyp, blocks.length, None,
           longs = blocks.map(_.length.toLong).toArray)
       case None =>
-        tags += Tag(273, 4, 1, None, longs = new Array[Long](1))
+        tags += Tag(273, offTyp, 1, None, longs = new Array[Long](1))
         tags += Tag(278, 3, 1, Some(nrows))
-        tags += Tag(279, 4, 1, None, longs = Array(blocks.head.length.toLong))
+        tags += Tag(279, offTyp, 1, None, longs = Array(blocks.head.length.toLong))
     }
     tags = tags.sortBy(_.tag)
 
-    val ifdOffset = 8
-    val afterIfd = ifdOffset + 2 + tags.length * 12 + 4
-    // lay out the deferred (out-of-line) areas
+    def typeSize(typ: Int): Int = typ match {
+      case 2 => 1; case 3 => 2; case 4 => 4; case 12 | 16 => 8
+    }
+    val inlineCap = if (big) 8 else 4
+    val ifdOffset = if (big) 16 else 8
+    val entrySize = if (big) 20 else 12
+    val afterIfd = ifdOffset + (if (big) 8 else 2) + tags.length * entrySize + (if (big) 8 else 4)
+    // lay out the out-of-line value areas
     var cursor = afterIfd
     val offsets = tags.map { t =>
-      val bytes = t.typ match {
-        case 2  => t.count
-        case 4  => if (t.count == 1) 0 else t.count * 4
-        case 12 => t.count * 8
-        case _  => 0
-      }
-      val o = if (t.inline.isDefined || bytes == 0) -1 else { val c = cursor; cursor += (bytes + 1) & ~1; c }
-      o
+      val vbytes = t.count * typeSize(t.typ)
+      if (vbytes <= inlineCap) -1 else { val c = cursor; cursor += (vbytes + 1) & ~1; c }
     }
     val dataStart = cursor
     val blockOffsets = blocks.scanLeft(dataStart.toLong)((acc, b) => acc + b.length).init.toArray
+    def tagLongs(t: Tag): Array[Long] =
+      if (t.tag == 273 || t.tag == 324) blockOffsets
+      else t.inline.map(Array(_)).getOrElse(t.longs)
 
     val total = dataStart + blocks.map(_.length).sum
     val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
-    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffset)
-    buf.putShort(tags.length.toShort)
-    tags.zipWithIndex.foreach { case (t, i) =>
-      buf.putShort(t.tag.toShort).putShort(t.typ.toShort).putInt(t.count)
-      t.inline match {
-        case Some(v) if t.typ == 3 => buf.putShort(v.toShort).putShort(0)
-        case Some(v)               => buf.putInt(v.toInt)
-        case None =>
-          val isBlockOffsets = t.tag == 273 || t.tag == 324
-          if (t.typ == 4 && t.count == 1)
-            buf.putInt(if (isBlockOffsets) blockOffsets(0).toInt else t.longs(0).toInt)
-          else buf.putInt(offsets(i))
-      }
+    if (big) buf.put('I'.toByte).put('I'.toByte).putShort(43).putShort(8).putShort(0)
+      .putLong(ifdOffset)
+    else buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffset)
+    if (big) buf.putLong(tags.length) else buf.putShort(tags.length.toShort)
+    def writeValues(t: Tag): Unit = t.typ match {
+      case 2  => buf.put(t.ascii.getBytes("US-ASCII"))
+      case 3  => tagLongs(t).foreach(v => buf.putShort(v.toShort))
+      case 4  => tagLongs(t).foreach(v => buf.putInt(v.toInt))
+      case 12 => t.doubles.foreach(buf.putDouble)
+      case 16 => tagLongs(t).foreach(buf.putLong)
     }
-    buf.putInt(0)
     tags.zipWithIndex.foreach { case (t, i) =>
-      if (offsets(i) >= 0) {
-        buf.position(offsets(i))
-        t.typ match {
-          case 2  => buf.put(t.ascii.getBytes("US-ASCII"))
-          case 12 => t.doubles.foreach(buf.putDouble)
-          case 4 =>
-            val vals = if (t.tag == 324) blockOffsets else t.longs
-            vals.foreach(v => buf.putInt(v.toInt))
-        }
-      }
+      buf.putShort(t.tag.toShort).putShort(t.typ.toShort)
+      if (big) buf.putLong(t.count) else buf.putInt(t.count)
+      val fieldEnd = buf.position() + inlineCap
+      if (offsets(i) < 0) writeValues(t)
+      else if (big) buf.putLong(offsets(i)) else buf.putInt(offsets(i))
+      while (buf.position() < fieldEnd) buf.put(0.toByte) // pad value field
+    }
+    if (big) buf.putLong(0) else buf.putInt(0)
+    tags.zipWithIndex.foreach { case (t, i) =>
+      if (offsets(i) >= 0) { buf.position(offsets(i)); writeValues(t) }
     }
     buf.position(dataStart)
     blocks.foreach(buf.put)
@@ -250,6 +250,18 @@ class GeoTiffSpec extends AnyFunSuite {
       val enc = TiffFixture.lzwEncode(p)
       assert(TiffLzw.decode(enc, 0, enc.length, p.length).toSeq == p.toSeq)
     }
+  }
+
+  test("BigTIFF (version 43): stripped, and tiled+deflate, parse identically") {
+    assertParsesLikeBaseline(TiffFixture.build(3, 4, 406000, 5620800, 1000.0, -1.0,
+      values, big = true))
+    val bytes = TiffFixture.build(7, 9, 406000, 5620800, 1000.0, -1.0,
+      values, compression = 8, tile = Some((4, 4)), predictor = 2, big = true)
+    assertParsesLikeBaseline(bytes, nrows = 7, ncols = 9)
+    // window pushdown unaffected by the 8-byte offset layout
+    val (_, win) = GeoTiff.parse(bytes, rowRange = Some((2, 4)), colRange = Some((3, 5)))
+    assert(win.toSeq.map(c => (c.row, c.col, c.value)).toSet ==
+      Set((2, 3, 23.0), (2, 4, 24.0), (3, 3, 33.0), (3, 4, 34.0)))
   }
 
   test("rejects unsupported compression with a clear error") {
