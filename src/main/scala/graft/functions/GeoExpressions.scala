@@ -64,10 +64,12 @@ private[functions] trait GeomBoxArgs extends Expression {
   override def nullable: Boolean = children.exists(_.nullable)
   protected def evalArgs(input: InternalRow): (Geom.Polygon, Double, Double, Double, Double) = {
     val g = geom.eval(input)
-    if (g == null) null
+    val x0 = xmin.eval(input); val y0 = ymin.eval(input)
+    val x1 = xmax.eval(input); val y1 = ymax.eval(input)
+    if (g == null || x0 == null || y0 == null || x1 == null || y1 == null) null
     else (GeoExpr.toPoly(g.asInstanceOf[ArrayData]),
-      xmin.eval(input).asInstanceOf[Double], ymin.eval(input).asInstanceOf[Double],
-      xmax.eval(input).asInstanceOf[Double], ymax.eval(input).asInstanceOf[Double])
+      x0.asInstanceOf[Double], y0.asInstanceOf[Double],
+      x1.asInstanceOf[Double], y1.asInstanceOf[Double])
   }
 }
 
@@ -108,9 +110,10 @@ case class StContainsPoint(geom: Expression, x: Expression, y: Expression)
   override def dataType: DataType = BooleanType
   override def eval(input: InternalRow): Any = {
     val g = geom.eval(input)
-    if (g == null) null
+    val xv = x.eval(input); val yv = y.eval(input)
+    if (g == null || xv == null || yv == null) null
     else PointInPolygon.contains(GeoExpr.toPoly(g.asInstanceOf[ArrayData]),
-      x.eval(input).asInstanceOf[Double], y.eval(input).asInstanceOf[Double])
+      xv.asInstanceOf[Double], yv.asInstanceOf[Double])
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(geom = c(0), x = c(1), y = c(2))
@@ -157,12 +160,14 @@ case class ClipAreas(geom: Expression, xmin: Expression, ymin: Expression,
   @transient private lazy val dst = Crs.of(dstName.eval().toString)
   override def eval(input: InternalRow): Any = {
     val g = geom.eval(input)
-    if (g == null) return null
+    val x0e = xmin.eval(input); val y0e = ymin.eval(input)
+    val x1e = xmax.eval(input); val y1e = ymax.eval(input)
+    if (g == null || x0e == null || y0e == null || x1e == null || y1e == null) return null
     val p = GeoExpr.toPoly(g.asInstanceOf[ArrayData])
-    val x0 = xmin.eval(input).asInstanceOf[Double]
-    val y0 = ymin.eval(input).asInstanceOf[Double]
-    val x1 = xmax.eval(input).asInstanceOf[Double]
-    val y1 = ymax.eval(input).asInstanceOf[Double]
+    val x0 = x0e.asInstanceOf[Double]
+    val y0 = y0e.asInstanceOf[Double]
+    val x1 = x1e.asInstanceOf[Double]
+    val y1 = y1e.asInstanceOf[Double]
     val clipped = Clip.clipPolygonToBox(p, x0, y0, x1, y1)
     if (clipped.isEmpty) InternalRow(0.0, 0.0)
     else {

@@ -40,6 +40,10 @@ object GeoTiffWriter {
     val nodataOff = tieOff + 48
     val stripOff = nodataOff + ((nodataAscii.length + 1) & ~1) // keep data word-aligned
     val stripBytes = nrows.toLong * ncols * 8
+    // classic TIFF caps offsets/counts at 4 bytes; exported rasters are
+    // bounded windows by construction, so guard rather than silently wrap
+    require(stripBytes + stripOff <= Int.MaxValue.toLong,
+      s"GeoTiffWriter: raster ${nrows}x$ncols exceeds the classic-TIFF 2GB bound")
 
     val head = ByteBuffer.allocate(stripOff).order(ByteOrder.LITTLE_ENDIAN)
     head.put('I'.toByte).put('I'.toByte).putShort(42).putInt(HeaderSize)
