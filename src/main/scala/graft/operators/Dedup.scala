@@ -41,9 +41,8 @@ object Dedup {
   // MinHash: ONE md5 per shingle, 8 seed variants via affine mix — see
   // graft.functions.HashFunctions for the constants and DuckDB equivalence.
   private val normExpr = "regexp_replace(lower(text), '\\\\s+', ' ')"
-  private val shinglesExpr =
-    s"transform(sequence(1, greatest(length(norm)-4, 1)), i -> substring(norm, i, 5))"
-
+  // (Spark side computes shingles+minhash fused in graft_minhash_text; the
+  // oracle spells out the equivalent shingle list explicitly)
   private val duckNorm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
   private val duckShingles =
     "list_transform(range(1, greatest(len(norm)-4,1)+1), i -> substr(norm, i, 5))"

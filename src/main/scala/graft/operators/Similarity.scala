@@ -12,11 +12,15 @@ import graft.Tables
   *    tiny broadcast side; the corpus scans once; TakeOrdered-style window
   *    rank bounds the output. At 100 TB this is the "small query batch x
   *    huge corpus" shape: one corpus scan per batch, no corpus shuffle.
-  *  - s2: LSH-bucketed ANN — random-hyperplane signs, with hyperplanes drawn
-  *    from the data itself (embeddings of fixed vec_ids) so both engines
-  *    derive identical planes without a shared RNG. Candidates = same
-  *    bucket -> the join key is the bucket hash, which is the scale path
-  *    (corpus shuffles once by bucket; queries probe their bucket only).
+  *  - s2: multi-table LSH ANN — the standard (L, k) construction: L=4
+  *    independent tables keyed by k=4 hyperplane sign bits (planes drawn
+  *    from the data itself — embeddings of fixed vec_ids — so both engines
+  *    derive identical planes without a shared RNG). Candidates = shared
+  *    key in ANY table; the join key is (table, key), which is the scale
+  *    path (corpus shuffles once on it; candidate dedup on scalar pairs
+  *    before the vector rejoin). Single-table sign-LSH has near-zero
+  *    recall at moderate cosine — SimilaritySpec pins both recall and
+  *    strong-pair key coverage.
   *
   * Cosines are computed with sequential higher-order-function folds (same
   * index order as DuckDB's list functions) so results are bit-deterministic.
@@ -69,53 +73,77 @@ object Similarity {
        |ORDER BY qid, rk""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // s2 — LSH-bucketed ANN: bucket = sign bits of dot products against
-  // NumPlanes data-derived hyperplanes; query batch vec_id in [100, 105);
-  // top-3 by cosine within the query's bucket.
+  // s2 — MULTI-TABLE LSH ANN: LshTables independent hash tables, each keyed
+  // by LshTableBits sign bits against data-derived hyperplanes (embeddings
+  // of fixed vec_ids, so both engines derive identical planes without a
+  // shared RNG). A candidate is any corpus vector sharing a query's key in
+  // ANY table — the standard (L, k) LSH construction: single-table sign-LSH
+  // has near-zero recall at moderate cosine, while L tables multiply recall
+  // at L x the bucket probes. Query batch vec_id in [100, 105); top-3 by
+  // cosine over the deduped candidates. At scale the corpus shuffles ONCE
+  // on (table, key) — the exploded corpus is L x rows of (key, id) pairs,
+  // vectors rejoin by id after the (tiny) candidate dedup.
+  private val LshTables = 4
+  private val LshTableBits = 4
   private def s2LshAnn(s: SparkSession, d: String): DataFrame = {
-    val e = vecsD(s, d).cache() // reused: planes, bucketing, query, corpus
-    val planes = e.where(col("vec_id") < NumPlanes)
+    val e = vecsD(s, d).cache() // reused: planes, signatures, query, corpus
+    val nPlanes = LshTables * LshTableBits
+    val planes = e.where(col("vec_id") < nPlanes)
       .select(col("vec_id").as("pid"), col("v").as("pv"))
-    // bucket each vector: sum over planes of 2^pid * (dot > 0)
-    val dots = e.crossJoin(broadcast(planes))
+    // 16-bit signature: sum over planes of 2^pid * (dot > 0)
+    val sigs = e.crossJoin(broadcast(planes))
       .withColumn("dot", expr("graft_dot(v, pv)"))
       .groupBy("vec_id")
       .agg(sum(when(col("dot") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), pid)")).otherwise(0L)).as("bucket"))
-    val bucketed = e.join(dots, "vec_id")
-    val q = bucketed.where(col("vec_id") >= 100 && col("vec_id") < 105)
-      .select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"), col("bucket"))
-    val c = bucketed.select(col("vec_id").as("cid"), col("v").as("bd"), col("nrm").as("nb"), col("bucket"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    broadcast(q).join(c, Seq("bucket"))
+        expr("shiftleft(CAST(1 AS BIGINT), pid)")).otherwise(0L)).as("sig"))
+    val keyed = sigs.select(col("vec_id"),
+      posexplode(expr(s"transform(sequence(0, ${LshTables - 1}), " +
+        s"t -> shiftright(sig, t * $LshTableBits) & ${(1 << LshTableBits) - 1})"))
+        .as(Seq("tbl", "key")))
+    val qk = keyed.where(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("qid"), col("tbl"), col("key"))
+    val cand = broadcast(qk).join(keyed.select(col("vec_id").as("cid"), col("tbl"), col("key")),
+        Seq("tbl", "key"))
       .where(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val qv = e.select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"))
+    val cv = e.select(col("vec_id").as("cid"), col("v").as("bd"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cand.join(broadcast(qv), "qid").join(cv, "cid")
       .withColumn("cos", cosCol)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 3)
-      .select(col("qid"), col("bucket"), col("rk"), col("cid"), round(col("cos"), 6).as("cos_r"))
+      .select(col("qid"), col("rk"), col("cid"), round(col("cos"), 6).as("cos_r"))
       .orderBy("qid", "rk")
   }
 
-  private val s2Sql =
+  private val s2Sql = {
+    val nPlanes = LshTables * LshTableBits
+    val mask = (1 << LshTableBits) - 1
     s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |planes AS (
-       |  SELECT vec_id AS pid, v AS pv FROM ev WHERE vec_id < $NumPlanes
-       |), buckets AS (
+       |  SELECT vec_id AS pid, v AS pv FROM ev WHERE vec_id < $nPlanes
+       |), sigs AS (
        |  SELECT e.vec_id, CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
-       |    THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+       |    THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS sig
        |  FROM ev e, planes p GROUP BY e.vec_id
-       |), b AS (
-       |  SELECT e.vec_id, e.v, buckets.bucket FROM ev e JOIN buckets USING (vec_id)
+       |), keyed AS (
+       |  SELECT vec_id, r.range AS tbl, (sig >> (r.range * $LshTableBits)) & $mask AS key
+       |  FROM sigs, range(0, $LshTables) r
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+       |  FROM keyed q JOIN keyed c ON q.tbl = c.tbl AND q.key = c.key AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id >= 100 AND q.vec_id < 105
        |)
-       |SELECT qid, bucket, rk, cid, cos_r FROM (
-       |  SELECT q.vec_id AS qid, q.bucket AS bucket, c.vec_id AS cid,
+       |SELECT qid, rk, cid, cos_r FROM (
+       |  SELECT cand.qid, cand.cid,
        |    round(list_cosine_similarity(q.v, c.v), 6) AS cos_r,
-       |    row_number() OVER (PARTITION BY q.vec_id
-       |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rk
-       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-       |  WHERE q.vec_id >= 100 AND q.vec_id < 105)
+       |    row_number() OVER (PARTITION BY cand.qid
+       |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, cand.cid) AS rk
+       |  FROM cand JOIN ev q ON q.vec_id = cand.qid JOIN ev c ON c.vec_id = cand.cid)
        |WHERE rk <= 3
        |ORDER BY qid, rk""".stripMargin
+  }
 
   // ---------------------------------------------------------------------------
   // s3 — IVF-style ANN: coarse quantization by nearest of 8 data-derived

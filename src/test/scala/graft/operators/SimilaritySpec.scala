@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.TestSpark
+
+/** ANN quality: the bucketed variants must actually retrieve most of the
+  * true top-k — per-query VALUES are already oracle-checked; this pins
+  * retrieval QUALITY so a parameter change can't silently degrade recall
+  * while staying hash-consistent with its own oracle. Ground truth is an
+  * independent driver-side brute force over the (tiny) embedding corpus.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private lazy val corpus: Map[Long, Array[Double]] =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / math.sqrt(na * nb)
+  }
+
+  private def bruteTop(qids: Seq[Long], k: Int): Map[Long, Set[Long]] =
+    qids.map { q =>
+      q -> corpus.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (cosine(corpus(q), v), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(k).map(_._2).toSet
+    }.toMap
+
+  private def got(name: String): Map[Long, Set[Long]] =
+    Similarity.queries(name)(spark, sfDir).collect()
+      .map(r => (r.getAs[Number]("qid").longValue(), r.getAs[Number]("cid").longValue()))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def recall(res: Map[Long, Set[Long]], truth: Map[Long, Set[Long]]): Double = {
+    val per = truth.map { case (q, t) =>
+      res.get(q).map(g => (g intersect t).size.toDouble / t.size).getOrElse(0.0)
+    }
+    per.sum / per.size
+  }
+
+  test("LSH ANN recall@3 vs brute-force ground truth") {
+    // the fixed query batch has only weak neighbors (cos ~0.3, near the
+    // random-vector noise floor) — single-table sign-LSH scores 0.0 here;
+    // the multi-table construction must stay clearly above that
+    val r = recall(got("s2_lsh_ann"), bruteTop(Seq(100L, 101L, 102L, 103L, 104L), 3))
+    assert(r >= 0.15, s"LSH recall degraded to $r")
+  }
+
+  test("multi-table LSH keys cover most genuinely-similar pairs (cos >= 0.38)") {
+    // independent driver-side re-derivation of the (4 tables x 4 bits)
+    // construction: a near-dup pair must share a key in SOME table for the
+    // dedup path to ever see it
+    val planes = (0 until 16).map(i => corpus(i.toLong))
+    def sig(v: Array[Double]): Int =
+      planes.zipWithIndex.map { case (p, i) =>
+        val dot = (p, v).zipped.map(_ * _).sum
+        if (dot > 0) 1 << i else 0
+      }.sum
+    val sigs = corpus.view.mapValues(sig).toMap
+    def shareTable(a: Long, b: Long): Boolean =
+      (0 until 4).exists(t => ((sigs(a) >> (t * 4)) & 15) == ((sigs(b) >> (t * 4)) & 15))
+    val strongPairs = for {
+      (ia, va) <- corpus.toSeq; (ib, vb) <- corpus.toSeq if ia < ib
+      if cosine(va, vb) >= 0.38
+    } yield (ia, ib)
+    assert(strongPairs.nonEmpty)
+    val covered = strongPairs.count { case (a, b) => shareTable(a, b) }
+    val rate = covered.toDouble / strongPairs.size
+    assert(rate >= 0.45, s"strong-pair key coverage degraded to $rate (${strongPairs.size} pairs)")
+  }
+
+  test("IVF ANN recall@3 vs brute-force ground truth") {
+    val r = recall(got("s3_ivf_ann"), bruteTop(Seq(200L, 201L, 202L, 203L, 204L), 3))
+    assert(r >= 0.4, s"IVF recall degraded to $r")
+  }
+
+  test("brute-force top-k (s1) agrees exactly with the independent ground truth") {
+    val truth = bruteTop(Seq(0L, 1L, 2L, 3L, 4L), 10)
+    assert(recall(got("s1_cosine_topk"), truth) == 1.0)
+  }
+}
