@@ -12,10 +12,11 @@ import graft.Tables
   *
   * Scale design: every signature is computed per-document with pure column
   * expressions (no UDFs, no shuffles); pair extraction always goes through a
-  * bucket equi-join (LSH band, id-block, or hash bucket) so the shuffle key
-  * is the bucket, never a cross product. The one brute-force query
-  * (d6, embedding cosine) is the tiny-side baseline the ANN variant in
-  * [[Similarity]] is measured against.
+  * bucket equi-join (LSH band, multi-table key, or hash bucket) so the
+  * shuffle key is the bucket, never a cross product. The one brute-force
+  * query (d6, embedding cosine) is the tiny-side baseline its LSH-blocked
+  * scale twin d8 (and the ANN variants in [[Similarity]]) are measured
+  * against.
   */
 object Dedup {
 
@@ -364,6 +365,63 @@ object Dedup {
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.38
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // d8 — embedding near-dup at scale: d6's exact cosine threshold, but over
+  // LSH-blocked candidates instead of the all-pairs cross join — the same
+  // (L=4, k=4) multi-table construction as s2 (planes = embeddings of fixed
+  // vec_ids). Pairs sharing a key in ANY table get the exact cosine check.
+  // The cross join touches n^2/2 pairs; this touches only co-keyed ones
+  // (~the strong pairs plus a bounded noise floor), with the corpus
+  // shuffling once on (table, key).
+  private def d8EmbedLshDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      .cache()
+    val sigs = e.crossJoin(broadcast(
+        e.where(col("vec_id") < 16).select(col("vec_id").as("pid"), col("v").as("pv"))))
+      .withColumn("dot", expr("graft_dot(v, pv)"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("dot") > 0, expr("shiftleft(CAST(1 AS BIGINT), pid)")).otherwise(0L))
+        .as("sig"))
+    val keyed = sigs.select(col("vec_id"),
+      posexplode(expr("transform(sequence(0, 3), t -> shiftright(sig, t * 4) & 15)"))
+        .as(Seq("tbl", "key")))
+    val a = keyed.as("a"); val b = keyed.as("b")
+    val cand = a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val va = e.select(col("vec_id").as("id_a"), col("v").as("ad"), col("nrm").as("na"))
+    val vb = e.select(col("vec_id").as("id_b"), col("v").as("bd"), col("nrm").as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos", expr("graft_dot(ad, bd)") / (col("na") * col("nb")))
+      .where(col("cos") >= 0.38)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val d8Sql =
+    """WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |planes AS (SELECT vec_id AS pid, v AS pv FROM ev WHERE vec_id < 16),
+      |sigs AS (
+      |  SELECT e.vec_id, CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
+      |    THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM ev e, planes p GROUP BY e.vec_id
+      |), keyed AS (
+      |  SELECT vec_id, r.range AS tbl, (sig >> (r.range * 4)) & 15 AS key
+      |  FROM sigs, range(0, 4) r
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM keyed a JOIN keyed b ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id
+      |)
+      |SELECT id_a, id_b, round(list_cosine_similarity(x.v, y.v), 6) AS cos_r
+      |FROM cand JOIN ev x ON x.vec_id = id_a JOIN ev y ON y.vec_id = id_b
+      |WHERE list_cosine_similarity(x.v, y.v) >= 0.38
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"    -> d1Exact _,
     "d2_minhash_sigs"   -> d2Minhash _,
@@ -371,7 +429,8 @@ object Dedup {
     "d4_simhash"        -> d4Simhash _,
     "d5_ngram_jaccard"  -> d5NgramJaccard _,
     "d6_embed_cosine"   -> d6EmbedCosine _,
-    "d7_simhash_pairs"  -> d7SimhashPairs _)
+    "d7_simhash_pairs"  -> d7SimhashPairs _,
+    "d8_embed_lsh_dedup" -> d8EmbedLshDedup _)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup"    -> d1Sql,
@@ -380,5 +439,6 @@ object Dedup {
     "d4_simhash"        -> d4Sql,
     "d5_ngram_jaccard"  -> d5Sql,
     "d6_embed_cosine"   -> d6Sql,
-    "d7_simhash_pairs"  -> d7Sql)
+    "d7_simhash_pairs"  -> d7Sql,
+    "d8_embed_lsh_dedup" -> d8Sql)
 }
