@@ -125,6 +125,32 @@ object RelationalOps {
       |LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q5 — snowflake dimension rollup (supplier -> nation -> region): the
+  // two-level broadcast dim chain; completes scan coverage of every harness
+  // table. Distinct-count + money sum per region.
+  private def q5RegionRollup(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        countDistinct(col("n_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_suppliers"),
+        dsum(col("s_acctbal")).as("acctbal_sum"))
+      .orderBy("r_name")
+
+  private val q5Sql =
+    """SELECT r_name,
+      |  count(DISTINCT n_nationkey) AS n_nations,
+      |  count(*) AS n_suppliers,
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // S10 — date-sequence generation (radohydro.py:39–46 daterange).
   private def s10DateSequence(s: SparkSession, d: String): DataFrame =
     s.range(1).select(explode(expr(
@@ -494,6 +520,7 @@ object RelationalOps {
     "q1_pricing_summary"   -> q1PricingSummary _,
     "q2_revenue_by_nation" -> q2RevenueByNation _,
     "q3_shipping_priority" -> q3ShippingPriority _,
+    "q5_region_rollup"     -> q5RegionRollup _,
     "s10_date_sequence"    -> s10DateSequence _,
     "p1_between_filter"    -> p1BetweenFilter _,
     "j1_cross_contains"    -> j1CrossContains _,
@@ -518,6 +545,7 @@ object RelationalOps {
     "q1_pricing_summary"   -> q1Sql,
     "q2_revenue_by_nation" -> q2Sql,
     "q3_shipping_priority" -> q3Sql,
+    "q5_region_rollup"     -> q5Sql,
     "s10_date_sequence"    -> s10Sql,
     "p1_between_filter"    -> p1Sql,
     "j1_cross_contains"    -> j1Sql,
