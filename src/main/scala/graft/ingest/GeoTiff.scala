@@ -31,9 +31,17 @@ object GeoTiff {
 
   private final case class Entry(tag: Int, typ: Int, count: Int, valueOffset: Long)
 
-  def parse(bytes: Array[Byte],
-      rowRange: Option[(Int, Int)] = None,
-      colRange: Option[(Int, Int)] = None): (Meta, Iterator[Cell]) = {
+  /** Number of IFDs (pages) in the file — a GDAL overview pyramid is the
+    * full raster at page 0 with reduced-resolution overviews chained after.
+    */
+  def pageCount(bytes: Array[Byte]): Int = {
+    var n = 0
+    var off = firstIfdOffset(bytes)
+    while (off != 0) { n += 1; off = nextIfdOffset(bytes, off) }
+    n
+  }
+
+  private def header(bytes: Array[Byte]): (ByteBuffer, Boolean) = {
     val buf = ByteBuffer.wrap(bytes)
     val order = bytes(0) match {
       case 'I' => ByteOrder.LITTLE_ENDIAN
@@ -43,12 +51,41 @@ object GeoTiff {
     buf.order(order)
     val version = buf.getShort(2) & 0xffff
     require(version == 42 || version == 43, s"not a TIFF (magic $version != 42/43)")
+    (buf, version == 43)
+  }
+
+  private def firstIfdOffset(bytes: Array[Byte]): Long = {
+    val (buf, isBig) = header(bytes)
+    if (isBig) buf.getLong(8) else buf.getInt(4) & 0xffffffffL
+  }
+
+  private def nextIfdOffset(bytes: Array[Byte], ifdOffset: Long): Long = {
+    val (buf, isBig) = header(bytes)
+    val n = (if (isBig) buf.getLong(ifdOffset.toInt)
+             else (buf.getShort(ifdOffset.toInt) & 0xffff).toLong).toInt
+    val entrySize = if (isBig) 20 else 12
+    val afterEntries = ifdOffset.toInt + (if (isBig) 8 else 2) + n * entrySize
+    if (isBig) buf.getLong(afterEntries) else buf.getInt(afterEntries) & 0xffffffffL
+  }
+
+  /** @param page IFD index: 0 = full raster, 1.. = overview pages. */
+  def parse(bytes: Array[Byte],
+      rowRange: Option[(Int, Int)] = None,
+      colRange: Option[(Int, Int)] = None,
+      page: Int = 0): (Meta, Iterator[Cell]) = {
     // BigTIFF (43): 8-byte offsets, 20-byte IFD entries, 8-byte counts —
     // the container GDAL writes for rasters past the classic 4 GB limit.
-    val isBig = version == 43
+    val (buf, isBig) = header(bytes)
+    val order = buf.order()
     if (isBig) require((buf.getShort(4) & 0xffff) == 8 && buf.getShort(6) == 0,
       "BigTIFF: bad offset bytesize header")
-    val ifdOffset = if (isBig) buf.getLong(8) else buf.getInt(4) & 0xffffffffL
+    var ifdOffset = firstIfdOffset(bytes)
+    var skip = page
+    while (skip > 0) {
+      ifdOffset = nextIfdOffset(bytes, ifdOffset)
+      require(ifdOffset != 0, s"TIFF: page $page requested but file has fewer IFDs")
+      skip -= 1
+    }
 
     // --- IFD (layout-abstracted: classic vs BigTIFF) -----------------------
     val entrySize = if (isBig) 20 else 12

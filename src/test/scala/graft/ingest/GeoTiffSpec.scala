@@ -74,7 +74,8 @@ object TiffFixture {
   def build(nrows: Int, ncols: Int, ulx: Double, uly: Double, cell: Double,
       nodata: Double, value: (Int, Int) => Int,
       compression: Int = 1, tile: Option[(Int, Int)] = None,
-      predictor: Int = 1, big: Boolean = false): Array[Byte] = {
+      predictor: Int = 1, big: Boolean = false,
+      origin: Option[Int] = None, nextIfd: Long = 0): Array[Byte] = {
 
     def rawBlock(r0: Int, c0: Int, h: Int, w: Int): Array[Byte] = {
       val bb = ByteBuffer.allocate(h * w * 2).order(ByteOrder.LITTLE_ENDIAN)
@@ -134,7 +135,10 @@ object TiffFixture {
       case 2 => 1; case 3 => 2; case 4 => 4; case 12 | 16 => 8
     }
     val inlineCap = if (big) 8 else 4
-    val ifdOffset = if (big) 16 else 8
+    // origin: build a SECONDARY page (overview IFD) whose absolute offsets
+    // start at `origin` in the final file; no header is emitted and the
+    // returned bytes are the slice from origin onward
+    val ifdOffset = origin.getOrElse(if (big) 16 else 8)
     val entrySize = if (big) 20 else 12
     val afterIfd = ifdOffset + (if (big) 8 else 2) + tags.length * entrySize + (if (big) 8 else 4)
     // lay out the out-of-line value areas
@@ -151,9 +155,11 @@ object TiffFixture {
 
     val total = dataStart + blocks.map(_.length).sum
     val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
-    if (big) buf.put('I'.toByte).put('I'.toByte).putShort(43).putShort(8).putShort(0)
-      .putLong(ifdOffset)
-    else buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffset)
+    if (origin.isEmpty) {
+      if (big) buf.put('I'.toByte).put('I'.toByte).putShort(43).putShort(8).putShort(0)
+        .putLong(ifdOffset)
+      else buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffset)
+    } else buf.position(ifdOffset)
     if (big) buf.putLong(tags.length) else buf.putShort(tags.length.toShort)
     def writeValues(t: Tag): Unit = t.typ match {
       case 2  => buf.put(t.ascii.getBytes("US-ASCII"))
@@ -170,13 +176,28 @@ object TiffFixture {
       else if (big) buf.putLong(offsets(i)) else buf.putInt(offsets(i))
       while (buf.position() < fieldEnd) buf.put(0.toByte) // pad value field
     }
-    if (big) buf.putLong(0) else buf.putInt(0)
+    if (big) buf.putLong(nextIfd) else buf.putInt(nextIfd.toInt)
     tags.zipWithIndex.foreach { case (t, i) =>
       if (offsets(i) >= 0) { buf.position(offsets(i)); writeValues(t) }
     }
     buf.position(dataStart)
     blocks.foreach(buf.put)
-    buf.array()
+    origin match {
+      case None    => buf.array()
+      case Some(o) => java.util.Arrays.copyOfRange(buf.array(), o, total)
+    }
+  }
+
+  /** Two-page file: the full raster at page 0 chained to a 2x-decimated
+    * overview at page 1 — the GDAL overview-pyramid layout.
+    */
+  def buildWithOverview(nrows: Int, ncols: Int, ulx: Double, uly: Double,
+      cell: Double, nodata: Double, value: (Int, Int) => Int): Array[Byte] = {
+    val page0Len = build(nrows, ncols, ulx, uly, cell, nodata, value).length
+    val page0 = build(nrows, ncols, ulx, uly, cell, nodata, value, nextIfd = page0Len)
+    val ov = build(nrows / 2, ncols / 2, ulx, uly, cell * 2, nodata,
+      (r, c) => value(r * 2, c * 2), origin = Some(page0Len))
+    page0 ++ ov
   }
 }
 
@@ -262,6 +283,19 @@ class GeoTiffSpec extends AnyFunSuite {
     val (_, win) = GeoTiff.parse(bytes, rowRange = Some((2, 4)), colRange = Some((3, 5)))
     assert(win.toSeq.map(c => (c.row, c.col, c.value)).toSet ==
       Set((2, 3, 23.0), (2, 4, 24.0), (3, 3, 33.0), (3, 4, 34.0)))
+  }
+
+  test("overview pages: page 0 is the full raster, page 1 the 2x decimation") {
+    val bytes = TiffFixture.buildWithOverview(6, 8, 406000, 5620800, 1000.0, -1.0, values)
+    assert(GeoTiff.pageCount(bytes) == 2)
+    val (m0, c0) = GeoTiff.parse(bytes)
+    assert(m0.nrows == 6 && m0.ncols == 8 && c0.size == 48)
+    val (m1, c1) = GeoTiff.parse(bytes, page = 1)
+    assert(m1.nrows == 3 && m1.ncols == 4)
+    assert(m1.xres == 2000.0 && m1.yres == -2000.0) // decimated resolution
+    assert(m1.ulx == m0.ulx && m1.uly == m0.uly)
+    c1.foreach(c => assert(c.value == values(c.row * 2, c.col * 2).toDouble))
+    intercept[IllegalArgumentException](GeoTiff.parse(bytes, page = 2))
   }
 
   test("rejects unsupported compression with a clear error") {
