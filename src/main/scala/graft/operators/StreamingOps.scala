@@ -72,13 +72,52 @@ object StreamingOps {
       |FROM numbered GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // r1 — resample + gap fill: daily totals per event type over the FULL
+  // calendar spine (sequence(min..max) per group), missing buckets surfaced
+  // explicitly — a resampled series with silent holes misreads as zero.
+  // Library twin for basin series: graft.api.Resample (aggregate + fillGaps).
+  private def r1GapFill(s: SparkSession, d: String): DataFrame = {
+    val bucketed = Tables.events(s, d).where(col("value") > 180)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(dsum(col("value")).as("value_sum"), count(lit(1)).as("n_obs"))
+    val bounds = bucketed.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = bucketed.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    spine.join(bucketed, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("value_sum"), lit(0.0)).as("value_sum"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .orderBy("event_type", "day")
+  }
+
+  private val r1Sql =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+      |    count(*) AS n_obs
+      |  FROM events WHERE value > 180 GROUP BY 1, 2
+      |), bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM b),
+      |spine AS (
+      |  SELECT t.event_type, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |  FROM (SELECT DISTINCT event_type FROM b) t, bounds
+      |)
+      |SELECT s.event_type AS event_type, s.day AS day,
+      |  coalesce(b.value_sum, 0.0) AS value_sum,
+      |  coalesce(b.n_obs, 0) AS n_obs
+      |FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.day = b.day
+      |ORDER BY s.event_type, s.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> st1Tumbling _,
     "st2_sliding_window"  -> st2Sliding _,
-    "st3_session_window"  -> st3Sessions _)
+    "st3_session_window"  -> st3Sessions _,
+    "r1_gap_fill"         -> r1GapFill _)
 
   val oracles: Map[String, String] = Map(
     "st1_tumbling_window" -> st1Sql,
     "st2_sliding_window"  -> st2Sql,
-    "st3_session_window"  -> st3Sql)
+    "st3_session_window"  -> st3Sql,
+    "r1_gap_fill"         -> r1Sql)
 }
