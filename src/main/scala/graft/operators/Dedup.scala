@@ -422,6 +422,64 @@ object Dedup {
       |WHERE list_cosine_similarity(x.v, y.v) >= 0.38
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // d9 — dedup groups: connected components over the near-dup pair graph
+  // (d3's candidates at est_jaccard >= 0.7), the canonical LAST step of
+  // fuzzy dedup — pairs alone don't decide anything; the keeper of each
+  // component (min doc_id) does. Spark side: iterative min-label
+  // propagation to a fixed point (the standard distributed CC; each round
+  // is one join + map-side-combinable min-agg, rounds ~ component
+  // diameter, which LSH dup-clusters keep tiny). Oracle: DuckDB computes
+  // the exact transitive closure with WITH RECURSIVE — an independent
+  // formulation of the same fixed point.
+  private def d9DedupGroups(s: SparkSession, d: String): DataFrame = {
+    val sigs = lshSigs(s, d)
+    val pairs = lshCandidatePairs(lshBands(sigs))
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb"))
+    val dupPairs = pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .where(expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))").cast(DoubleType)
+        / LshNumHashes >= 0.7)
+      .select("doc_a", "doc_b")
+      .cache()
+    val edges = dupPairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(dupPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("label")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("label"))
+      val next = labels.select("doc_id", "label").union(prop)
+        .groupBy("doc_id").agg(min("label").as("label")).cache()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .where(col("label") =!= col("prev")).count()
+      labels = next
+    }
+    labels
+      .select(col("doc_id"), col("label").as("component"),
+        (col("doc_id") === col("label")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val d9Sql =
+    s"""WITH RECURSIVE $lshCandSqlCtes,
+       |dup AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+       |  WHERE CAST(len(list_filter(range(1, ${LshNumHashes + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $LshNumHashes >= 0.7
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM dup
+       |  UNION SELECT doc_b, doc_a FROM dup
+       |), reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |)
+       |SELECT src AS doc_id, min(dst) AS component, src = min(dst) AS kept
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"    -> d1Exact _,
     "d2_minhash_sigs"   -> d2Minhash _,
@@ -430,7 +488,8 @@ object Dedup {
     "d5_ngram_jaccard"  -> d5NgramJaccard _,
     "d6_embed_cosine"   -> d6EmbedCosine _,
     "d7_simhash_pairs"  -> d7SimhashPairs _,
-    "d8_embed_lsh_dedup" -> d8EmbedLshDedup _)
+    "d8_embed_lsh_dedup" -> d8EmbedLshDedup _,
+    "d9_dedup_groups"   -> d9DedupGroups _)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup"    -> d1Sql,
@@ -440,5 +499,6 @@ object Dedup {
     "d5_ngram_jaccard"  -> d5Sql,
     "d6_embed_cosine"   -> d6Sql,
     "d7_simhash_pairs"  -> d7Sql,
-    "d8_embed_lsh_dedup" -> d8Sql)
+    "d8_embed_lsh_dedup" -> d8Sql,
+    "d9_dedup_groups"   -> d9Sql)
 }
