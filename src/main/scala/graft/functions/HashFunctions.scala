@@ -118,23 +118,38 @@ object HashFunctions {
     val bytes = u.getBytes
     def isWs(b: Byte): Boolean =
       b == 32 || b == 9 || b == 10 || b == 11 || b == 12 || b == 13
-    // token byte ranges
-    var nToks = 0
-    var i = 0
-    while (i < bytes.length) {
-      if (!isWs(bytes(i)) && (i == 0 || isWs(bytes(i - 1)))) nToks += 1
+    // Replicate `split(trim(text), "\\s+")` exactly: Spark's trim strips
+    // ASCII SPACE only, and Spark's split (limit -1, unlike java's default)
+    // KEEPS empty tokens at BOTH ends when the trimmed text starts/ends
+    // with other whitespace (\t \n \x0B \f \r) — DuckDB's
+    // regexp_split_to_array behaves identically, so the scan must too
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && bytes(lo) == 32) lo += 1
+    while (hi > lo && bytes(hi - 1) == 32) hi -= 1
+    val leadingEmpty = lo < hi && isWs(bytes(lo))
+    val trailingEmpty = lo < hi && isWs(bytes(hi - 1))
+    // token byte ranges within [lo, hi)
+    var nRuns = 0
+    var i = lo
+    while (i < hi) {
+      if (!isWs(bytes(i)) && (i == lo || isWs(bytes(i - 1)))) nRuns += 1
       i += 1
     }
+    val nToks = nRuns + (if (leadingEmpty) 1 else 0) + (if (trailingEmpty) 1 else 0)
     if (nToks < 3) return new GenericArrayData(Array.empty[Long])
     val starts = new Array[Int](nToks); val ends = new Array[Int](nToks)
-    var t = -1; i = 0
-    while (i < bytes.length) {
+    var t = -1
+    if (leadingEmpty) { t = 0; starts(0) = lo; ends(0) = lo } // empty token
+    i = lo
+    while (i < hi) {
       if (!isWs(bytes(i))) {
-        if (i == 0 || isWs(bytes(i - 1))) { t += 1; starts(t) = i }
+        if (i == lo || isWs(bytes(i - 1))) { t += 1; starts(t) = i }
         ends(t) = i + 1
       }
       i += 1
     }
+    if (trailingEmpty) { t += 1; starts(t) = hi; ends(t) = hi } // empty token
     val d = digest.get()
     val space = Array(' '.toByte)
     val out = new Array[Long](nToks - 2)

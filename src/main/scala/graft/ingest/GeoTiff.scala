@@ -180,7 +180,9 @@ object GeoTiff {
       val decoded = compression match {
         case 1 =>
           val a = new Array[Byte](expected)
-          System.arraycopy(bytes, fileOff.toInt, a, 0, math.min(expected, byteCount.toInt))
+          // byteCount can be Long.MaxValue (tag 279 absent) — min in LONG
+          // space, or the Int truncation turns it into -1
+          System.arraycopy(bytes, fileOff.toInt, a, 0, math.min(expected.toLong, byteCount).toInt)
           a
         case 5 =>
           TiffLzw.decode(bytes, fileOff.toInt, byteCount.toInt, expected)
@@ -196,6 +198,8 @@ object GeoTiff {
             at += got
           }
           inf.end()
+          require(at == expected,
+            s"GeoTiff: deflate block decoded $at of $expected bytes") // no silent zero-fill
           a
       }
       if (predictor == 2) undoHorizontalPredictor(decoded, width, bytesPerSample, order)

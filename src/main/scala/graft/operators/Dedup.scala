@@ -380,13 +380,15 @@ object Dedup {
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       .cache()
     val sigs = e.crossJoin(broadcast(
-        e.where(col("vec_id") < 16).select(col("vec_id").as("pid"), col("v").as("pv"))))
+        e.where(col("vec_id") < Similarity.LshTables * Similarity.LshTableBits)
+          .select(col("vec_id").as("pid"), col("v").as("pv"))))
       .withColumn("dot", expr("graft_dot(v, pv)"))
       .groupBy("vec_id")
       .agg(sum(when(col("dot") > 0, expr("shiftleft(CAST(1 AS BIGINT), pid)")).otherwise(0L))
         .as("sig"))
     val keyed = sigs.select(col("vec_id"),
-      posexplode(expr("transform(sequence(0, 3), t -> shiftright(sig, t * 4) & 15)"))
+      posexplode(expr(s"transform(sequence(0, ${Similarity.LshTables - 1}), " +
+        s"t -> shiftright(sig, t * ${Similarity.LshTableBits}) & ${(1 << Similarity.LshTableBits) - 1})"))
         .as(Seq("tbl", "key")))
     val a = keyed.as("a"); val b = keyed.as("b")
     val cand = a.join(b,
@@ -404,15 +406,15 @@ object Dedup {
   }
 
   private val d8Sql =
-    """WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |planes AS (SELECT vec_id AS pid, v AS pv FROM ev WHERE vec_id < 16),
+    s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |planes AS (SELECT vec_id AS pid, v AS pv FROM ev WHERE vec_id < ${Similarity.LshTables * Similarity.LshTableBits}),
       |sigs AS (
       |  SELECT e.vec_id, CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
       |    THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS sig
       |  FROM ev e, planes p GROUP BY e.vec_id
       |), keyed AS (
-      |  SELECT vec_id, r.range AS tbl, (sig >> (r.range * 4)) & 15 AS key
-      |  FROM sigs, range(0, 4) r
+      |  SELECT vec_id, r.range AS tbl, (sig >> (r.range * ${Similarity.LshTableBits})) & ${(1 << Similarity.LshTableBits) - 1} AS key
+      |  FROM sigs, range(0, ${Similarity.LshTables}) r
       |), cand AS (
       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       |  FROM keyed a JOIN keyed b ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id
@@ -455,8 +457,10 @@ object Dedup {
         .groupBy("doc_id").agg(min("label").as("label")).cache()
       changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
         .where(col("label") =!= col("prev")).count()
+      labels.unpersist() // superseded round — don't pin k label frames
       labels = next
     }
+    edges.unpersist(); dupPairs.unpersist()
     labels
       .select(col("doc_id"), col("label").as("component"),
         (col("doc_id") === col("label")).as("kept"))

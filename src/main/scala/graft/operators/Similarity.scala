@@ -28,8 +28,11 @@ import graft.Tables
 object Similarity {
 
   private val TopK = 10
-  private val NumPlanes = 6 // 64 buckets
-  private def planeIds: Seq[Int] = 0 until NumPlanes
+  // multi-table LSH parameterization — shared with Dedup.d8 (same planes,
+  // same keys), so retuning here keeps both operators and their oracles
+  // in sync
+  private[operators] val LshTables = 4
+  private[operators] val LshTableBits = 4
 
   private def vecsD(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
@@ -83,8 +86,6 @@ object Similarity {
   // cosine over the deduped candidates. At scale the corpus shuffles ONCE
   // on (table, key) — the exploded corpus is L x rows of (key, id) pairs,
   // vectors rejoin by id after the (tiny) candidate dedup.
-  private val LshTables = 4
-  private val LshTableBits = 4
   private def s2LshAnn(s: SparkSession, d: String): DataFrame = {
     val e = vecsD(s, d).cache() // reused: planes, signatures, query, corpus
     val nPlanes = LshTables * LshTableBits
@@ -106,7 +107,9 @@ object Similarity {
         Seq("tbl", "key"))
       .where(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
-    val qv = e.select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"))
+    // only the query batch broadcasts — NOT the whole corpus
+    val qv = e.where(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"))
     val cv = e.select(col("vec_id").as("cid"), col("v").as("bd"), col("nrm").as("nb"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     cand.join(broadcast(qv), "qid").join(cv, "cid")

@@ -91,7 +91,11 @@ class DedupSpec extends AnyFunSuite {
   test("graft_gram_hashes equals the explicit split/concat formulation") {
     graft.functions.HashRegistry.register(spark)
     val samples = Seq("the quick brown fox jumps", "  padded   tokens  here now ",
-      "grün über 雨雲 falls again", "two tokens", "", "a b c", "x x x x x")
+      "grün über 雨雲 falls again", "two tokens", "", "a b c", "x x x x x",
+      // leading non-space whitespace: split(trim(s)) yields a LEADING empty
+      // token (trim strips spaces only) — the fused scan must replicate it
+      "\tstarts with tab here", "\nnewline lead-in text", " \t mixed lead ws",
+      "trailing ws inside\t\n")
     samples.foreach { t =>
       val esc = t.replace("'", "''")
       val row = spark.sql(
