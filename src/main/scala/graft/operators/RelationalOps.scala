@@ -151,6 +151,44 @@ object RelationalOps {
       |ORDER BY r_name""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // j9 — AS-OF JOIN (an operator Spark lacks natively): each click matched
+  // to the same user's most recent purchase at or before it. The scalable
+  // formulation is union-both-sides + one windowed `last(..., ignoreNulls)`
+  // per key — a SINGLE shuffle/sort on the key, versus the naive per-row
+  // range subquery (quadratic) or an interval cross join. Reference rows
+  // sort before probe rows at equal ts so "at or before" is inclusive.
+  // Oracle: DuckDB's NATIVE `ASOF JOIN` — an independent implementation of
+  // the same semantics.
+  private def j9AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("timestamp").as("p_ts"), lit(null).cast("double").as("p_value"),
+        lit(1).as("is_probe"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"), lit(0).as("is_probe"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("m", last(
+        when(col("is_probe") === 0, struct(col("p_ts"), col("p_value"))),
+        ignoreNulls = true).over(w))
+      .where(col("is_probe") === 1 && col("m").isNotNull)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"),
+        col("m.p_ts").as("purchase_ts"), col("m.p_value").as("purchase_value"))
+      .orderBy("click_id")
+  }
+
+  private val j9Sql =
+    """SELECT a.event_id AS click_id, a.user_id, a.ts AS click_ts,
+      |  b.ts AS purchase_ts, b.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id AND a.ts >= b.ts
+      |ORDER BY click_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // S10 — date-sequence generation (radohydro.py:39–46 daterange).
   private def s10DateSequence(s: SparkSession, d: String): DataFrame =
     s.range(1).select(explode(expr(
@@ -521,6 +559,7 @@ object RelationalOps {
     "q2_revenue_by_nation" -> q2RevenueByNation _,
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q5_region_rollup"     -> q5RegionRollup _,
+    "j9_asof_join"         -> j9AsofJoin _,
     "s10_date_sequence"    -> s10DateSequence _,
     "p1_between_filter"    -> p1BetweenFilter _,
     "j1_cross_contains"    -> j1CrossContains _,
@@ -546,6 +585,7 @@ object RelationalOps {
     "q2_revenue_by_nation" -> q2Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_region_rollup"     -> q5Sql,
+    "j9_asof_join"         -> j9Sql,
     "s10_date_sequence"    -> s10Sql,
     "p1_between_filter"    -> p1Sql,
     "j1_cross_contains"    -> j1Sql,
