@@ -203,13 +203,66 @@ object TextOps {
        |WHERE bucket < rate
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // t7 — Count-Min sketch (the classic stream-summary sketch): d=4 hash
+  // rows x w=256 columns over token occurrences; estimate(token) = min over
+  // rows of its cell, an overestimate bounded by n/w per row. The sketch
+  // build is ONE map-side-combinable groupBy of (row, position) — mergeable
+  // across partitions/streams by cell-wise addition, which is why CMS works
+  // at 100 TB where exact per-token state doesn't. Portable hash60 makes
+  // the whole sketch — and therefore the estimates — engine-exact, so this
+  // sketch is DuckDB-oracled (HLL-style sketches aren't).
+  private val CmsRows = 4
+  private val CmsWidth = 256
+  private def t7CountMin(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashRegistry.register(s)
+    val freq = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("true_n"))
+      .cache()
+    val cells = freq.select(col("tok"), col("true_n"),
+      posexplode(expr(s"transform(sequence(0, ${CmsRows - 1}), " +
+        s"i -> pmod(graft_hash60(concat(CAST(i AS STRING), ':', tok)), $CmsWidth))"))
+        .as(Seq("row_i", "pos")))
+    val sketch = cells.groupBy("row_i", "pos").agg(sum("true_n").as("cnt"))
+    val probes = freq.orderBy(col("true_n").desc, col("tok")).limit(10)
+    probes
+      .join(cells.select("tok", "row_i", "pos"), "tok")
+      .join(sketch, Seq("row_i", "pos"))
+      .groupBy("tok", "true_n")
+      .agg(min("cnt").as("est_n"))
+      .orderBy(col("true_n").desc, col("tok"))
+  }
+
+  private val t7Sql =
+    s"""WITH freq AS (
+       |  SELECT tok, count(*) AS true_n
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents)
+       |  GROUP BY tok
+       |), cells AS (
+       |  SELECT tok, true_n, r.range AS row_i,
+       |    ${hash60Sql("CAST(r.range AS VARCHAR) || ':' || tok")} % $CmsWidth AS pos
+       |  FROM freq, range(0, $CmsRows) r
+       |), sketch AS (
+       |  -- DuckDB sum(BIGINT) widens to HUGEINT; pin BIGINT for the compare
+       |  SELECT row_i, pos, CAST(sum(true_n) AS BIGINT) AS cnt FROM cells GROUP BY row_i, pos
+       |), probes AS (
+       |  SELECT tok, true_n FROM freq ORDER BY true_n DESC, tok LIMIT 10
+       |)
+       |SELECT p.tok, p.true_n, min(s.cnt) AS est_n
+       |FROM probes p JOIN cells c ON c.tok = p.tok
+       |     JOIN sketch s ON s.row_i = c.row_i AND s.pos = c.pos
+       |GROUP BY p.tok, p.true_n
+       |ORDER BY p.true_n DESC, p.tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats"  -> t1TextStats _,
     "t2_lang_id"     -> t2LangId _,
     "t3_fingerprint" -> t3Fingerprint _,
     "t4_token_freq"  -> t4TokenFreq _,
     "t5_quality_filter"     -> t5QualityFilter _,
-    "t6_stratified_sample"  -> t6StratifiedSample _)
+    "t6_stratified_sample"  -> t6StratifiedSample _,
+    "t7_countmin"           -> t7CountMin _)
 
   val oracles: Map[String, String] = Map(
     "t1_text_stats"  -> t1Sql,
@@ -217,5 +270,6 @@ object TextOps {
     "t3_fingerprint" -> t3Sql,
     "t4_token_freq"  -> t4Sql,
     "t5_quality_filter"    -> t5Sql,
-    "t6_stratified_sample" -> t6Sql)
+    "t6_stratified_sample" -> t6Sql,
+    "t7_countmin"          -> t7Sql)
 }
