@@ -447,8 +447,11 @@ object Dedup {
     val edges = dupPairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(dupPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = Tables.documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("label")).cache()
+    // only vertices that appear in an edge can ever change label — iterate
+    // over those (the dup subgraph, tiny relative to the corpus); everyone
+    // else is trivially their own component and joins back at the end
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).cache()
     var changed = 1L
     while (changed > 0) {
       val prop = edges.join(labels, edges("dst") === labels("doc_id"))
@@ -461,9 +464,11 @@ object Dedup {
       labels = next
     }
     edges.unpersist(); dupPairs.unpersist()
-    labels
-      .select(col("doc_id"), col("label").as("component"),
-        (col("doc_id") === col("label")).as("kept"))
+    Tables.documents(s, d).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("component"),
+        (col("doc_id") === coalesce(col("label"), col("doc_id"))).as("kept"))
       .orderBy("doc_id")
   }
 
