@@ -22,10 +22,12 @@ class DedupSpec extends AnyFunSuite {
     val base = "the quick brown fox jumps over the lazy dog while seventeen " +
       "green turtles carry umbrellas across the windy bridge toward the old " +
       "lighthouse keeper who waves every single morning without fail"
-    val nearDup = base.replace("windy", "stormy") // one-token edit
+    val nearDup = base.replace("windy", "stormy")   // one-token edit of base
+    val nearDup2 = nearDup.replace("lazy", "bored") // one-token edit of nearDup
     val rows = Seq(
       (5L, base, "en", "web", base.length.toLong),
-      (505L, nearDup, "en", "web", nearDup.length.toLong)) ++
+      (505L, nearDup, "en", "web", nearDup.length.toLong),
+      (1505L, nearDup2, "en", "web", nearDup2.length.toLong)) ++
       (0 until 20).map { i =>
         // no shared vocabulary between filler docs: every token is derived
         // from the doc index, so true pairwise similarity is ~0
@@ -41,6 +43,20 @@ class DedupSpec extends AnyFunSuite {
     dir
   }
 
+  test("d9 merges transitive near-dup chains into one component with the min keeper") {
+    val out = Dedup.queries("d9_dedup_groups")(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // 5 ~ 505 ~ 1505 form a chain (5 and 1505 differ by two tokens but are
+    // linked through 505) — label propagation must converge them all to
+    // component 5, keeping only doc 5
+    assert(out(5L) == (5L, true))
+    assert(out(505L) == (5L, false), s"505 got ${out(505L)}")
+    assert(out(1505L) == (5L, false), s"1505 got ${out(1505L)}")
+    // unrelated docs each keep themselves
+    assert(out.filter(_._1 >= 1000L).filterNot(_._1 == 1505L)
+      .forall { case (id, (comp, kept)) => comp == id && kept })
+  }
+
   test("d5 blocking is similarity-preserving: finds pairs across old id-blocks") {
     val out = Dedup.queries("d5_ngram_jaccard")(spark, fixtureDir).collect()
     val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -49,7 +65,7 @@ class DedupSpec extends AnyFunSuite {
     val j = out.find(r => r.getLong(0) == 5L && r.getLong(1) == 505L).get.getDouble(4)
     assert(j > 0.8, s"one-token edit should have token-3-gram jaccard > 0.8, got $j")
     // unrelated docs must NOT pair up (the round-1 parameterization paired everything)
-    assert(pairs.forall { case (a, b) => a == 5L && b == 505L || !(a >= 1000L && b >= 1000L) },
+    assert(pairs.forall { case (a, b) => a == 5L && b == 505L || (a == 5L || a == 505L) && b == 1505L || !(a >= 1000L && b >= 1000L) },
       s"no unrelated-doc pairs expected, got $pairs")
   }
 
