@@ -145,7 +145,8 @@ object Dedup {
 
   /** Distinct candidate (doc_a, doc_b) pairs from the pruned band buckets —
     * dedup BEFORE scoring so a pair colliding in k bands is compared once,
-    * and only scalar pair keys shuffle.
+    * and only scalar pair keys shuffle. Cached: d3, d5 and d9 all consume
+    * the identical plan, so one materialization serves the family.
     */
   private def lshCandidatePairs(bands: DataFrame): DataFrame = {
     val a = bands.as("a"); val b = bands.as("b")
@@ -155,6 +156,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .cache()
   }
 
   /** Shared oracle CTE chain mirroring [[lshSigs]]/[[lshBands]]/[[lshCandidatePairs]]:
