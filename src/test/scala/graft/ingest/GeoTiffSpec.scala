@@ -266,7 +266,11 @@ class GeoTiffSpec extends AnyFunSuite {
     val payloads = Seq(
       Array.tabulate(4096)(i => (i % 251).toByte),
       Array.fill(2048)(rnd.nextInt(256).toByte),
-      Array.tabulate(3000)(i => if (i % 7 < 5) 42.toByte else (i % 13).toByte))
+      Array.tabulate(3000)(i => if (i % 7 < 5) 42.toByte else (i % 13).toByte),
+      // large, low-entropy payload: grows the table through the 10/11/12-bit
+      // widths AND past 4093 entries, exercising the mid-stream CLEAR+reset
+      Array.tabulate(120000)(i => ((i * i + i / 3) % 97).toByte),
+      Array.fill(65536)(rnd.nextInt(7).toByte))
     payloads.foreach { p =>
       val enc = TiffFixture.lzwEncode(p)
       assert(TiffLzw.decode(enc, 0, enc.length, p.length).toSeq == p.toSeq)
