@@ -70,6 +70,10 @@ object Archives {
         val padded = ((size + 511) / 512) * 512
         off = dataStart + padded.toInt
         if (typeFlag == '0' || typeFlag == 0.toChar) {
+          // copyOfRange would silently ZERO-PAD past the end of a truncated
+          // archive — fail loudly instead of fabricating member bytes
+          require(dataStart + size <= bytes.length,
+            s"tar: member '$name' claims ${size} bytes but archive is truncated")
           nextMember = Member(name, java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + size.toInt))
         } else advance()
       }

@@ -73,6 +73,19 @@ class ArchivesSpec extends AnyFunSuite {
     assert(got.head.bytes.sameElements(raw))
   }
 
+  test("truncated tar fails loudly instead of zero-padding member bytes") {
+    val full = Archives.tar(Seq(
+      Archives.Member("grid.asc", Array.fill[Byte](1024)(5))))
+    val truncated = java.util.Arrays.copyOf(full, 700) // header + partial data
+    val e = intercept[IllegalArgumentException](Archives.untar(truncated).toSeq)
+    assert(e.getMessage.contains("truncated"))
+  }
+
+  test("corrupt gzip surfaces a zip exception, not garbage members") {
+    val bad = Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3, 4, 5, 6, 7, 8)
+    intercept[java.util.zip.ZipException](Archives.expand("x.gz", bad).toSeq)
+  }
+
   test("nested tar (monthly of daily) expands with two passes") {
     val daily = Archives.tar(Seq(Archives.Member("h1.asc", "x".getBytes)))
     val monthly = Archives.tar(Seq(Archives.Member("d1.tar", daily)))
