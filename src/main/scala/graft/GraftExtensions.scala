@@ -38,7 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_sorted_intersect", "graft_sorted_intersect(a, b) - |A intersect B| for sorted arrays"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("graft_simhash_agg"),
-      info("graft_simhash_agg", "graft_simhash_agg(h) - 32-bit SimHash aggregate over token hashes"),
+      info("graft_simhash_agg", "graft_simhash_agg(h) - 60-bit SimHash aggregate over token hashes"),
       (exprs: Seq[Expression]) => SimHashAgg(exprs.head)))
     ext.injectFunction((FunctionIdentifier("st_area"),
       info("st_area", "st_area(geom) - shoelace area, holes negative"),

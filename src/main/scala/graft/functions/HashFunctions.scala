@@ -264,12 +264,18 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** `graft_simhash_agg(hash: long) -> long`: 32-bit SimHash over a group's
+/** `graft_simhash_agg(hash: long) -> long`: 60-bit SimHash over a group's
   * token hashes in ONE aggregate pass — per-bit majority votes accumulate in a
-  * 32-int buffer (update: +-1 per bit, merge: elementwise add, eval: pack bits
-  * with positive votes). Replaces the explode-x32 formulation: same result as
-  * `sum(CASE WHEN votes > 0 THEN 1<<b END)` over per-(doc,b) vote sums, at
-  * 1/32nd the shuffled rows and with map-side partial aggregation.
+  * 60-int buffer (update: +-1 per bit, merge: elementwise add, eval: pack bits
+  * with positive votes). Replaces the explode-per-bit formulation: same result
+  * as `sum(CASE WHEN votes > 0 THEN 1<<b END)` over per-(doc,b) vote sums, at
+  * 1/60th the shuffled rows and with map-side partial aggregation.
+  *
+  * Width is 60 (not 64) because [[HashFunctions.hash60]] is the portable
+  * 60-bit token hash: 15 md5 hex digits is the widest prefix DuckDB can CAST
+  * to BIGINT without sign overflow, and a 60-bit fingerprint stays positive,
+  * keeping every derived shift/band below the engine's 2^62 arithmetic bound.
+  * Banding splits it into 4 x 15-bit bands (32768-value key space each).
   */
 case class SimHashAgg(
     child: Expression,
@@ -278,16 +284,18 @@ case class SimHashAgg(
   extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Int]]
   with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
 
+  import SimHashAgg.Width
+
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
-  override def createAggregationBuffer(): Array[Int] = new Array[Int](32)
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](Width)
 
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
       var b = 0
-      while (b < 32) {
+      while (b < Width) {
         buf(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
         b += 1
       }
@@ -297,14 +305,14 @@ case class SimHashAgg(
 
   override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
     var i = 0
-    while (i < 32) { a(i) += b(i); i += 1 }
+    while (i < Width) { a(i) += b(i); i += 1 }
     a
   }
 
   override def eval(buf: Array[Int]): Any = {
     var out = 0L
     var b = 0
-    while (b < 32) {
+    while (b < Width) {
       if (buf(b) > 0) out |= (1L << b)
       b += 1
     }
@@ -312,13 +320,13 @@ case class SimHashAgg(
   }
 
   override def serialize(buf: Array[Int]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(128)
+    val bb = java.nio.ByteBuffer.allocate(4 * Width)
     buf.foreach(bb.putInt)
     bb.array()
   }
   override def deserialize(bytes: Array[Byte]): Array[Int] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    Array.fill(32)(bb.getInt())
+    Array.fill(Width)(bb.getInt())
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
@@ -326,6 +334,11 @@ case class SimHashAgg(
   override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(c: Expression): SimHashAgg = copy(child = c)
+}
+
+object SimHashAgg {
+  /** Fingerprint width in bits — the full entropy of the portable hash60. */
+  val Width = 60
 }
 
 object HashRegistry {

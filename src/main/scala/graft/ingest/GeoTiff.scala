@@ -304,8 +304,9 @@ object GeoTiff {
 
 /** TIFF-variant LZW decoder (Compression=5): MSB-first bit packing, codes
   * start at 9 bits, ClearCode=256, EOI=257, code width grows one entry
-  * EARLY (libtiff convention: at table size 510/1022/2046 the next code is
-  * read at the wider size).
+  * EARLY (libtiff convention: when the table reaches (1 << width) - 1
+  * entries — 511/1023/2047 — the next code is read at the wider size, one
+  * entry before the current width would overflow).
   */
 object TiffLzw {
 

@@ -8,15 +8,23 @@ import graft.Tables
   * over the embeddings table (stratified sampling / dedup-by-cluster /
   * curriculum bucketing all start from exactly this assignment step).
   *
-  * Declarative formulation — the whole 3-iteration run is ONE Catalyst plan,
-  * no driver-side collect between iterations:
+  * The Lloyd machinery is shared: e1 runs it as the user-facing clustering
+  * query; Similarity.s3 runs it to TRAIN its IVF coarse quantizer (k = ~sqrt
+  * of the corpus size). Each step is declarative:
   *   - assign: corpus x broadcast(k centroids) with a fold-left squared
   *     distance (`aggregate(zip_with(...))` — IEEE-identical to the
-  *     oracle's in-order list fold), argmin via a (dist, cid) window rank;
+  *     oracle's in-order list fold), argmin via a lexicographic (dist2, cid)
+  *     struct-min aggregate (hash agg with map-side combine, no window sort);
   *   - update: explode the 64 dims, per-(cluster, dim) mean with the sum
   *     routed through DECIMAL(28,14) (exact, order-independent — double
   *     partial-agg order differs between engines), rebuilt into an array
   *     with an ORDER BY dim collect.
+  *
+  * Between iterations the (tiny, k x 64-double) centroid frame is
+  * localCheckpoint'ed: without that, iteration i's plan re-derives every
+  * prior assign/update on each action — harmless at k=4 but quadratic work
+  * at real scale (on a production cluster a reliable `checkpoint()` against
+  * the cluster FS gives the same truncation with executor-loss tolerance).
   *
   * At 100 TB: centroids are k x 64 doubles — always a broadcast; the corpus
   * is scanned once per iteration with no shuffle except the k x 64-row
@@ -27,33 +35,28 @@ object Clustering {
 
   private val K = 4
   private val Iters = 3
-  private val Dims = 64
+  private[operators] val Dims = 64
 
-  private def e1Kmeans(s: SparkSession, d: String): DataFrame = {
-    val vecs = Tables.embeddings(s, d)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .cache()
-    // seeded init: the K lowest vec_ids are the starting centroids
-    var cents = vecs.orderBy("vec_id").limit(K)
-      .select(col("vec_id").as("cid"), col("v").as("c"))
+  /** Lloyd assignment: (vec_id, v, cid, dist2) — nearest centroid by squared
+    * euclidean distance, ties to the lowest cid.
+    */
+  private[operators] def assignStep(vecs: DataFrame, cs: DataFrame): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(cs))
+      .withColumn("dist2",
+        expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
+    scored
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist2"), col("cid"))).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("m.cid").as("cid"), col("m.dist2").as("dist2"))
+  }
 
-    def assign(cs: DataFrame): DataFrame = {
-      val scored = vecs.crossJoin(broadcast(cs))
-        .withColumn("dist2",
-          expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
-      // argmin as a lexicographic struct-min aggregate — hash agg with
-      // map-side combine, no per-iteration window sort; (dist2, cid) gives
-      // the same total tie-break order as the oracle's row_number
-      scored
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist2"), col("cid"))).as("m"), first(col("v")).as("v"))
-        .select(col("vec_id"), col("v"), col("m.cid").as("cid"), col("m.dist2").as("dist2"))
-    }
-
-    for (_ <- 1 to Iters) {
-      val assigned = assign(cents)
-      // exact elementwise mean: DECIMAL sum is associative, so Spark's and
-      // DuckDB's different partial-agg orders produce identical centroids
+  /** `iters` Lloyd rounds from `cents0` ((cid, c)); returns the trained
+    * centroids. Lineage is truncated per iteration (see class doc).
+    */
+  private[operators] def kmeans(vecs: DataFrame, cents0: DataFrame, iters: Int): DataFrame = {
+    var cents = cents0
+    for (_ <- 1 to iters) {
+      val assigned = assignStep(vecs, cents)
       cents = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
@@ -61,32 +64,64 @@ object Clustering {
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cid"), expr("transform(dm, e -> e.m)").as("c"))
+        .localCheckpoint()
     }
+    cents
+  }
 
-    assign(cents)
+  /** Oracle twin of [[assignStep]]: CTE `out` = (vec_id, v, cid, dist2). */
+  private[operators] def assignCte(vecsRel: String, centsRel: String, out: String): String = {
+    val dist = s"list_sum(list_transform(range(1, ${Dims + 1}), i -> (a.v[i] - c.c[i]) * (a.v[i] - c.c[i])))"
+    s"""$out AS (
+       |  SELECT vec_id, v, cid, dist2 FROM (
+       |    SELECT a.vec_id, a.v, c.cid, $dist AS dist2,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $dist, c.cid) AS rk
+       |    FROM $vecsRel a, $centsRel c)
+       |  WHERE rk = 1
+       |)""".stripMargin
+  }
+
+  /** Oracle twin of the centroid update inside [[kmeans]]. */
+  private[operators] def updateCte(assignRel: String, out: String): String =
+    s"""$out AS (
+       |  SELECT cid, list(m ORDER BY dim) AS c FROM (
+       |    SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
+       |    FROM (SELECT cid, r.range AS dim, v[r.range + 1] AS x
+       |          FROM $assignRel, range(0, $Dims) r)
+       |    GROUP BY cid, dim)
+       |  GROUP BY cid
+       |)""".stripMargin
+
+  /** Oracle twin of [[kmeans]]: appends assign/update CTE pairs to `ctes`,
+    * returning the name of the final centroid CTE. `prefix` keeps names
+    * unique when several k-means chains share one query.
+    */
+  private[operators] def kmeansCtes(
+      ctes: scala.collection.mutable.ListBuffer[String],
+      vecsRel: String, cents0Rel: String, iters: Int, prefix: String): String = {
+    var cur = cents0Rel
+    for (it <- 1 to iters) {
+      ctes += assignCte(vecsRel, cur, s"${prefix}assign$it")
+      ctes += updateCte(s"${prefix}assign$it", s"${prefix}cents$it")
+      cur = s"${prefix}cents$it"
+    }
+    cur
+  }
+
+  private def e1Kmeans(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .cache()
+    // seeded init: the K lowest vec_ids are the starting centroids
+    val cents0 = vecs.orderBy("vec_id").limit(K)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val cents = kmeans(vecs, cents0, Iters)
+    assignStep(vecs, cents)
       .select(col("vec_id"), col("cid").as("cluster"), round(col("dist2"), 6).as("dist2_r"))
       .orderBy("vec_id")
   }
 
   private val e1Sql = {
-    val dist = "list_sum(list_transform(range(1, 65), i -> (a.v[i] - c.c[i]) * (a.v[i] - c.c[i])))"
-    def assignCte(vecsRel: String, centsRel: String, out: String) =
-      s"""$out AS (
-         |  SELECT vec_id, v, cid, dist2 FROM (
-         |    SELECT a.vec_id, a.v, c.cid, $dist AS dist2,
-         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $dist, c.cid) AS rk
-         |    FROM $vecsRel a, $centsRel c)
-         |  WHERE rk = 1
-         |)""".stripMargin
-    def updateCte(assignRel: String, out: String) =
-      s"""$out AS (
-         |  SELECT cid, list(m ORDER BY dim) AS c FROM (
-         |    SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
-         |    FROM (SELECT cid, r.range AS dim, v[r.range + 1] AS x
-         |          FROM $assignRel, range(0, $Dims) r)
-         |    GROUP BY cid, dim)
-         |  GROUP BY cid
-         |)""".stripMargin
     val ctes = new scala.collection.mutable.ListBuffer[String]
     ctes += s"""vecs AS (
                |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -95,11 +130,8 @@ object Clustering {
     ctes += s"""cents0 AS (
                |  SELECT vec_id AS cid, v AS c FROM vecs ORDER BY vec_id LIMIT $K
                |)""".stripMargin
-    for (it <- 1 to Iters) {
-      ctes += assignCte("vecs", s"cents${it - 1}", s"assign$it")
-      ctes += updateCte(s"assign$it", s"cents$it")
-    }
-    ctes += assignCte("vecs", s"cents$Iters", "final_assign")
+    val finalCents = kmeansCtes(ctes, "vecs", "cents0", Iters, "")
+    ctes += assignCte("vecs", finalCents, "final_assign")
     s"""WITH ${ctes.mkString(",\n")}
        |SELECT vec_id, cid AS cluster, round(dist2, 6) AS dist2_r
        |FROM final_assign ORDER BY vec_id""".stripMargin

@@ -213,9 +213,12 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // d4 — SimHash (32-bit): per-token hash bit votes, majority per bit, folded
+  // d4 — SimHash (60-bit): per-token hash bit votes, majority per bit, folded
   // into ONE aggregate pass by the [[graft.functions.SimHashAgg]] custom
-  // aggregate (32-int vote buffer, map-side partial agg) — no x32 bit explode.
+  // aggregate (60-int vote buffer, map-side partial agg) — no per-bit explode.
+  // 60 bits is the full entropy of the portable hash60 (15 md5 hex digits —
+  // the widest prefix DuckDB casts to BIGINT without sign overflow); the
+  // round-2 fingerprint was 32 bits, whose byte-bands made d7 quadratic.
   private def d4Simhash(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashRegistry.register(s)
     Tables.documents(s, d)
@@ -223,33 +226,51 @@ object Dedup {
       .withColumn("h", expr("graft_hash60(tok)")) // JVM-native, not conv/BigInteger
       .groupBy("doc_id")
       .agg(expr("graft_simhash_agg(h)").as("simhash"))
-      .withColumn("sim_bucket", expr("simhash >> 24").cast(IntegerType))
+      .withColumn("sim_bucket", expr(s"simhash >> ${SimhashWidth - 8}").cast(IntegerType))
       .orderBy("doc_id")
   }
 
+  private val SimhashWidth = graft.functions.SimHashAgg.Width // 60
+
   private val d4Sql =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash,
-      |  CAST(CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) >> 24 AS INTEGER) AS sim_bucket
+      |  CAST(CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) >> ${SimhashWidth - 8} AS INTEGER) AS sim_bucket
       |FROM (
       |  SELECT doc_id, r.range AS b, sum(CASE WHEN (h >> r.range) & 1 = 1 THEN 1 ELSE -1 END) AS votes
       |  FROM (
       |    SELECT doc_id, CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h
-      |    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents)
-      |  ), range(0, 32) r
+      |    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents)
+      |  ), range(0, $SimhashWidth) r
       |  GROUP BY doc_id, r.range)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // d7 — SimHash hamming near-dup pairs: candidates from 4 byte-bands of the
-  // 32-bit hash (pigeonhole: any pair with hamming <= 3 shares at least one
-  // unchanged byte), verified by bit_count(xor). Same bucket-join shape as
-  // d3 — prune singleton/oversize buckets, distinct scalar pair keys.
+  // d7 — SimHash hamming near-dup pairs: candidates from 4 x 15-bit bands of
+  // the 60-bit fingerprint (pigeonhole: any pair with hamming <= 3 shares at
+  // least one unchanged band), verified by bit_count(xor). Same bucket-join
+  // shape as d3 — prune singleton/oversize buckets, distinct scalar pair keys.
+  // The round-2 byte-bands had a 256-value key space, so unrelated docs
+  // collided at p = 1/256 per band — expected candidates ~ 4 n^2 / 512,
+  // quadratic with a small constant. 15-bit bands shrink the constant 128x
+  // (p = 1/32768); with the bucket-size cap the candidate count stays ~linear
+  // in corpus size for cluster-shaped dup distributions (pinned by spec).
   private def d7SimhashPairs(s: SparkSession, d: String): DataFrame = {
     val sims = d4Simhash(s, d).select("doc_id", "simhash").cache()
+    simhashCandidates(sims)
+      .where(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Distinct candidate (doc_a, doc_b, hamming) pairs from the 15-bit band
+    * buckets of a (doc_id, simhash) frame — d7's blocking stage, exposed
+    * package-private so the scale spec can pin its ~linear candidate growth
+    * independently of the hamming verification filter.
+    */
+  private[operators] def simhashCandidates(sims: DataFrame): DataFrame = {
     val bands = sims.select(col("doc_id"), col("simhash"),
-      posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, b * 8) & 255)"))
+      posexplode(expr(s"transform(sequence(0, 3), b -> shiftright(simhash, b * $SimhashBandBits) & $SimhashBandMask)"))
         .as(Seq("band_idx", "band_key")))
     val keep = bands.groupBy("band_idx", "band_key").agg(count(lit(1)).as("bsz"))
       .where(col("bsz") >= 2 && col("bsz") <= SimhashMaxBucket)
@@ -263,18 +284,18 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .distinct()
-      .where(col("hamming") <= 3)
-      .orderBy("doc_a", "doc_b")
   }
 
   private val SimhashMaxBucket = 64
+  private val SimhashBandBits = 15  // 4 bands x 15 bits = the 60-bit fingerprint
+  private val SimhashBandMask = (1 << SimhashBandBits) - 1
 
   private val d7Sql =
     s"""WITH sims AS (
        |  ${d4Sql.replace("ORDER BY doc_id", "")}
        |), bands AS (
        |  SELECT doc_id, simhash, r.range AS band_idx,
-       |    (simhash >> (r.range * 8)) & 255 AS band_key
+       |    (simhash >> (r.range * $SimhashBandBits)) & $SimhashBandMask AS band_key
        |  FROM sims, range(0, 4) r
        |), keep AS (
        |  SELECT band_idx, band_key FROM bands GROUP BY band_idx, band_key
@@ -370,28 +391,19 @@ object Dedup {
   // ---------------------------------------------------------------------------
   // d8 — embedding near-dup at scale: d6's exact cosine threshold, but over
   // LSH-blocked candidates instead of the all-pairs cross join — the same
-  // (L=4, k=4) multi-table construction as s2 (planes = embeddings of fixed
-  // vec_ids). Pairs sharing a key in ANY table get the exact cosine check.
-  // The cross join touches n^2/2 pairs; this touches only co-keyed ones
-  // (~the strong pairs plus a bounded noise floor), with the corpus
-  // shuffling once on (table, key).
+  // multi-table corpus-scaled-key construction as s2 ([[Similarity.lshKeys]]:
+  // planes = embeddings of fixed vec_ids, key width grows with log(n) so
+  // buckets stay ~32 vectors at any corpus size). Pairs sharing a key in ANY
+  // table get the exact cosine check. The cross join touches n^2/2 pairs;
+  // this touches only co-keyed ones (~the strong pairs plus a bounded noise
+  // floor), with the corpus shuffling once on (table, key).
   private def d8EmbedLshDedup(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       .cache()
-    val sigs = e.crossJoin(broadcast(
-        e.where(col("vec_id") < Similarity.LshTables * Similarity.LshTableBits)
-          .select(col("vec_id").as("pid"), col("v").as("pv"))))
-      .withColumn("dot", expr("graft_dot(v, pv)"))
-      .groupBy("vec_id")
-      .agg(sum(when(col("dot") > 0, expr("shiftleft(CAST(1 AS BIGINT), pid)")).otherwise(0L))
-        .as("sig"))
-    val keyed = sigs.select(col("vec_id"),
-      posexplode(expr(s"transform(sequence(0, ${Similarity.LshTables - 1}), " +
-        s"t -> shiftright(sig, t * ${Similarity.LshTableBits}) & ${(1 << Similarity.LshTableBits) - 1})"))
-        .as(Seq("tbl", "key")))
+    val keyed = Similarity.lshKeys(e)
     val a = keyed.as("a"); val b = keyed.as("b")
     val cand = a.join(b,
         col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
@@ -408,16 +420,8 @@ object Dedup {
   }
 
   private val d8Sql =
-    s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |planes AS (SELECT vec_id AS pid, v AS pv FROM ev WHERE vec_id < ${Similarity.LshTables * Similarity.LshTableBits}),
-      |sigs AS (
-      |  SELECT e.vec_id, CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
-      |    THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS sig
-      |  FROM ev e, planes p GROUP BY e.vec_id
-      |), keyed AS (
-      |  SELECT vec_id, r.range AS tbl, (sig >> (r.range * ${Similarity.LshTableBits})) & ${(1 << Similarity.LshTableBits) - 1} AS key
-      |  FROM sigs, range(0, ${Similarity.LshTables}) r
-      |), cand AS (
+    s"""WITH ${Similarity.lshKeysSqlCtes},
+      |cand AS (
       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       |  FROM keyed a JOIN keyed b ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id
       |)
@@ -454,16 +458,30 @@ object Dedup {
     // else is trivially their own component and joins back at the end
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).cache()
+    var cached = labels // persisted frame backing `labels`, for unpersist
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
+      // convergence detection is FUSED into the propagation agg: each
+      // vertex's old label rides along as min(prev) (the self row carries
+      // it; propagated rows carry +inf), so ONE cached frame yields both
+      // the new labels and the changed count — no next-vs-prev rejoin.
+      // Labels only ever decrease, so changed = (label < prev).
       val prop = edges.join(labels, edges("dst") === labels("doc_id"))
-        .select(col("src").as("doc_id"), col("label"))
-      val next = labels.select("doc_id", "label").union(prop)
-        .groupBy("doc_id").agg(min("label").as("label")).cache()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .where(col("label") =!= col("prev")).count()
-      labels.unpersist() // superseded round — don't pin k label frames
-      labels = next
+        .select(col("src").as("doc_id"), col("label"), lit(Long.MaxValue).as("prev"))
+      val next = labels.select(col("doc_id"), col("label"), col("label").as("prev"))
+        .union(prop)
+        .groupBy("doc_id").agg(min("label").as("label"), min("prev").as("prev"))
+      // chain-shaped components make rounds ~ diameter: localCheckpoint
+      // every 5 rounds truncates the growing iteration lineage (cache alone
+      // keeps the full plan; a cache eviction at scale would re-derive every
+      // prior round)
+      val nextC = if (round % 5 == 0) next.localCheckpoint() else next.cache()
+      changed = nextC.where(col("label") < col("prev")).count()
+      cached.unpersist() // superseded round — don't pin k label frames
+      cached = nextC
+      labels = nextC.select("doc_id", "label")
     }
     edges.unpersist(); dupPairs.unpersist()
     Tables.documents(s, d).select("doc_id")

@@ -157,6 +157,10 @@ object RelationalOps {
   // per key — a SINGLE shuffle/sort on the key, versus the naive per-row
   // range subquery (quadratic) or an interval cross join. Reference rows
   // sort before probe rows at equal ts so "at or before" is inclusive.
+  // Same-ts purchase TIES resolve deterministically to the max (value,
+  // event_id) — encoded in the window sort key here and as a row_number
+  // pre-dedup of the purchase side in the oracle (both engines' native
+  // tie handling is arbitrary, which would break the hash compare).
   // Oracle: DuckDB's NATIVE `ASOF JOIN` — an independent implementation of
   // the same semantics.
   private def j9AsofJoin(s: SparkSession, d: String): DataFrame = {
@@ -164,11 +168,15 @@ object RelationalOps {
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"),
         lit(null).cast("timestamp").as("p_ts"), lit(null).cast("double").as("p_value"),
-        lit(1).as("is_probe"))
+        lit(null).cast("long").as("p_id"), lit(1).as("is_probe"))
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
-        col("ts").as("p_ts"), col("value").as("p_value"), lit(0).as("is_probe"))
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("is_probe"))
+        col("ts").as("p_ts"), col("value").as("p_value"),
+        col("event_id").as("p_id"), lit(0).as("is_probe"))
+    // (p_value, p_id) extend the sort key so the LAST purchase row at any ts
+    // is the max-(value, event_id) one — no extra shuffle, just a wider sort
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_probe"), col("p_value"), col("p_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
       .withColumn("m", last(
@@ -184,7 +192,11 @@ object RelationalOps {
     """SELECT a.event_id AS click_id, a.user_id, a.ts AS click_ts,
       |  b.ts AS purchase_ts, b.value AS purchase_value
       |FROM (SELECT * FROM events WHERE event_type = 'click') a
-      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |ASOF JOIN (
+      |  SELECT user_id, ts, value FROM (
+      |    SELECT user_id, ts, value,
+      |      row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'purchase') WHERE rn = 1) b
       |  ON a.user_id = b.user_id AND a.ts >= b.ts
       |ORDER BY click_id""".stripMargin
 

@@ -29,10 +29,16 @@ object Similarity {
 
   private val TopK = 10
   // multi-table LSH parameterization — shared with Dedup.d8 (same planes,
-  // same keys), so retuning here keeps both operators and their oracles
-  // in sync
+  // same keys), so retuning here keeps both operators and their oracles in
+  // sync. The key WIDTH is corpus-scaled (see [[lshKeys]]): nbits =
+  // clamp(4, 24, ceil(log2(ceil(n/32)))), so buckets stay ~32 vectors at any
+  // corpus size — at round 2's fixed 4 bits the band self-join was O(n^2/16)
+  // pairs, a disguised cross join at 100 TB. At the verify SF (n=500) the
+  // formula yields exactly 4, preserving round-2 results bit-for-bit.
   private[operators] val LshTables = 4
-  private[operators] val LshTableBits = 4
+  private[operators] val LshMinBits = 4
+  private[operators] val LshMaxBits = 24
+  private[operators] val LshTargetBucket = 32
 
   private def vecsD(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
@@ -75,32 +81,67 @@ object Similarity {
        |WHERE rk <= $TopK
        |ORDER BY qid, rk""".stripMargin
 
+  /** Corpus-keyed LSH tables over a [[vecsD]] frame: (vec_id, tbl, key) with
+    * key width nbits = clamp(LshMinBits, LshMaxBits, ceil(log2(ceil(n /
+    * LshTargetBucket)))) — buckets hold ~LshTargetBucket vectors at ANY
+    * corpus size, so the downstream band self-join never degenerates toward
+    * a cross product. nbits is computed integer-exactly as the bit length of
+    * ceil(n/target)-1 via bin() (a float log2 could round differently
+    * between engines exactly at power-of-2 boundaries). Table t is keyed by
+    * the sign bits against planes pid in [t*nbits, (t+1)*nbits) — planes are
+    * embeddings of the lowest vec_ids, so both engines derive identical
+    * planes without a shared RNG. Shared by s2 and Dedup.d8.
+    */
+  private[operators] def lshKeys(e: DataFrame): DataFrame = {
+    val params = e.agg(count(lit(1)).as("n"))
+      .select(least(lit(LshMaxBits), greatest(lit(LshMinBits),
+        length(bin(expr(s"(n + ${LshTargetBucket - 1}) div $LshTargetBucket - 1")))))
+        .cast("int").as("nbits"))
+    val planes = e.crossJoin(broadcast(params))
+      .where(col("vec_id") < lit(LshTables) * col("nbits"))
+      .select(col("vec_id").as("pid"), col("v").as("pv"), col("nbits"))
+    e.crossJoin(broadcast(planes))
+      .withColumn("dot", expr("graft_dot(v, pv)"))
+      .select(col("vec_id"), expr("pid div nbits").as("tbl"),
+        expr("pid % nbits").as("bit"), col("dot"))
+      .groupBy("vec_id", "tbl")
+      .agg(sum(when(col("dot") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("key"))
+  }
+
+  /** Oracle CTE chain mirroring [[lshKeys]]: defines ev/params/planes/keyed.
+    * DuckDB `//` floors and Spark `div` truncates, but every operand here is
+    * non-negative, so the arithmetic agrees.
+    */
+  private[operators] val lshKeysSqlCtes: String =
+    s"""ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |params AS (
+       |  SELECT least($LshMaxBits, greatest($LshMinBits,
+       |    length(bin((count(*) + ${LshTargetBucket - 1}) // $LshTargetBucket - 1)))) AS nbits
+       |  FROM embeddings
+       |), planes AS (
+       |  SELECT vec_id AS pid, v AS pv, nbits FROM ev, params WHERE vec_id < $LshTables * nbits
+       |), keyed AS (
+       |  SELECT e.vec_id, p.pid // p.nbits AS tbl,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
+       |      THEN (1::BIGINT << (p.pid % p.nbits)) ELSE 0 END) AS BIGINT) AS key
+       |  FROM ev e, planes p GROUP BY e.vec_id, tbl
+       |)""".stripMargin
+
   // ---------------------------------------------------------------------------
   // s2 — MULTI-TABLE LSH ANN: LshTables independent hash tables, each keyed
-  // by LshTableBits sign bits against data-derived hyperplanes (embeddings
+  // by corpus-scaled sign bits against data-derived hyperplanes (embeddings
   // of fixed vec_ids, so both engines derive identical planes without a
   // shared RNG). A candidate is any corpus vector sharing a query's key in
   // ANY table — the standard (L, k) LSH construction: single-table sign-LSH
   // has near-zero recall at moderate cosine, while L tables multiply recall
   // at L x the bucket probes. Query batch vec_id in [100, 105); top-3 by
   // cosine over the deduped candidates. At scale the corpus shuffles ONCE
-  // on (table, key) — the exploded corpus is L x rows of (key, id) pairs,
+  // on (table, key) — the keyed corpus is L x rows of (key, id) pairs,
   // vectors rejoin by id after the (tiny) candidate dedup.
   private def s2LshAnn(s: SparkSession, d: String): DataFrame = {
     val e = vecsD(s, d).cache() // reused: planes, signatures, query, corpus
-    val nPlanes = LshTables * LshTableBits
-    val planes = e.where(col("vec_id") < nPlanes)
-      .select(col("vec_id").as("pid"), col("v").as("pv"))
-    // 16-bit signature: sum over planes of 2^pid * (dot > 0)
-    val sigs = e.crossJoin(broadcast(planes))
-      .withColumn("dot", expr("graft_dot(v, pv)"))
-      .groupBy("vec_id")
-      .agg(sum(when(col("dot") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), pid)")).otherwise(0L)).as("sig"))
-    val keyed = sigs.select(col("vec_id"),
-      posexplode(expr(s"transform(sequence(0, ${LshTables - 1}), " +
-        s"t -> shiftright(sig, t * $LshTableBits) & ${(1 << LshTableBits) - 1})"))
-        .as(Seq("tbl", "key")))
+    val keyed = lshKeys(e)
     val qk = keyed.where(col("vec_id") >= 100 && col("vec_id") < 105)
       .select(col("vec_id").as("qid"), col("tbl"), col("key"))
     val cand = broadcast(qk).join(keyed.select(col("vec_id").as("cid"), col("tbl"), col("key")),
@@ -120,20 +161,9 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
-  private val s2Sql = {
-    val nPlanes = LshTables * LshTableBits
-    val mask = (1 << LshTableBits) - 1
-    s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |planes AS (
-       |  SELECT vec_id AS pid, v AS pv FROM ev WHERE vec_id < $nPlanes
-       |), sigs AS (
-       |  SELECT e.vec_id, CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
-       |    THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS sig
-       |  FROM ev e, planes p GROUP BY e.vec_id
-       |), keyed AS (
-       |  SELECT vec_id, r.range AS tbl, (sig >> (r.range * $LshTableBits)) & $mask AS key
-       |  FROM sigs, range(0, $LshTables) r
-       |), cand AS (
+  private val s2Sql =
+    s"""WITH $lshKeysSqlCtes,
+       |cand AS (
        |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
        |  FROM keyed q JOIN keyed c ON q.tbl = c.tbl AND q.key = c.key AND q.vec_id <> c.vec_id
        |  WHERE q.vec_id >= 100 AND q.vec_id < 105
@@ -146,31 +176,46 @@ object Similarity {
        |  FROM cand JOIN ev q ON q.vec_id = cand.qid JOIN ev c ON c.vec_id = cand.cid)
        |WHERE rk <= 3
        |ORDER BY qid, rk""".stripMargin
-  }
 
   // ---------------------------------------------------------------------------
-  // s3 — IVF-style ANN: coarse quantization by nearest of 8 data-derived
-  // centroids (cells), queries probe their nprobe=2 best cells and rank only
-  // those candidates. At scale the corpus partitions by cell id once
-  // (shuffle on cell), and each query touches nprobe partitions — the
-  // classic inverted-file trade of recall for a bounded candidate set.
-  private val NumCells = 8
+  // s3 — IVF ANN with a TRAINED coarse quantizer: k = max(8, ceil(sqrt(n)))
+  // centroids (the standard IVF sizing — cell population ~sqrt(n), so probe
+  // cost grows as sqrt of the corpus instead of linearly as with round 2's 8
+  // fixed cells), initialized from the lowest vec_ids and refined with 2
+  // Lloyd rounds of the shared Clustering machinery. Vectors live in their
+  // nearest cell (squared-euclidean argmin — the metric k-means optimizes);
+  // queries probe their nprobe=2 best cells and rank only those candidates
+  // by cosine. At scale the corpus partitions by cell id once (shuffle on
+  // cell), and each query touches nprobe cells — the classic inverted-file
+  // trade of recall for a bounded candidate set.
   private val NProbe = 2
+  private val IvfIters = 2
 
   private def s3IvfAnn(s: SparkSession, d: String): DataFrame = {
     val e = vecsD(s, d).cache()
-    val cents = e.where(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // rank centroids per vector by cosine; rank 1 = assignment, <= NProbe = probes
+    val vecs = e.select(col("vec_id"), col("v"))
+    // k = max(8, ceil(sqrt(n))): sqrt is correctly rounded in IEEE, so ceil
+    // agrees between engines (exact at perfect squares, unambiguous off them)
+    val params = e.agg(greatest(lit(8), ceil(sqrt(count(lit(1))))).cast("int").as("k"))
+    val cents0 = vecs.crossJoin(broadcast(params))
+      .where(col("vec_id") < col("k"))
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val cents = Clustering.kmeans(vecs, cents0, IvfIters)
+    // rank trained cells per vector by euclid distance; rank 1 = home cell,
+    // <= NProbe = the query's probe set
+    val dist2 = expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)")
     val ranked = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      .withColumn("dist2", dist2)
       .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
+        Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))))
     val assigned = ranked.where(col("crk") === 1)
-      .select(col("vec_id").as("cid"), col("v").as("bd"), col("nrm").as("nb"), col("cell"))
+      .select(col("vec_id").as("cid2"), col("v").as("bd"), col("nrm").as("nb"),
+        col("cid").as("cell"))
+      .withColumnRenamed("cid2", "cid")
     val probes = ranked.where(col("crk") <= NProbe &&
         col("vec_id") >= 200 && col("vec_id") < 205)
-      .select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"), col("cell"))
+      .select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"),
+        col("cid").as("cell"))
     broadcast(probes).join(assigned, Seq("cell"))
       .where(col("qid") =!= col("cid"))
       .withColumn("cos", cosCol)
@@ -181,20 +226,25 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
-  private val s3Sql =
-    s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |cents AS (SELECT vec_id AS cell, v AS cv FROM ev WHERE vec_id < $NumCells),
-       |ranked AS (
-       |  SELECT e.vec_id, e.v, c.cell,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS crk
-       |  FROM ev e, cents c
-       |), assigned AS (
-       |  SELECT vec_id AS cid, v AS bv, cell FROM ranked WHERE crk = 1
-       |), probes AS (
-       |  SELECT vec_id AS qid, v AS qv, cell FROM ranked
-       |  WHERE crk <= $NProbe AND vec_id >= 200 AND vec_id < 205
-       |)
+  private val s3Sql = {
+    val ctes = new scala.collection.mutable.ListBuffer[String]
+    ctes += "vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    ctes += "params AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM embeddings)"
+    ctes += "cents0 AS (SELECT vec_id AS cid, v AS c FROM vecs, params WHERE vec_id < k)"
+    val finalCents = Clustering.kmeansCtes(ctes, "vecs", "cents0", IvfIters, "ivf_")
+    val dist = s"list_sum(list_transform(range(1, ${Clustering.Dims + 1}), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))"
+    ctes += s"""ranked AS (
+               |  SELECT e.vec_id, e.v, c.cid AS cell,
+               |    row_number() OVER (PARTITION BY e.vec_id
+               |      ORDER BY $dist, c.cid) AS crk
+               |  FROM vecs e, $finalCents c
+               |)""".stripMargin
+    ctes += "assigned AS (SELECT vec_id AS cid, v AS bv, cell FROM ranked WHERE crk = 1)"
+    ctes += s"""probes AS (
+               |  SELECT vec_id AS qid, v AS qv, cell FROM ranked
+               |  WHERE crk <= $NProbe AND vec_id >= 200 AND vec_id < 205
+               |)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
        |SELECT qid, rk, cid, cell, cos_r FROM (
        |  SELECT p.qid, a.cid, a.cell,
        |    round(list_cosine_similarity(p.qv, a.bv), 6) AS cos_r,
@@ -204,6 +254,7 @@ object Similarity {
        |  WHERE p.qid <> a.cid)
        |WHERE rk <= 3
        |ORDER BY qid, rk""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> s1CosineTopK _,

@@ -17,6 +17,19 @@ import graft.api.RadoHydro.BasinInfo
   */
 object CsvSink {
 
+  /** DEFAULT sink entry: the cluster-scale [[writeScalable]] path (one
+    * partition directory per basin, fully distributed). `faithful = true`
+    * opts into the reference's byte-identical per-basin CSVs — that path
+    * collects the |basins| x |timestamps| series to the driver (bounded,
+    * but inherently non-distributed), so it is NOT the default. Returns the
+    * written file paths (faithful) or the output directory (scalable).
+    */
+  def write(series: DataFrame, basins: Seq[BasinInfo], outDir: String,
+      faithful: Boolean = false, outName: String = "radohydro",
+      header: String = "rainfall[mm/h]"): Seq[String] =
+    if (faithful) writeFaithful(series, basins, outDir, outName, header)
+    else { writeScalable(series, outDir); Seq(outDir) }
+
   /** Q3: zfill width via natural log (geotools.py:300). */
   def zfillWidth(nBasins: Int): Int =
     math.ceil(math.log(nBasins.toDouble)).toInt

@@ -130,6 +130,45 @@ class RadoHydroE2ESpec extends AnyFunSuite {
     assert(lines.size == 3 + 3)
   }
 
+  test("default sink is the scalable partitionBy path; content matches faithful modulo headers") {
+    assume(available)
+    val (dir, _) = buildFixture()
+    val res = RadoHydro.run(spark, dir, s"$examples/einzugsgebiet.shp",
+      RadoHydro.Config(datasource = "radolan"))
+    val scalDir = Files.createTempDirectory("rado_csv_scal").toString
+    val faithDir = Files.createTempDirectory("rado_csv_faith").toString
+    // default dispatch: no flag -> partitionBy tree, faithful=true -> per-basin files
+    assert(CsvSink.write(res.series, res.basins, scalDir) == Seq(scalDir))
+    val files = CsvSink.write(res.series, res.basins, faithDir, faithful = true)
+    assert(files.size == 5)
+    // parse faithful: skip the 3 header lines, rows are "yyMMddHHmm,value"
+    def parseVal(s: String): Double = if (s == "nan") Double.NaN else s.toDouble
+    val faithful = files.flatMap { f =>
+      val lines = Files.readAllLines(Paths.get(f))
+      val id = lines.get(0).stripPrefix("basin ID: ").trim.toInt
+      (3 until lines.size).map { i =>
+        val Array(t, v) = lines.get(i).split(",", 2)
+        (id, t) -> parseVal(v)
+      }
+    }.toMap
+    // parse scalable: basinID=<id>/ partition dirs of header'd (time, rainfall_mm)
+    val scalable = spark.read.option("header", "true").csv(scalDir)
+      .selectExpr("cast(basinID as string) AS id", "time", "rainfall_mm")
+      .collect().map { r =>
+        (r.getString(0).toInt, r.getString(1)) -> parseVal(r.getString(2))
+      }.toMap
+    assert(scalable.keySet == faithful.keySet,
+      s"row sets differ: ${scalable.keySet.size} vs ${faithful.keySet.size}")
+    faithful.foreach { case (k, fv) =>
+      val sv = scalable(k)
+      if (fv.isNaN) assert(sv.isNaN, s"$k: faithful nan, scalable $sv")
+      // both sides round to 3 dp; they differ only in half-rounding mode
+      // (faithful = numpy half-even, scalable = Spark round half-up), so
+      // parity holds to half an ULP at 3 dp
+      else assert(math.abs(sv - fv) <= 5.0001e-4, s"$k: faithful $fv, scalable $sv")
+    }
+  }
+
   test("wide SHAPEFILE sink (K2) writes basins + ts columns, readable back") {
     assume(available)
     val (dir, _) = buildFixture()

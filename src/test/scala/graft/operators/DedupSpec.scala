@@ -126,6 +126,48 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  /** Clustered corpus for the d7 scale spec: `nClusters` clusters of 5
+    * near-identical docs (base + one appended marker token), no vocabulary
+    * shared across clusters — true near-dup pairs grow linearly with
+    * nClusters while unrelated cross-cluster pairs only collide at the
+    * 15-bit-band noise floor.
+    */
+  private def clusteredCorpus(nClusters: Int): String = {
+    val dir = Files.createTempDirectory(s"graft-d7-scale-$nClusters").toString
+    val rows = (0 until nClusters).flatMap { c =>
+      val base = (0 until 40).map { w =>
+        java.lang.Long.toString(HashFunctions.hash60(s"cl-$c-$w".getBytes("UTF-8")), 36)
+      }.mkString(" ")
+      (0 until 5).map { i =>
+        val t = if (i == 0) base else s"$base marker$i"
+        (c * 5L + i, t, "en", "web", t.length.toLong)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d7 blocking candidate count grows ~linearly, not quadratically, at 10x corpus") {
+    import org.apache.spark.sql.functions.col
+    def candidates(dir: String): Long = {
+      val sims = Dedup.queries("d4_simhash")(spark, dir).select("doc_id", "simhash")
+      Dedup.simhashCandidates(sims).count()
+    }
+    val small = candidates(clusteredCorpus(60))   // n = 300
+    val big = candidates(clusteredCorpus(600))    // n = 3000
+    // linear growth: intra-cluster candidates scale with nClusters (x10);
+    // the random-collision noise floor is ~4 * C(n,2) / 2^15 (~5 pairs at
+    // n=300, ~550 at n=3000), so the observed ratio sits near 11. The
+    // round-2 byte-bands (2^8 keys) had a 128x larger noise floor — the same
+    // corpora gave a ratio near 60. 15 cleanly separates the two regimes.
+    assert(small > 0, "small corpus must produce intra-cluster candidates")
+    val ratio = big.toDouble / small
+    assert(ratio < 15.0,
+      s"candidate growth at 10x corpus should be ~linear, got $small -> $big (ratio $ratio)")
+  }
+
   test("graft_simhash_agg matches a per-bit vote reference computation") {
     val out = Dedup.queries("d4_simhash")(spark, fixtureDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -134,12 +176,13 @@ class DedupSpec extends AnyFunSuite {
       "green turtles carry umbrellas across the windy bridge toward the old " +
       "lighthouse keeper who waves every single morning without fail"))
     texts.foreach { case (id, text) =>
-      val votes = new Array[Int](32)
+      val w = graft.functions.SimHashAgg.Width
+      val votes = new Array[Int](w)
       text.trim.split("\\s+").foreach { tok =>
         val h = HashFunctions.hash60(tok.getBytes("UTF-8"))
-        (0 until 32).foreach(b => votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1))
+        (0 until w).foreach(b => votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1))
       }
-      val expected = (0 until 32).foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
+      val expected = (0 until w).foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
       assert(out(id) == expected, s"simhash mismatch for doc $id")
     }
   }
