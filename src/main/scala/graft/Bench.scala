@@ -26,11 +26,16 @@ object Bench {
     // warmup. Its idle-machine time is ~0.1 s and data-independent, so a
     // loaded/contended bench environment is detectable from the JSON alone
     // (round 2's driver total was 2x the judge's idle re-run; this line
-    // makes that divergence visible without re-measuring)
-    val c0 = System.nanoTime()
-    spark.range(10000000L).selectExpr("sum(id * 2 + 1) AS s")
-      .write.format("noop").mode("overwrite").save()
-    val calib = (System.nanoTime() - c0) / 1e9
+    // makes that divergence visible without re-measuring). Run twice and
+    // keep the second: the first pays the noop sink's one-time codegen.
+    def calibOnce(): Double = {
+      val c0 = System.nanoTime()
+      spark.range(10000000L).selectExpr("sum(id * 2 + 1) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - c0) / 1e9
+    }
+    calibOnce()
+    val calib = calibOnce()
     // deterministic name order: per-query numbers are comparable across
     // rounds (map hash order isn't), and shared caches get materialized by
     // the cheapest family member (d2 before d3/d5, g1 before g2)

@@ -455,9 +455,14 @@ object Dedup {
       .cache()
     // only vertices that appear in an edge can ever change label — iterate
     // over those (the dup subgraph, tiny relative to the corpus); everyone
-    // else is trivially their own component and joins back at the end
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).cache()
+    // else is trivially their own component and joins back at the end.
+    // Seeding with min(self, direct neighbors) fuses the first propagation
+    // round into a join-free aggregate — pair components converge without
+    // entering the loop's join at all
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("doc_id"), least(col("src"), col("mn")).as("label"))
+      .cache()
     var cached = labels // persisted frame backing `labels`, for unpersist
     var changed = 1L
     var round = 0

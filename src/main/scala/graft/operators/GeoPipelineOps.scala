@@ -83,21 +83,27 @@ object GeoPipelineOps {
     * re-entrant runs race-free (no overwrite of files an oracle is reading).
     * Bump the `_v1` path suffix if the export schema or semantics change.
     */
-  private def g2Invariants(s: SparkSession, d: String): DataFrame = {
+  /** Run the pipeline and export cellMap/values parquet (write-once behind
+    * the marker; see [[g2Invariants]] doc). Shared by g2 and the q_faithful
+    * quirk queries.
+    */
+  private def ensureExports(s: SparkSession): Unit = synchronized {
+    val marker = Paths.get(fixtureDir, "_exports_done")
+    if (Files.exists(marker)) return
     val dir = ensureFixture()
     val res = RadoHydro.run(s, dir, s"$examples/einzugsgebiet.shp",
       RadoHydro.Config(datasource = "radolan"))
     import org.apache.spark.sql.functions._
-    synchronized {
-      val marker = Paths.get(fixtureDir, "_exports_done")
-      if (!Files.exists(marker)) {
-        res.cellMap.write.mode("overwrite").parquet(cellMapExport)
-        res.values
-          .select(date_format(col("ts"), "yyMMddHHmm").as("t"), col("row"), col("col"), col("v"))
-          .write.mode("overwrite").parquet(valuesExport)
-        Files.write(marker, Array.emptyByteArray)
-      }
-    }
+    res.cellMap.write.mode("overwrite").parquet(cellMapExport)
+    res.values
+      .select(date_format(col("ts"), "yyMMddHHmm").as("t"), col("row"), col("col"), col("v"))
+      .write.mode("overwrite").parquet(valuesExport)
+    Files.write(marker, Array.emptyByteArray)
+  }
+
+  private def g2Invariants(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ensureExports(s)
     val cm = s.read.parquet(cellMapExport)
     val vals = s.read.parquet(valuesExport)
     val miss = vals.groupBy("row", "col")
@@ -158,14 +164,90 @@ object GeoPipelineOps {
        |     JOIN rain r ON g.basinID = r.basinID
        |ORDER BY basin_id""".stripMargin
 
+  /** qf1 — quirk Q1 (maskNodata=false) as a SQL-checkable per-basin delta:
+    * from the SAME exported window, both engines compute the gate-free
+    * weighted rain total twice — sane (nodata -> NULL, skipped by sum) and
+    * faithful (nodata carries the RADOLAN nodata VALUE -1.0 into the sum,
+    * exactly what the reference's unmasked numpy read does) — plus the
+    * delta and the nodata cell-reading count. Gives the faithful-flag
+    * semantics their first DuckDB cross-check (previously spec-only).
+    */
+  private def qf1NodataDelta(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ensureExports(s)
+    val cm = s.read.parquet(cellMapExport)
+    val vals = s.read.parquet(valuesExport)
+    val den = cm.groupBy("basinID")
+      .agg(sum(col("clip_area").cast("decimal(38,18)")).cast("double").as("den"))
+    val w = cm.join(den, "basinID")
+      .select(col("basinID"), col("row"), col("col"), (col("clip_area") / col("den")).as("wgt"))
+    w.join(vals, Seq("row", "col"))
+      .groupBy("basinID")
+      .agg(
+        round(sum((coalesce(col("v"), lit(-1.0)) / 10 * col("wgt")).cast("decimal(28,10)"))
+          .cast("double"), 6).as("rain_faithful_r"),
+        round(sum((col("v") / 10 * col("wgt")).cast("decimal(28,10)"))
+          .cast("double"), 6).as("rain_sane_r"),
+        count(when(col("v").isNull, 1)).as("n_nodata_reads"))
+      .withColumn("delta_r", round(col("rain_faithful_r") - col("rain_sane_r"), 6))
+      .select(col("basinID").as("basin_id"), col("rain_faithful_r"), col("rain_sane_r"),
+        col("delta_r"), col("n_nodata_reads"))
+      .orderBy("basin_id")
+  }
+
+  private val qf1Sql =
+    s"""WITH cm AS (SELECT * FROM read_parquet('$cellMapExport/*.parquet')),
+       |vals AS (SELECT * FROM read_parquet('$valuesExport/*.parquet')),
+       |den AS (SELECT basinID, CAST(sum(CAST(clip_area AS DECIMAL(38,18))) AS DOUBLE) AS den
+       |        FROM cm GROUP BY basinID),
+       |w AS (SELECT c.basinID, c.row, c.col, c.clip_area / d.den AS wgt
+       |      FROM cm c JOIN den d ON c.basinID = d.basinID)
+       |SELECT w.basinID AS basin_id,
+       |  round(CAST(sum(CAST(coalesce(v.v, -1.0) / 10 * w.wgt AS DECIMAL(28,10))) AS DOUBLE), 6) AS rain_faithful_r,
+       |  round(CAST(sum(CAST(v.v / 10 * w.wgt AS DECIMAL(28,10))) AS DOUBLE), 6) AS rain_sane_r,
+       |  round(round(CAST(sum(CAST(coalesce(v.v, -1.0) / 10 * w.wgt AS DECIMAL(28,10))) AS DOUBLE), 6)
+       |      - round(CAST(sum(CAST(v.v / 10 * w.wgt AS DECIMAL(28,10))) AS DOUBLE), 6), 6) AS delta_r,
+       |  count(*) FILTER (WHERE v.v IS NULL) AS n_nodata_reads
+       |FROM w JOIN vals v ON w.row = v.row AND w.col = v.col
+       |GROUP BY w.basinID
+       |ORDER BY basin_id""".stripMargin
+
+  /** qf2 — quirk Q3 (zero-pad width = ceil of the NATURAL log of the basin
+    * count, geotools.py:300 — not the decimal digit count) as SQL-checkable
+    * scalars: both widths plus an example padded id, derived from the
+    * exported cell map's distinct basin count.
+    */
+  private def qf2ZfillWidth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ensureExports(s)
+    s.read.parquet(cellMapExport)
+      .agg(countDistinct(col("basinID")).as("n_basins"))
+      .select(col("n_basins"),
+        ceil(log(col("n_basins").cast("double"))).cast("int").as("faithful_width"),
+        length(col("n_basins").cast("string")).cast("int").as("sane_width"))
+      .withColumn("example_id", expr("lpad('1', faithful_width, '0')"))
+  }
+
+  private val qf2Sql =
+    s"""SELECT n_basins,
+       |  CAST(ceil(ln(n_basins)) AS INTEGER) AS faithful_width,
+       |  CAST(length(CAST(n_basins AS VARCHAR)) AS INTEGER) AS sane_width,
+       |  lpad('1', CAST(ceil(ln(n_basins)) AS INTEGER), '0') AS example_id
+       |FROM (SELECT count(DISTINCT basinID) AS n_basins
+       |      FROM read_parquet('$cellMapExport/*.parquet'))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     if (Files.exists(Paths.get(s"$examples/einzugsgebiet.shp")))
       Map("g1_radohydro_pipeline" -> g1Radohydro _,
-          "g2_pipeline_invariants" -> g2Invariants _)
+          "g2_pipeline_invariants" -> g2Invariants _,
+          "qf1_nodata_delta" -> qf1NodataDelta _,
+          "qf2_zfill_width" -> qf2ZfillWidth _)
     else Map.empty
 
   val oracles: Map[String, String] =
     if (Files.exists(Paths.get(s"$examples/einzugsgebiet.shp")))
-      Map("g2_pipeline_invariants" -> g2Sql) // g1 itself: ScalaTest goldens
+      Map("g2_pipeline_invariants" -> g2Sql, // g1 itself: ScalaTest goldens
+          "qf1_nodata_delta" -> qf1Sql,
+          "qf2_zfill_width" -> qf2Sql)
     else Map.empty
 }

@@ -1,20 +1,42 @@
 package graft.tools
 
+import java.nio.file.{Files, Paths}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.core.{Grid, SpatialPipeline}
 
-/** Scale probe for the flagship spatial join: N synthetic basins (the
-  * reference's published cliff is >10k polygons, README:18 — its GEOS
-  * overlay is per-feature) through `basinCellMap` + a weighted series over
-  * T synthetic timesteps.
+/** Scale probes for the flagship spatial pipeline.
+  *
+  * Mode 1 (default) — JOIN KERNEL: N synthetic basins (the reference's
+  * published cliff is >10k polygons, README:18 — its GEOS overlay is
+  * per-feature) through `basinCellMap` + a weighted series over T synthetic
+  * timesteps.
+  *
+  * Mode 2 (`full`) — WHOLE FLAGSHIP end-to-end: renders a real fixture
+  * (daily `.tar.gz` archives of full 900x900 RADOLAN-layout ASCII grids,
+  * ~0.1% nodata; a 100k-pentagon shapefile) and drives `RadoHydro.run` —
+  * binaryFile scan -> tar/gz expand -> windowed parse -> dedup -> spatial
+  * join -> NaN gate -> weights -> weighted series — reporting wall time,
+  * total/max-stage shuffle write bytes, and asserting no
+  * BroadcastNestedLoopJoin in the physical plan.
   *
   * Usage: runMain graft.tools.ScaleProbe [nBasins] [nTimesteps]
+  *        runMain graft.tools.ScaleProbe full [nBasins] [nTimesteps]
   */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val nBasins = if (args.nonEmpty) args(0).toInt else 10000
-    val nTs = if (args.length > 1) args(1).toInt else 24
+
+  def main(args: Array[String]): Unit =
+    if (args.headOption.contains("full"))
+      runFull(
+        if (args.length > 1) args(1).toInt else 100000,
+        if (args.length > 2) args(2).toInt else 240)
+    else
+      runJoinKernel(
+        if (args.nonEmpty) args(0).toInt else 10000,
+        if (args.length > 1) args(1).toInt else 24)
+
+  private def session(): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -22,7 +44,13 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
+    spark
+  }
+
+  // ---------------------------------------------------------------------------
+  // Mode 1 — join kernel
+  private def runJoinKernel(nBasins: Int, nTs: Int): Unit = {
+    val spark = session()
 
     // 900x900 km grid; basins are irregular pentagons ~6x6 km placed on a
     // hash-scattered layout (deterministic, no RNG-in-plan issues)
@@ -56,6 +84,125 @@ object ScaleProbe {
     val tSeries = (System.nanoTime() - t0) / 1e9
 
     println(f"""{"probe":"basin_scale","n_basins":$nBasins,"n_cells":$nCells,"join_sec":$tJoin%.1f,"series_rows":$nRows,"series_sec":$tSeries%.1f}""")
+    spark.stop()
+  }
+
+  // ---------------------------------------------------------------------------
+  // Mode 2 — full flagship
+  private val GridRows = 900
+  private val GridCols = 900
+  // full RADOLAN 900x900 extent in stereographic METERS (the raw ASCII
+  // header CRS; the pipeline divides to km internally, Q8)
+  private val XllM = -523462.0
+  private val YllM = -4658645.0
+
+  /** Deterministic cell value for (row, col, hour): 0..399 rainfall tenths
+    * with ~0.1% nodata — enough missing cells to exercise the A2 gate.
+    */
+  private def cellValue(r: Int, c: Int, hour: Int): Double =
+    if ((r * 7919 + c * 104729 + hour) % 1000 == 0) -1.0
+    else (((r * 31 + c * 7 + hour * 13) % 400) + hour % 24).toDouble
+
+  private def hashIn(seed: String, mod: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(seed), mod)
+
+  /** 100k-pentagon layout in radolan METERS (same shapes as mode 1). */
+  private def pentagon(id: Int): graft.geo.Geom.Polygon = {
+    val x0 = (-523.462 + 2.0 + hashIn(s"sp-x-$id", 876)) * 1000
+    val y0 = (-4658.645 + 2.0 + hashIn(s"sp-y-$id", 870)) * 1000
+    val w = (3.0 + hashIn(s"sp-w-$id", 40) / 10.0) * 1000
+    Array(Array(
+      x0, y0,
+      x0 + w, y0 + 1000.0,
+      x0 + w + 1000.0, y0 + w,
+      x0 + w / 2, y0 + w + 1000.0,
+      x0, y0 + w))
+  }
+
+  private def ensureFullFixture(spark: SparkSession, nBasins: Int, nTs: Int): (String, String) = {
+    val root = s"/tmp/graft_scaleprobe_full/${nBasins}x$nTs"
+    val gridsDir = s"$root/grids"
+    val shpPath = s"$root/basins/basins.shp"
+    val marker = Paths.get(root, "_done")
+    if (Files.exists(marker)) return (gridsDir, shpPath)
+    Files.createDirectories(Paths.get(gridsDir))
+    Files.createDirectories(Paths.get(s"$root/basins"))
+
+    // shapefile: nBasins pentagons, one numeric attribute
+    graft.out.ShpWriter.write(shpPath,
+      (1 to nBasins).map(pentagon),
+      (1 to nBasins).map(i => Map[String, Any]("FID_" -> i.toLong)),
+      Seq("FID_"))
+
+    // daily tar.gz archives of 24 hourly full-grid ASCII members, rendered
+    // in parallel ON SPARK (local executors share the filesystem)
+    val nDays = math.max(1, nTs / 24)
+    spark.range(1, nDays + 1).repartition(nDays.toInt).foreach { day =>
+      val h = graft.ingest.AsciiGrid.Header(GridCols, GridRows, XllM, YllM, 1000.0, -1.0)
+      val members = (0 until 24).map { hour =>
+        val vals = Array.tabulate(GridRows, GridCols)((r, c) =>
+          cellValue(r, c, (day.toInt - 1) * 24 + hour))
+        graft.ingest.Archives.Member(
+          f"RW_201801${day.toInt}%02d_$hour%02d50.asc",
+          graft.ingest.AsciiGrid.render(h, vals).getBytes("US-ASCII"))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(graft.ingest.Archives.tar(members)); gz.close()
+      val tmp = Paths.get(gridsDir, f".RW-201801${day.toInt}%02d.tar.gz.tmp")
+      Files.write(tmp, bos.toByteArray)
+      Files.move(tmp, Paths.get(gridsDir, f"RW-201801${day.toInt}%02d.tar.gz"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+    Files.write(marker, Array.emptyByteArray)
+    (gridsDir, shpPath)
+  }
+
+  private def runFull(nBasins: Int, nTs: Int): Unit = {
+    val spark = session()
+    val tFix0 = System.nanoTime()
+    val (gridsDir, shpPath) = ensureFullFixture(spark, nBasins, nTs)
+    val tFixture = (System.nanoTime() - tFix0) / 1e9
+
+    // shuffle accounting across the whole run
+    val shuffleTotal = new java.util.concurrent.atomic.AtomicLong
+    val shuffleMaxStage = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        shuffleTotal.addAndGet(w)
+        shuffleMaxStage.getAndUpdate(m => math.max(m, w))
+      }
+    })
+
+    // basins are authored directly in the raw grid CRS (radolan_m), so the
+    // windowing path is identity and the output reprojection (Q10 areas)
+    // still exercises the closed-form CRS math
+    val t0 = System.nanoTime()
+    val res = graft.api.RadoHydro.run(spark, gridsDir, shpPath,
+      graft.api.RadoHydro.Config(datasource = "radolan", shapeCrs = "radolan_m"))
+    val tPlan = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val nCells = res.cellMap.count()
+    val tJoin = (System.nanoTime() - t1) / 1e9
+
+    val planStr = res.series.queryExecution.executedPlan.toString
+    val bnlj = planStr.contains("BroadcastNestedLoopJoin")
+
+    // count executes the full parse -> dedup -> join -> gate -> weights ->
+    // agg chain (the aggregate's inputs cannot be pruned); a second
+    // materializing action would redo the post-persist half for nothing
+    val t2 = System.nanoTime()
+    val nRows = res.series.count()
+    val tSeries = (System.nanoTime() - t2) / 1e9
+
+    val totMb = shuffleTotal.get() / 1e6
+    val maxMb = shuffleMaxStage.get() / 1e6
+    println(f"""{"probe":"full_flagship","n_basins":$nBasins,"n_ts":$nTs,"n_cells":$nCells,"series_rows":$nRows,"fixture_sec":$tFixture%.1f,"plan_sec":$tPlan%.1f,"join_sec":$tJoin%.1f,"series_sec":$tSeries%.1f,"shuffle_total_mb":$totMb%.1f,"shuffle_max_stage_mb":$maxMb%.1f,"bnlj":$bnlj""" + "}")
+    require(!bnlj, "flagship plan regressed to BroadcastNestedLoopJoin")
     spark.stop()
   }
 }

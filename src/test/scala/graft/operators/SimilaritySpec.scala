@@ -51,9 +51,11 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("multi-table LSH keys cover most genuinely-similar pairs (cos >= 0.38)") {
-    // independent driver-side re-derivation of the (4 tables x 4 bits)
+    // independent driver-side re-derivation of the (4 tables x nbits)
     // construction: a near-dup pair must share a key in SOME table for the
-    // dedup path to ever see it
+    // dedup path to ever see it. Key width is corpus-scaled
+    // (clamp(4, 24, ceil(log2(ceil(n/32))))); at this fixture's n=500 that
+    // is exactly 4 bits, which this re-derivation hardcodes
     val planes = (0 until 16).map(i => corpus(i.toLong))
     def sig(v: Array[Double]): Int =
       planes.zipWithIndex.map { case (p, i) =>
