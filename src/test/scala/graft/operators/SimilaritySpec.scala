@@ -84,4 +84,25 @@ class SimilaritySpec extends AnyFunSuite {
     val truth = bruteTop(Seq(0L, 1L, 2L, 3L, 4L), 10)
     assert(recall(got("s1_cosine_topk"), truth) == 1.0)
   }
+
+  test("e2 SemDeDup keep/drop flags are consistent with the drop rule") {
+    // independent driver-side re-check: given the query's cluster
+    // assignment, a vector must be dropped IFF some smaller-id vector in
+    // its cluster has cosine >= 0.38 with it (cosines recomputed here from
+    // the raw corpus, not taken from the query)
+    val rows = Similarity.queries("e2_semdedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("cluster").longValue(), r.getBoolean(2)))
+    assert(rows.length == corpus.size, "every vector must be classified")
+    val dropped = rows.count(!_._3)
+    assert(dropped > 0, "fixture has cosine>=0.38 cluster-mates; some drops expected")
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val sorted = members.sortBy(_._1)
+      sorted.zipWithIndex.foreach { case ((id, _, kept), i) =>
+        val hasCloseSmaller = sorted.take(i).exists { case (pid, _, _) =>
+          cosine(corpus(pid), corpus(id)) >= 0.38
+        }
+        assert(kept == !hasCloseSmaller, s"vec $id: kept=$kept but closeSmaller=$hasCloseSmaller")
+      }
+    }
+  }
 }
