@@ -55,7 +55,7 @@ object Clustering {
     */
   private[operators] def kmeans(vecs: DataFrame, cents0: DataFrame, iters: Int): DataFrame = {
     var cents = cents0
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val assigned = assignStep(vecs, cents)
       cents = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -68,7 +68,10 @@ object Clustering {
         // partition before the eager checkpoint so each iteration persists
         // (and later broadcasts from) 1 task, not 32 near-empty ones
         .coalesce(1)
-        .localCheckpoint()
+      // truncate BETWEEN iterations only: the final update is one bounded
+      // stage on top of the last checkpoint, so consumers pay at most one
+      // tiny recompute instead of an extra eager job per kmeans call
+      if (it < iters) cents = cents.localCheckpoint()
     }
     cents
   }

@@ -300,6 +300,8 @@ object Similarity {
       col("nrm").as("na"), col("cell"))
     val b = assigned.select(col("vec_id").as("id_b"), col("v").as("bd"),
       col("nrm").as("nb"), col("cell"))
+    // both sides are the corpus: the join shuffles ONCE on the cell key —
+    // the correct shape at scale (a broadcast here would ship the corpus)
     val drops = a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
       .where(cosCol >= SemDedupTau)
       .select(col("id_b").as("vec_id")).distinct()
