@@ -37,18 +37,37 @@ object Clustering {
   private val Iters = 3
   private[operators] val Dims = 64
 
+  /** The k centroids collapsed to ONE broadcastable row holding a
+    * cid-sorted array of (cid, c) structs — the shape that lets assignment
+    * run as a pure projection (see [[assignStep]]).
+    */
+  private[operators] def centsAsArray(cs: DataFrame): DataFrame =
+    cs.agg(sort_array(collect_list(struct(col("cid"), col("c")))).as("cs"))
+
+  /** Per-row distances to every centroid: array<struct<dist2, cid>> in cid
+    * order. The inner fold is the same in-index-order IEEE sum the oracle's
+    * list_sum/list_transform computes.
+    */
+  private[operators] val distsExpr =
+    """transform(cs, ce -> named_struct(
+      |  'dist2', aggregate(zip_with(v, ce.c, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z),
+      |  'cid', ce.cid))""".stripMargin
+
   /** Lloyd assignment: (vec_id, v, cid, dist2) — nearest centroid by squared
     * euclidean distance, ties to the lowest cid.
+    *
+    * Shuffle-free: the centroid frame (k x 64 doubles) is folded into a
+    * single-row array via [[centsAsArray]] and broadcast, and the argmin is
+    * an `array_min(transform(...))` projection (struct ordering = (dist2,
+    * cid) lexicographic, so ties break to the lowest cid exactly like the
+    * oracle's ORDER BY dist2, cid). At 100 TB this is one corpus scan with
+    * zero data movement — the crossJoin+groupBy form shuffled the whole
+    * corpus (vectors riding along) once per iteration.
     */
-  private[operators] def assignStep(vecs: DataFrame, cs: DataFrame): DataFrame = {
-    val scored = vecs.crossJoin(broadcast(cs))
-      .withColumn("dist2",
-        expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)"))
-    scored
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist2"), col("cid"))).as("m"), first(col("v")).as("v"))
+  private[operators] def assignStep(vecs: DataFrame, cs: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centsAsArray(cs)))
+      .withColumn("m", expr(s"array_min($distsExpr)"))
       .select(col("vec_id"), col("v"), col("m.cid").as("cid"), col("m.dist2").as("dist2"))
-  }
 
   /** `iters` Lloyd rounds from `cents0` ((cid, c)); returns the trained
     * centroids. Lineage is truncated per iteration (see class doc).

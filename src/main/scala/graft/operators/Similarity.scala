@@ -214,12 +214,16 @@ object Similarity {
         .select(col("vec_id").as("cid"), col("v").as("c"))
       val cents = Clustering.kmeans(vecs, cents0, IvfIters)
       // rank trained cells per vector by euclid distance; rank 1 = home cell,
-      // <= NProbe = a query's probe set
-      val dist2 = expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)")
-      e.crossJoin(broadcast(cents))
-        .withColumn("dist2", dist2)
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))))
+      // <= NProbe = a query's probe set. Shuffle-free: the k trained cells
+      // broadcast as one array row, and the per-vector rank is a sorted
+      // projection (array_sort on (dist2, cid) structs == the oracle's
+      // ORDER BY dist2, cid) — no corpus-wide window sort.
+      e.crossJoin(broadcast(Clustering.centsAsArray(cents)))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          posexplode(expr(s"array_sort(${Clustering.distsExpr})")).as(Seq("pos", "dc")))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("dc.cid").as("cid"), col("dc.dist2").as("dist2"),
+          (col("pos") + 1).as("crk"))
         .cache()
     })
 
