@@ -137,11 +137,57 @@ object AnalyticOps {
       |  ON l_returnflag = flag
       |GROUP BY flag_desc ORDER BY flag_desc""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // a9 — KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+  // 2002): keep the k smallest of the distinct 60-bit hashes of the key;
+  // estimate = (k-1) / u_k where u_k is the k-th minimum normalized to
+  // [0, 1). The plan is the scale story: the inner DISTINCT is map-side
+  // partial (each partition emits its own distinct hashes), and orderBy +
+  // limit compiles to TakeOrderedAndProject — every partition keeps only
+  // its k smallest, the driver merges k-sized heaps, and NOTHING resembling
+  // the full key set ever moves. Like t7's Count-Min (and unlike HLL whose
+  // register layout is engine-private), the portable md5-backed hash makes
+  // the sketch — and therefore the estimate — DuckDB-oracle-checkable.
+  private val KmvK = 256
+
+  private def a9KmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val hashes = li
+      .select(TextOps.hash60(col("l_orderkey").cast(StringType)).as("h")).distinct()
+    val kmin = hashes.orderBy("h").limit(KmvK)
+    // (k-1) * 2^60 is exact in IEEE double (8-bit mantissa), so the whole
+    // estimate is one exactly-reproducible division in both engines
+    val scaleNum = lit((KmvK - 1).toDouble) * lit(math.pow(2, 60))
+    kmin.agg(count(lit(1)).as("k"), max(col("h")).as("hk"))
+      .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("true_n")))
+      .withColumn("est", scaleNum / col("hk").cast(DoubleType))
+      .select(col("k"), col("hk"), col("true_n"),
+        round(col("est"), 2).as("est_n"),
+        round((col("est") - col("true_n")) / col("true_n") * 100, 2).as("err_pct"))
+  }
+
+  private val a9Sql =
+    s"""WITH hashes AS (
+       |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),1,15)) AS BIGINT) AS h
+       |  FROM lineitem
+       |), kmin AS (
+       |  SELECT h FROM hashes ORDER BY h LIMIT $KmvK
+       |), agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k, max(h) AS hk FROM kmin
+       |), exact AS (
+       |  SELECT count(DISTINCT l_orderkey) AS true_n FROM lineitem
+       |)
+       |SELECT k, hk, true_n,
+       |  round(${KmvK - 1}.0 * power(2.0, 60) / CAST(hk AS DOUBLE), 2) AS est_n,
+       |  round((${KmvK - 1}.0 * power(2.0, 60) / CAST(hk AS DOUBLE) - true_n) / true_n * 100, 2) AS err_pct
+       |FROM agg, exact""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u6_rollup"        -> u6Rollup _,
     "o5_window_frames" -> o5WindowFrames _,
     "a7_percentiles"   -> a7Percentiles _,
     "a8_salted_agg"    -> a8SaltedAgg _,
+    "a9_kmv_distinct"  -> a9KmvDistinct _,
     "j8_salted_join"   -> j8SaltedJoin _)
 
   val oracles: Map[String, String] = Map(
@@ -149,5 +195,6 @@ object AnalyticOps {
     "o5_window_frames" -> o5Sql,
     "a7_percentiles"   -> a7Sql,
     "a8_salted_agg"    -> a8Sql,
+    "a9_kmv_distinct"  -> a9Sql,
     "j8_salted_join"   -> j8Sql)
 }

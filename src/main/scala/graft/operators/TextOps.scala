@@ -255,6 +255,116 @@ object TextOps {
        |GROUP BY p.tok, p.true_n
        |ORDER BY p.true_n DESC, p.tok""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // t8 — repetition-based quality signals (Gopher-family; Rae et al. 2021,
+  // arXiv:2112.11446 §A1.1 filters on duplicate n-gram fractions): per-doc
+  // duplicate-word fraction (a row-local array_distinct — pure projection,
+  // no shuffle) and top-bigram fraction (explode bigrams, count per (doc,
+  // bigram) with map-side combine, argmax via a struct-min — the shuffle is
+  // keyed by doc_id, so at 100 TB it scales with the corpus and never
+  // concentrates). Deterministic argmax: min(struct(-n, bigram)) ties to
+  // the lexicographically-lowest bigram, same as the oracle's ORDER BY n
+  // DESC, bg. The synthetic-corpus thresholds (0.18 top-bigram, 0.78
+  // dup-word) mark the repetitive tail as dropped.
+  private def t8GopherRepetition(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .where(size(col("toks")) >= 2)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("dup_word_frac",
+        (col("n_tokens") - size(array_distinct(col("toks")))).cast(DoubleType)
+          / col("n_tokens"))
+    base
+      .select(col("doc_id"), col("n_tokens"), col("dup_word_frac"),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("bg"))
+      .groupBy("doc_id", "n_tokens", "dup_word_frac", "bg")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_id", "n_tokens", "dup_word_frac")
+      .agg(min(struct((-col("n")).as("neg_n"), col("bg"))).as("top"))
+      .withColumn("top_n", -col("top.neg_n"))
+      .withColumn("top_frac", col("top_n").cast(DoubleType) / (col("n_tokens") - 1))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("dup_word_frac"), 6).as("dup_word_frac_r"),
+        col("top.bg").as("top_bigram"), col("top_n").as("top_bigram_n"),
+        round(col("top_frac"), 6).as("top_bigram_frac_r"),
+        (col("top_frac") <= 0.18 && col("dup_word_frac") <= 0.78).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val t8Sql =
+    """WITH base AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+      |), exploded AS (
+      |  SELECT doc_id, len(toks) AS n_tokens,
+      |    CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_word_frac,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      |  FROM base WHERE len(toks) >= 2
+      |), cnt AS (
+      |  SELECT doc_id, n_tokens, dup_word_frac, bg, count(*) AS n
+      |  FROM exploded GROUP BY doc_id, n_tokens, dup_word_frac, bg
+      |), ranked AS (
+      |  SELECT doc_id, n_tokens, dup_word_frac, bg, n,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bg) AS rk
+      |  FROM cnt
+      |)
+      |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+      |  round(dup_word_frac, 6) AS dup_word_frac_r,
+      |  bg AS top_bigram, CAST(n AS BIGINT) AS top_bigram_n,
+      |  round(CAST(n AS DOUBLE) / (n_tokens - 1), 6) AS top_bigram_frac_r,
+      |  CAST(n AS DOUBLE) / (n_tokens - 1) <= 0.18 AND dup_word_frac <= 0.78 AS kept
+      |FROM ranked WHERE rk = 1
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // t9 — TF-IDF document keywords: term frequency per (doc, token), document
+  // frequency per token, score = tf * ln(N/df), top-3 terms per doc with a
+  // deterministic (score DESC, token ASC) tiebreak. Both aggregations are
+  // map-side combinable and keyed by token / doc_id — the classic two-pass
+  // inverted-index build that scales linearly; the tiny (N) scalar rides as
+  // a broadcast. The only transcendental is one ln per distinct (tf, df)
+  // pair; round(6) absorbs any sub-ulp libm divergence.
+  private def t9Tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    tf.join(df, "tok").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast(DoubleType) * log(col("n_docs").cast(DoubleType) / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf_r"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private val t9Sql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, tok
+      |), df AS (
+      |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+      |), n AS (
+      |  SELECT count(*) AS n_docs FROM documents
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |    CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+      |  FROM tf JOIN df USING (tok), n
+      |)
+      |SELECT doc_id, rk, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |  round(tfidf, 6) AS tfidf_r
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY tfidf DESC, tok) AS rk FROM scored)
+      |WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats"  -> t1TextStats _,
     "t2_lang_id"     -> t2LangId _,
@@ -262,7 +372,9 @@ object TextOps {
     "t4_token_freq"  -> t4TokenFreq _,
     "t5_quality_filter"     -> t5QualityFilter _,
     "t6_stratified_sample"  -> t6StratifiedSample _,
-    "t7_countmin"           -> t7CountMin _)
+    "t7_countmin"           -> t7CountMin _,
+    "t8_gopher_repetition"  -> t8GopherRepetition _,
+    "t9_tfidf"              -> t9Tfidf _)
 
   val oracles: Map[String, String] = Map(
     "t1_text_stats"  -> t1Sql,
@@ -271,5 +383,7 @@ object TextOps {
     "t4_token_freq"  -> t4Sql,
     "t5_quality_filter"    -> t5Sql,
     "t6_stratified_sample" -> t6Sql,
-    "t7_countmin"          -> t7Sql)
+    "t7_countmin"          -> t7Sql,
+    "t8_gopher_repetition" -> t8Sql,
+    "t9_tfidf"             -> t9Sql)
 }
