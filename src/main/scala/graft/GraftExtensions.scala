@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash_agg"),
       info("graft_simhash_agg", "graft_simhash_agg(h) - 60-bit SimHash aggregate over token hashes"),
       (exprs: Seq[Expression]) => SimHashAgg(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_vecsum_dec"),
+      info("graft_vecsum_dec", "graft_vecsum_dec(array<decimal>) - exact element-wise vector-sum aggregate"),
+      (exprs: Seq[Expression]) => VecSumDec(exprs.head)))
     ext.injectFunction((FunctionIdentifier("st_area"),
       info("st_area", "st_area(geom) - shoelace area, holes negative"),
       (e: Seq[Expression]) => StArea(e.head)))

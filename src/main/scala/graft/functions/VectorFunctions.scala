@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -53,11 +54,98 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Element-wise exact sum of decimal vectors — the aggregation half of a
+  * distributed centroid update. Input: array<decimal(p,s)> (cast upstream by
+  * Spark's own double→decimal cast so the per-element rounding is identical
+  * to the `sum(CAST(x AS DECIMAL))` form); buffer: exact java BigDecimal
+  * per dimension (addition is exact and order-independent, so the result is
+  * engine- and partitioning-independent); output: array<double>, each
+  * element the sum's `doubleValue` — the same value `CAST(sum AS DOUBLE)`
+  * yields.
+  *
+  * Replaces the posexplode → groupBy(cid, dim) → groupBy(cid) centroid
+  * update: instead of exploding the corpus x dims and shuffling row-level
+  * (cid, dim, x) triples, the map side combines every partition down to one
+  * k x dims buffer and the shuffle carries only those — the mergeable-sketch
+  * shape that keeps a Lloyd iteration at one tiny shuffle at any corpus
+  * size.
+  */
+case class VecSumDec(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[java.math.BigDecimal]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  private lazy val (prec, scale) = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(dt: org.apache.spark.sql.types.DecimalType, _) =>
+      (dt.precision, dt.scale)
+    case t => throw new IllegalArgumentException(s"graft_vecsum_dec needs array<decimal>, got $t")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def createAggregationBuffer(): Array[java.math.BigDecimal] = null
+
+  override def update(
+      buf: Array[java.math.BigDecimal], input: InternalRow): Array[java.math.BigDecimal] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc =
+      if (buf != null) buf
+      else Array.fill(n)(java.math.BigDecimal.ZERO)
+    var i = 0
+    while (i < n) {
+      acc(i) = acc(i).add(arr.getDecimal(i, prec, scale).toJavaBigDecimal)
+      i += 1
+    }
+    acc
+  }
+
+  override def merge(
+      a: Array[java.math.BigDecimal], b: Array[java.math.BigDecimal]): Array[java.math.BigDecimal] = {
+    if (a == null) return b
+    if (b == null) return a
+    var i = 0
+    while (i < a.length) { a(i) = a(i).add(b(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[java.math.BigDecimal]): Any =
+    if (buf == null) null
+    else ArrayData.toArrayData(buf.map(_.doubleValue()))
+
+  override def serialize(buf: Array[java.math.BigDecimal]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(buf)
+    oos.close()
+    bos.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): Array[java.math.BigDecimal] = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    ois.readObject().asInstanceOf[Array[java.math.BigDecimal]]
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumDec =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumDec =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): VecSumDec = copy(child = c)
+}
+
 object VectorFunctions {
-  /** Idempotently register `graft_dot` in the session's function registry so
-    * query builders can use it via `expr("graft_dot(a, b)")`.
+  /** Idempotently register `graft_dot` / `graft_vecsum_dec` in the session's
+    * function registry so query builders can use them via `expr(...)`.
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_vecsum_dec", exprs => VecSumDec(exprs.head), "built-in")
+  }
 }

@@ -71,18 +71,26 @@ object Clustering {
 
   /** `iters` Lloyd rounds from `cents0` ((cid, c)); returns the trained
     * centroids. Lineage is truncated per iteration (see class doc).
+    *
+    * The centroid update is ONE map-side-combinable groupBy: the exact
+    * decimal vector-sum aggregate ([[graft.functions.VecSumDec]]) folds each
+    * partition down to k x 64 BigDecimal buffers, so the shuffle carries
+    * k x partitions tiny buffers — never the corpus, never an exploded
+    * (cid, dim, x) row set. The per-element CAST to DECIMAL(28,14) is
+    * Spark's own double→decimal cast, and BigDecimal addition is exact, so
+    * the means are bit-identical to the previous
+    * posexplode + sum(CAST(x AS DECIMAL)) formulation and to the oracle.
     */
   private[operators] def kmeans(vecs: DataFrame, cents0: DataFrame, iters: Int): DataFrame = {
     var cents = cents0
     for (it <- 1 to iters) {
       val assigned = assignStep(vecs, cents)
       cents = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim")
-        .agg((sum(col("x").cast("decimal(28,14)")).cast("double") / count(lit(1))).as("m"))
         .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cid"), expr("transform(dm, e -> e.m)").as("c"))
+        .agg(
+          expr("graft_vecsum_dec(transform(v, x -> CAST(x AS DECIMAL(28,14))))").as("sums"),
+          count(lit(1)).as("n"))
+        .select(col("cid"), expr("transform(sums, s -> s / n)").as("c"))
         // k rows spread over shuffle-partition count: collapse to one
         // partition before the eager checkpoint so each iteration persists
         // (and later broadcasts from) 1 task, not 32 near-empty ones
@@ -135,6 +143,7 @@ object Clustering {
   }
 
   private def e1Kmeans(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val vecs = Tables.embeddings(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .cache()

@@ -266,31 +266,47 @@ object TextOps {
   // the lexicographically-lowest bigram, same as the oracle's ORDER BY n
   // DESC, bg. The synthetic-corpus thresholds (0.18 top-bigram, 0.78
   // dup-word) mark the repetitive tail as dropped.
-  private def t8GopherRepetition(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
+  // Spark side is fully row-local (ZERO shuffle): bigrams are built with
+  // transform, sorted, and the most-frequent one found by a single run-length
+  // fold over the sorted array — per-doc signals never need cross-row state,
+  // so at 100 TB this runs inside the scan with no data movement at all.
+  // Strict `>` on the run-length update makes ties resolve to the FIRST
+  // (lexicographically smallest) bigram in the sorted order — the same rule
+  // as the oracle's ORDER BY n DESC, bg (the oracle keeps the explode +
+  // window form; values are identical).
+  private def t8GopherRepetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .where(size(col("toks")) >= 2)
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("dup_word_frac",
         (col("n_tokens") - size(array_distinct(col("toks")))).cast(DoubleType)
           / col("n_tokens"))
-    base
-      .select(col("doc_id"), col("n_tokens"), col("dup_word_frac"),
-        explode(expr("transform(sequence(1, size(toks) - 1), " +
-          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("bg"))
-      .groupBy("doc_id", "n_tokens", "dup_word_frac", "bg")
-      .agg(count(lit(1)).as("n"))
-      .groupBy("doc_id", "n_tokens", "dup_word_frac")
-      .agg(min(struct((-col("n")).as("neg_n"), col("bg"))).as("top"))
-      .withColumn("top_n", -col("top.neg_n"))
-      .withColumn("top_frac", col("top_n").cast(DoubleType) / (col("n_tokens") - 1))
+      .withColumn("sorted_bg", expr("array_sort(transform(sequence(1, size(toks) - 1), " +
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"))
+      .withColumn("top", expr(
+        """aggregate(
+          |  sorted_bg,
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
+          |               'best_bg', CAST(NULL AS STRING), 'best_n', CAST(0 AS BIGINT)),
+          |  (a, x) -> CASE WHEN a.prev IS NOT NULL AND x = a.prev THEN
+          |      CASE WHEN a.run + 1 > a.best_n
+          |        THEN named_struct('prev', x, 'run', a.run + 1, 'best_bg', x, 'best_n', a.run + 1)
+          |        ELSE named_struct('prev', x, 'run', a.run + 1, 'best_bg', a.best_bg, 'best_n', a.best_n)
+          |      END
+          |    ELSE
+          |      CASE WHEN CAST(1 AS BIGINT) > a.best_n
+          |        THEN named_struct('prev', x, 'run', CAST(1 AS BIGINT), 'best_bg', x, 'best_n', CAST(1 AS BIGINT))
+          |        ELSE named_struct('prev', x, 'run', CAST(1 AS BIGINT), 'best_bg', a.best_bg, 'best_n', a.best_n)
+          |      END
+          |    END)""".stripMargin))
+      .withColumn("top_frac", col("top.best_n").cast(DoubleType) / (col("n_tokens") - 1))
       .select(col("doc_id"), col("n_tokens"),
         round(col("dup_word_frac"), 6).as("dup_word_frac_r"),
-        col("top.bg").as("top_bigram"), col("top_n").as("top_bigram_n"),
+        col("top.best_bg").as("top_bigram"), col("top.best_n").as("top_bigram_n"),
         round(col("top_frac"), 6).as("top_bigram_frac_r"),
         (col("top_frac") <= 0.18 && col("dup_word_frac") <= 0.78).as("kept"))
       .orderBy("doc_id")
-  }
 
   private val t8Sql =
     """WITH base AS (

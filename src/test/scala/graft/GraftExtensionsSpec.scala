@@ -59,4 +59,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_dot(array(2D), array(3D)) AS d")
       .collect()(0).getDouble(0) === 6.0)
   }
+
+  test("graft_vecsum_dec is exact and equals the explode + sum(decimal) form") {
+    val spark = graft.core.TestSpark.spark
+    Graft.setup(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doubles chosen so naive double summation WOULD drift with order
+    val rows = (1 to 500).map(i => (i % 3, Array(0.1 * i, 1e10, -1e10 + 0.7 * i)))
+    val df = rows.toDF("g", "v").repartition(7)
+    val viaAgg = df.groupBy("g")
+      .agg(expr("graft_vecsum_dec(transform(v, x -> CAST(x AS DECIMAL(28,14))))").as("s"))
+      .select(col("g"), posexplode(col("s")).as(Seq("dim", "x")))
+    val viaExplode = df
+      .select(col("g"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("g", "dim")
+      .agg(sum(col("x").cast("decimal(28,14)")).cast("double").as("x"))
+    val a = viaAgg.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val b = viaExplode.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(a.size == 9 && a == b, "vector-sum aggregate must be bit-identical to the decimal explode form")
+  }
 }
