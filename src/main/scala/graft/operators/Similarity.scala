@@ -191,16 +191,40 @@ object Similarity {
   private val NProbe = 2
   private val IvfIters = 2
 
+  /** Per-centroid training-sample budget (FAISS-style guidance is 30–256
+    * vectors per centroid): the Lloyd refinement trains on a deterministic
+    * hash-sample of ~TrainPerCell * k vectors whenever the corpus exceeds
+    * that, so quantizer training cost scales with k * TrainPerCell — NOT
+    * with the corpus. At 100 TB (n = 1e9, k = sqrt(n) ~ 32k) training
+    * touches ~0.8% of the corpus; at the verify/bench SFs the budget
+    * exceeds n, the sample rate is 1, and results are bit-identical to
+    * full-corpus training (the rate rule is integer-exact and mirrored in
+    * the oracle, so both engines agree at ANY scale factor).
+    */
+  private[operators] val TrainPerCell = 256
+
   /** Trained-quantizer cell ranking, memoized per (session, sfDir) and
     * cached: k = max(8, ceil(sqrt(n))) centroids refined with
-    * [[Clustering.kmeans]], then every vector ranked against every trained
-    * cell by squared-euclidean distance ((vec_id, v, nrm, cid, dist2, crk)).
-    * s3 (ANN probing) and e2 (SemDeDup) share this dimension state — training
-    * runs ONCE per dataset, which is also the production shape: a quantizer
-    * is fitted once and reused by every consumer.
+    * [[Clustering.kmeans]] over the hash-sampled training set, then every
+    * vector ranked against every trained cell by squared-euclidean distance
+    * ((vec_id, v, nrm, cid, dist2, crk)). s3 (ANN probing) and e2 (SemDeDup)
+    * share this dimension state — training runs ONCE per dataset, which is
+    * also the production shape: a quantizer is fitted once and reused by
+    * every consumer.
     */
   private val rankedCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  /** Deterministic training sample: keep vec_ids whose portable hash falls
+    * in residue 0 of rate = ceil(n / (TrainPerCell * k)) — integer-exact in
+    * both engines, corpus-size-stable, and rate 1 (= everything) whenever
+    * the corpus is within the training budget.
+    */
+  private[operators] def trainSample(vecs: DataFrame, params: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(params))
+      .where(col("rate") <= 1 ||
+        pmod(TextOps.hash60(col("vec_id").cast(StringType)), col("rate")) === 0)
+      .select(col("vec_id"), col("v"), col("k"))
 
   private def rankedCells(s: SparkSession, d: String): DataFrame =
     rankedCache.getOrElseUpdate((s, d), {
@@ -208,11 +232,21 @@ object Similarity {
       val vecs = e.select(col("vec_id"), col("v"))
       // k = max(8, ceil(sqrt(n))): sqrt is correctly rounded in IEEE, so ceil
       // agrees between engines (exact at perfect squares, unambiguous off them)
-      val params = e.agg(greatest(lit(8), ceil(sqrt(count(lit(1))))).cast("int").as("k"))
-      val cents0 = vecs.crossJoin(broadcast(params))
-        .where(col("vec_id") < col("k"))
+      val params = e.agg(
+          greatest(lit(8), ceil(sqrt(count(lit(1))))).cast("int").as("k"),
+          count(lit(1)).as("n"))
+        .withColumn("rate",
+          expr(s"(n + $TrainPerCell * k - 1) div ($TrainPerCell * k)").cast("int"))
+      val train = trainSample(vecs, params)
+      // seeds = the k lowest vec_ids OF THE TRAINING SET (under rate 1 and
+      // contiguous ids this degenerates to vec_id < k). The seed window is
+      // unpartitioned but runs over the bounded training sample, never the
+      // corpus.
+      val cents0 = train
+        .withColumn("rn", row_number().over(Window.orderBy("vec_id")))
+        .where(col("rn") <= col("k"))
         .select(col("vec_id").as("cid"), col("v").as("c"))
-      val cents = Clustering.kmeans(vecs, cents0, IvfIters)
+      val cents = Clustering.kmeans(train.select("vec_id", "v"), cents0, IvfIters)
       // rank trained cells per vector by euclid distance; rank 1 = home cell,
       // <= NProbe = a query's probe set. Shuffle-free: the k trained cells
       // broadcast as one array row, and the per-vector rank is a sorted
@@ -252,9 +286,22 @@ object Similarity {
     */
   private def rankedCtes(ctes: scala.collection.mutable.ListBuffer[String]): Unit = {
     ctes += "vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
-    ctes += "params AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM embeddings)"
-    ctes += "cents0 AS (SELECT vec_id AS cid, v AS c FROM vecs, params WHERE vec_id < k)"
-    val finalCents = Clustering.kmeansCtes(ctes, "vecs", "cents0", IvfIters, "ivf_")
+    ctes += s"""params AS (
+               |  SELECT k, (count(*) + $TrainPerCell * k - 1) // ($TrainPerCell * k) AS rate
+               |  FROM embeddings, (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k
+               |                    FROM embeddings) GROUP BY k
+               |)""".stripMargin
+    ctes += s"""train AS (
+               |  SELECT vec_id, v, k FROM vecs, params
+               |  WHERE rate <= 1 OR
+               |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % rate = 0
+               |)""".stripMargin
+    ctes += """cents0 AS (
+              |  SELECT vec_id AS cid, v AS c FROM (
+              |    SELECT vec_id, v, k, row_number() OVER (ORDER BY vec_id) AS rn FROM train)
+              |  WHERE rn <= k
+              |)""".stripMargin
+    val finalCents = Clustering.kmeansCtes(ctes, "train", "cents0", IvfIters, "ivf_")
     val dist = s"list_sum(list_transform(range(1, ${Clustering.Dims + 1}), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))"
     ctes += s"""ranked AS (
                |  SELECT e.vec_id, e.v, c.cid AS cell,
@@ -330,15 +377,96 @@ object Similarity {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // s4 — int8 scalar quantization (the memory-compression scale path: 4x
+  // smaller than float32, the standard first step before IVF/PQ when 100 TB
+  // of embeddings must stay resident): per-dimension corpus min/max (one
+  // 64-group map-side-combinable aggregate, folded to a single broadcast
+  // row), codes q = round((x - min) / range * 127), reconstruction
+  // x' = min + q/127 * range. The query ranks the s1 batch by QUANTIZED
+  // cosine and reports the exact cosine + absolute error alongside — the
+  // recall/compression trade made visible (and oracle-checked, since every
+  // step is IEEE-deterministic: one division, one round, both engines
+  // identical). Quantization itself is a pure projection — at scale it
+  // runs inside the scan with the stats row broadcast.
+  private def s4ScalarQuant(s: SparkSession, d: String): DataFrame = {
+    val e = vecsD(s, d).cache()
+    val stats = e
+      .select(posexplode(col("v")).as(Seq("dim0", "x")))
+      .groupBy("dim0").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("dim0"), col("mn"), col("mx")))).as("dm"))
+      .select(
+        expr("transform(dm, e -> e.mn)").as("mins"),
+        expr("transform(dm, e -> CASE WHEN e.mx = e.mn THEN 1.0D ELSE e.mx - e.mn END)").as("rngs"))
+    val dims = Clustering.Dims
+    // one fused transform: code (the int8 value) and reconstruction in a
+    // single pass; the quantized index is cached — built once, served many,
+    // exactly like a production vector index
+    val recon = e.crossJoin(broadcast(stats))
+      .withColumn("rv", expr(s"transform(sequence(1, $dims), i -> " +
+        "element_at(mins, i) + " +
+        "CAST(CAST(round((element_at(v, i) - element_at(mins, i)) / element_at(rngs, i) * 127, 0) AS INT) AS DOUBLE)" +
+        " / 127 * element_at(rngs, i))"))
+      .withColumn("rnrm", sqrt(expr("graft_dot(rv, rv)")))
+      .cache()
+    val q = recon.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("rv").as("qa"), col("rnrm").as("qna"),
+        col("v").as("ad"), col("nrm").as("na"))
+    val c = recon.select(col("vec_id").as("cid"), col("rv").as("qb"), col("rnrm").as("qnb"),
+      col("v").as("bd"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
+    broadcast(q).join(c, col("qid") =!= col("cid"))
+      .withColumn("qcos", expr("graft_dot(qa, qb)") / (col("qna") * col("qnb")))
+      .withColumn("cos", cosCol)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("cid"),
+        round(col("qcos"), 6).as("qcos_r"), round(col("cos"), 6).as("cos_r"),
+        round(abs(col("qcos") - col("cos")), 6).as("abs_err_r"))
+      .orderBy("qid", "rk")
+  }
+
+  private val s4Sql = {
+    val dims = Clustering.Dims
+    s"""WITH ev AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), dimstats AS (
+       |  SELECT r.range AS dim0, min(v[r.range]) AS mn, max(v[r.range]) AS mx
+       |  FROM ev, range(1, ${dims + 1}) r GROUP BY dim0
+       |), arrs AS (
+       |  SELECT list(mn ORDER BY dim0) AS mins,
+       |    list(CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END ORDER BY dim0) AS rngs
+       |  FROM dimstats
+       |), recon AS (
+       |  SELECT vec_id, v,
+       |    list_transform(range(1, ${dims + 1}), i ->
+       |      mins[i] + CAST(CAST(round((v[i] - mins[i]) / rngs[i] * 127) AS INT) AS DOUBLE) / 127 * rngs[i]) AS rv
+       |  FROM ev, arrs
+       |)
+       |SELECT qid, rk, cid, qcos_r, cos_r, abs_err_r FROM (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    round(list_cosine_similarity(q.rv, c.rv), 6) AS qcos_r,
+       |    round(list_cosine_similarity(q.v, c.v), 6) AS cos_r,
+       |    round(abs(list_cosine_similarity(q.rv, c.rv) - list_cosine_similarity(q.v, c.v)), 6) AS abs_err_r,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.rv, c.rv) DESC, c.vec_id) AS rk
+       |  FROM recon q JOIN recon c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 5)
+       |WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> s1CosineTopK _,
     "s2_lsh_ann"     -> s2LshAnn _,
     "s3_ivf_ann"     -> s3IvfAnn _,
+    "s4_scalar_quant" -> s4ScalarQuant _,
     "e2_semdedup"    -> e2SemDedup _)
 
   val oracles: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Sql,
     "s2_lsh_ann"     -> s2Sql,
     "s3_ivf_ann"     -> s3Sql,
+    "s4_scalar_quant" -> s4Sql,
     "e2_semdedup"    -> e2Sql)
 }
