@@ -54,6 +54,54 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared-euclidean distances from one vector to every centroid of a
+  * broadcast centroid array: returns array<struct<dist2, cid>> in the input
+  * (cid-sorted) order — the shape `array_min` (Lloyd argmin, ties to lowest
+  * cid) and `array_sort` (IVF cell ranking) consume directly.
+  *
+  * Replaces the interpreted `transform(cs, ce -> named_struct(...aggregate
+  * (zip_with(...))...))` lambda: per row that form pays an allocation +
+  * virtual call per multiply (k x 64 of them); here the k x 64 fused
+  * multiply-adds run as tight compiled loops. Summation is index-ascending,
+  * bit-identical to the HOF fold and to the oracle's list_sum fold.
+  */
+case class CellDists(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dist2", DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType, nullable = false))),
+      containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    val k = cs.numElements()
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) {
+      val row = cs.getStruct(j, 2)
+      val cid = row.getLong(0)
+      val c = row.getArray(1)
+      val n = math.min(v.numElements(), c.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { val dx = v.getDouble(i) - c.getDouble(i); s += dx * dx; i += 1 }
+      out(j) = InternalRow(s, cid)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Element-wise exact sum of decimal vectors — the aggregation half of a
   * distributed centroid update. Input: array<decimal(p,s)> (cast upstream by
   * Spark's own double→decimal cast so the per-element rounding is identical
@@ -147,5 +195,7 @@ object VectorFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_vecsum_dec", exprs => VecSumDec(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cell_dists", exprs => CellDists(exprs(0), exprs(1)), "built-in")
   }
 }

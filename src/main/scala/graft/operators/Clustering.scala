@@ -45,13 +45,12 @@ object Clustering {
     cs.agg(sort_array(collect_list(struct(col("cid"), col("c")))).as("cs"))
 
   /** Per-row distances to every centroid: array<struct<dist2, cid>> in cid
-    * order. The inner fold is the same in-index-order IEEE sum the oracle's
-    * list_sum/list_transform computes.
+    * order, via the compiled [[graft.functions.CellDists]] expression (the
+    * interpreted `transform(cs, ce -> aggregate(zip_with(...)))` HOF paid an
+    * allocation + virtual call per multiply). Arithmetic is the same
+    * in-index-order IEEE sum the oracle's list_sum/list_transform computes.
     */
-  private[operators] val distsExpr =
-    """transform(cs, ce -> named_struct(
-      |  'dist2', aggregate(zip_with(v, ce.c, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z),
-      |  'cid', ce.cid))""".stripMargin
+  private[operators] val distsExpr = "graft_cell_dists(v, cs)"
 
   /** Lloyd assignment: (vec_id, v, cid, dist2) — nearest centroid by squared
     * euclidean distance, ties to the lowest cid.
