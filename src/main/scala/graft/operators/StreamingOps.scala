@@ -109,15 +109,63 @@ object StreamingOps {
       |FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.day = b.day
       |ORDER BY s.event_type, s.day""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // r2 — exponentially weighted moving average per user (alpha = 1/2,
+  // adjust=true semantics, truncated at 20 terms — the hydrograph-smoothing /
+  // feature-engineering primitive). Engine-exactness is the point: weights
+  // a(1-a)^j = 2^-(j+1) scale to INTEGERS against 2^20, each lag term is
+  // DECIMAL(12,2) x integer (exact), the 20-term sum is exact decimal
+  // addition (order-free), and the single final division is one IEEE op —
+  // so a windowed-float recurrence that is normally engine-divergent
+  // becomes hash-comparable. The window is (user_id | ts, event_id):
+  // per-user partitions scale out; the 20 lags are one window pass.
+  private val EwmaTerms = 20
+
+  private def r2Ewma(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    def weight(j: Int): Long = 1L << (EwmaTerms - 1 - j)
+    val zero = lit(0).cast(DecimalType(12, 2))
+    val scaled = (0 until EwmaTerms).map { j =>
+      coalesce(lag(col("value").cast(DecimalType(12, 2)), j).over(w), zero) * lit(weight(j))
+    }.reduce(_ + _)
+    val wsum = (0 until EwmaTerms).map { j =>
+      when(lag(col("event_id"), j).over(w).isNotNull, lit(weight(j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.events(s, d)
+      .withColumn("scaled", scaled)
+      .withColumn("wsum", wsum)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("scaled").cast(DoubleType) / col("wsum"), 6).as("ewma_r"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  private val r2Sql = {
+    def weight(j: Int): Long = 1L << (EwmaTerms - 1 - j)
+    val scaled = (0 until EwmaTerms)
+      .map(j => s"coalesce(lag(CAST(value AS DECIMAL(12,2)), $j) OVER w, 0) * ${weight(j)}")
+      .mkString(" + ")
+    val wsum = (0 until EwmaTerms)
+      .map(j => s"(CASE WHEN lag(event_id, $j) OVER w IS NOT NULL THEN ${weight(j)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT user_id, event_id, ts,
+       |  round(CAST($scaled AS DOUBLE) / ($wsum), 6) AS ewma_r
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY user_id, ts, event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> st1Tumbling _,
     "st2_sliding_window"  -> st2Sliding _,
     "st3_session_window"  -> st3Sessions _,
-    "r1_gap_fill"         -> r1GapFill _)
+    "r1_gap_fill"         -> r1GapFill _,
+    "r2_ewma"             -> r2Ewma _)
 
   val oracles: Map[String, String] = Map(
     "st1_tumbling_window" -> st1Sql,
     "st2_sliding_window"  -> st2Sql,
     "st3_session_window"  -> st3Sql,
-    "r1_gap_fill"         -> r1Sql)
+    "r1_gap_fill"         -> r1Sql,
+    "r2_ewma"             -> r2Sql)
 }

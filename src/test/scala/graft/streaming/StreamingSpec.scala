@@ -93,4 +93,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(perUserEmitted.getOrElse(u, 0) == n - 1, s"user $u: ${n - 1} expected")
     }
   }
+
+  test("r2 EWMA matches the classic recurrence re-derived driver-side") {
+    // the query computes adjust=true EWMA (alpha = 1/2) truncated at 20
+    // terms via integer-scaled decimal lags; this re-derives it from the
+    // textbook weighted-sum definition over the raw per-user series
+    val rows = graft.operators.StreamingOps.queries("r2_ewma")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val series = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty && series.nonEmpty)
+    for ((uid, evs) <- series.take(20)) {
+      val ordered = evs.sortBy(e => (e._3.getTime, e._2)).map(e => (e._2, e._4))
+      ordered.zipWithIndex.foreach { case ((eid, _), i) =>
+        val terms = (0 until math.min(20, i + 1)).map { j =>
+          math.round(ordered(i - j)._2 * 100) / 100.0 * math.pow(0.5, j + 1)
+        }
+        val wsum = (0 until math.min(20, i + 1)).map(j => math.pow(0.5, j + 1)).sum
+        val expected = terms.sum / wsum
+        assert(math.abs(rows((uid, eid)) - expected) < 1e-5,
+          s"user $uid event $eid: got ${rows((uid, eid))}, expected $expected")
+      }
+    }
+  }
 }
