@@ -397,19 +397,41 @@ object Dedup {
   // table get the exact cosine check. The cross join touches n^2/2 pairs;
   // this touches only co-keyed ones (~the strong pairs plus a bounded noise
   // floor), with the corpus shuffling once on (table, key).
+  /** Skew guard for the LSH band self-join: buckets beyond this size are
+    * excluded from pair generation. The corpus-scaled key width keeps the
+    * MEAN bucket ~32, but a structured embedding distribution (e.g. a
+    * lattice — see SimilaritySpec's adversarial note) can still put half
+    * the corpus behind one key, and a whale bucket is quadratic in the
+    * self-join. Dropping it loses at most that bucket's recall in ONE
+    * table — the L-table union still probes the vector's other keys —
+    * while the join's worst case becomes cap^2 x #buckets. Same discipline
+    * as d3's 2..64 MinHash bucket cap.
+    */
+  private[operators] val LshBucketCap = 256
+
+  /** Candidate pairs from an lshKeys frame with the whale-bucket guard
+    * applied: the oversized-key list is tiny (it is an aggregate over
+    * buckets) and broadcasts; the anti-join prunes before the self-join.
+    */
+  private[operators] def embedCandidatePairs(keyed: DataFrame): DataFrame = {
+    val whales = keyed.groupBy("tbl", "key").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > LshBucketCap)
+    val pruned = keyed.join(broadcast(whales.select("tbl", "key")), Seq("tbl", "key"), "left_anti")
+    val a = pruned.as("a"); val b = pruned.as("b")
+    a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+  }
+
   private def d8EmbedLshDedup(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       .cache()
-    val keyed = Similarity.lshKeys(e)
-    val a = keyed.as("a"); val b = keyed.as("b")
-    val cand = a.join(b,
-        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+    val cand = embedCandidatePairs(Similarity.lshKeys(e))
     val va = e.select(col("vec_id").as("id_a"), col("v").as("ad"), col("nrm").as("na"))
     val vb = e.select(col("vec_id").as("id_b"), col("v").as("bd"), col("nrm").as("nb"))
     cand.join(va, "id_a").join(vb, "id_b")
@@ -421,9 +443,14 @@ object Dedup {
 
   private val d8Sql =
     s"""WITH ${Similarity.lshKeysSqlCtes},
-      |cand AS (
+      |whales AS (
+      |  SELECT tbl, key FROM keyed GROUP BY tbl, key HAVING count(*) > $LshBucketCap
+      |), pruned AS (
+      |  SELECT k.* FROM keyed k LEFT JOIN whales w ON k.tbl = w.tbl AND k.key = w.key
+      |  WHERE w.tbl IS NULL
+      |), cand AS (
       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      |  FROM keyed a JOIN keyed b ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id
+      |  FROM pruned a JOIN pruned b ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id
       |)
       |SELECT id_a, id_b, round(list_cosine_similarity(x.v, y.v), 6) AS cos_r
       |FROM cand JOIN ev x ON x.vec_id = id_a JOIN ev y ON y.vec_id = id_b

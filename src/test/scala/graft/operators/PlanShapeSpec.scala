@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.TestSpark
+
+/** Plan-shape assertions for the scale claims PLANS.md makes: these pin the
+  * PHYSICAL plan, so a refactor that silently reintroduces a shuffle (or an
+  * interpreted UDF) into a hot path fails loudly here even though results —
+  * and therefore the DuckDB oracles — would stay identical.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def executed(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def countExchanges(plan: String): Int =
+    "(?i)exchange".r.findAllIn(plan).size
+
+  test("t8 repetition signals shuffle only for the final deterministic sort") {
+    val plan = executed("t8_gopher_repetition")
+    // one exchange: the output ORDER BY. The signal computation itself is
+    // row-local (array fold) — no aggregation exchange may appear.
+    assert(countExchanges(plan) <= 1,
+      s"t8 must stay row-local except the final sort, plan was:\n$plan")
+    assert(!plan.contains("HashAggregate") || !plan.contains("Expand"),
+      "t8 must not re-grow an explode+groupBy bigram pipeline")
+  }
+
+  test("Lloyd assignment is a projection — no exchange between scan and argmin") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val vecs = (0 until 100)
+      .map(i => (i.toLong, Array.tabulate(8)(d => (i * 31 + d) % 7 * 1.0)))
+      .toDF("vec_id", "v")
+    val cents = (0 until 4).map(i => (i.toLong, Array.tabulate(8)(_ * 1.0 + i)))
+      .toDF("cid", "c")
+    val assigned = Clustering.assignStep(vecs, cents)
+    val plan = assigned.queryExecution.executedPlan.toString
+    // the only allowed exchange feeds the single-row broadcast of the
+    // folded centroid array — never a corpus-wide shuffle
+    assert(!plan.contains("ShuffleExchange"),
+      s"assignment must not shuffle the corpus, plan was:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      "centroids must ride a broadcast")
+    assert(assigned.count() == 100)
+  }
+
+  test("a9 KMV takes per-partition k-minima (TakeOrderedAndProject), never a full sort") {
+    val df = AnalyticOps.queries("a9_kmv_distinct")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k-min selection must compile to TakeOrderedAndProject, plan was:\n$plan")
+  }
+
+  test("centroid update aggregates via the vector-sum buffer, not an explode") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val vecs = (0 until 100)
+      .map(i => (i.toLong, Array.tabulate(8)(d => (i * 13 + d) % 5 * 1.0)))
+      .toDF("vec_id", "v")
+    val cents0 = vecs.limit(3).select(col("vec_id").as("cid"), col("v").as("c"))
+    val cents = Clustering.kmeans(vecs, cents0, 1)
+    val plan = cents.queryExecution.executedPlan.toString
+    assert(plan.contains("vecsumdec") || plan.toLowerCase.contains("vecsum"),
+      s"update must run the exact vector-sum aggregate, plan was:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"update must not posexplode the corpus, plan was:\n$plan")
+    assert(cents.count() == 3)
+  }
+}

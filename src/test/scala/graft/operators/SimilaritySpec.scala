@@ -123,6 +123,58 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r >= 0.8, s"int8 ANN recall@3 degraded to $r")
   }
 
+  test("LSH key width scales with the corpus so buckets stay bounded at 40x") {
+    // 20k synthetic vectors (40x the fixture): nbits must follow
+    // clamp(4, 24, bitlength(ceil(n/32) - 1)) = 10, and the realized
+    // buckets must stay near n / 2^nbits — the property that keeps the
+    // band self-join from degenerating toward a cross product at scale
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val n = 20000
+    val dim = 8
+    // splitmix64-mixed coordinates: near-uniform, unlike a linear lattice
+    // (a lattice IS adversarial for sign-LSH — half the corpus lands in one
+    // bucket — which is the documented residual risk, not the normal case)
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => (mix(i.toLong * dim + d) % 1000) / 1000.0))
+    }.toDF("vec_id", "v")
+    val keyed = Similarity.lshKeys(vecs)
+    val rows = keyed.collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2)))
+    assert(rows.length == n * 4, "4 tables per vector")
+    val maxKey = rows.map(_._3).max
+    assert(maxKey < (1L << 10) && maxKey >= (1L << 9),
+      s"nbits should be 10 at n=20000, max observed key $maxKey")
+    val buckets = rows.groupBy(t => (t._2, t._3)).map(_._2.size)
+    val mean = n.toDouble / (1 << 10)
+    assert(buckets.max <= mean * 40,
+      s"worst bucket ${buckets.max} vs mean $mean — re-blocking needed")
+  }
+
+  test("whale-bucket cap bounds the self-join even on an adversarial lattice corpus") {
+    // a linear lattice concentrates sign-LSH keys (half the corpus behind
+    // one key); without the cap the band self-join is quadratic. With it,
+    // candidate pairs stay bounded by cap^2 x #buckets.
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val n = 4000
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (((i * 761L + d * 503L) % 1000) - 500) / 500.0))
+    }.toDF("vec_id", "v")
+    val keyed = Similarity.lshKeys(vecs)
+    val buckets = keyed.groupBy("tbl", "key").count().collect().map(_.getLong(2))
+    assert(buckets.max > 256, s"fixture must actually contain a whale, max=${buckets.max}")
+    val cands = Dedup.embedCandidatePairs(keyed).count()
+    val bound = buckets.count(_ <= 256).toLong * 256L * 256L
+    assert(cands <= bound, s"$cands pairs exceeds the capped bound $bound")
+    assert(cands < n.toLong * n / 20, s"$cands pairs is still near-quadratic for n=$n")
+  }
+
   test("quantizer training sample is deterministic, hash-ruled and corpus-bounded") {
     // exercise the rate > 1 branch that production corpus sizes hit (the
     // verify SFs stay under the TrainPerCell * k budget, so force a rate
