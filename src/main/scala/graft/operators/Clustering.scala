@@ -103,8 +103,9 @@ object Clustering {
   }
 
   /** Oracle twin of [[assignStep]]: CTE `out` = (vec_id, v, cid, dist2). */
-  private[operators] def assignCte(vecsRel: String, centsRel: String, out: String): String = {
-    val dist = s"list_sum(list_transform(range(1, ${Dims + 1}), i -> (a.v[i] - c.c[i]) * (a.v[i] - c.c[i])))"
+  private[operators] def assignCte(vecsRel: String, centsRel: String, out: String,
+      dims: Int = Dims): String = {
+    val dist = s"list_sum(list_transform(range(1, ${dims + 1}), i -> (a.v[i] - c.c[i]) * (a.v[i] - c.c[i])))"
     s"""$out AS (
        |  SELECT vec_id, v, cid, dist2 FROM (
        |    SELECT a.vec_id, a.v, c.cid, $dist AS dist2,
@@ -115,12 +116,13 @@ object Clustering {
   }
 
   /** Oracle twin of the centroid update inside [[kmeans]]. */
-  private[operators] def updateCte(assignRel: String, out: String): String =
+  private[operators] def updateCte(assignRel: String, out: String,
+      dims: Int = Dims): String =
     s"""$out AS (
        |  SELECT cid, list(m ORDER BY dim) AS c FROM (
        |    SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
        |    FROM (SELECT cid, r.range AS dim, v[r.range + 1] AS x
-       |          FROM $assignRel, range(0, $Dims) r)
+       |          FROM $assignRel, range(0, $dims) r)
        |    GROUP BY cid, dim)
        |  GROUP BY cid
        |)""".stripMargin
@@ -131,11 +133,12 @@ object Clustering {
     */
   private[operators] def kmeansCtes(
       ctes: scala.collection.mutable.ListBuffer[String],
-      vecsRel: String, cents0Rel: String, iters: Int, prefix: String): String = {
+      vecsRel: String, cents0Rel: String, iters: Int, prefix: String,
+      dims: Int = Dims): String = {
     var cur = cents0Rel
     for (it <- 1 to iters) {
-      ctes += assignCte(vecsRel, cur, s"${prefix}assign$it")
-      ctes += updateCte(s"${prefix}assign$it", s"${prefix}cents$it")
+      ctes += assignCte(vecsRel, cur, s"${prefix}assign$it", dims)
+      ctes += updateCte(s"${prefix}assign$it", s"${prefix}cents$it", dims)
       cur = s"${prefix}cents$it"
     }
     cur

@@ -456,11 +456,153 @@ object Similarity {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // s5 — product quantization with asymmetric distance (Jégou et al. 2011,
+  // "Product quantization for nearest neighbor search"): the 64-dim space
+  // splits into M=4 subspaces of 16 dims, each with its own K=16-entry
+  // codebook (Lloyd-trained on the bounded hash-sample — training cost is
+  // codebook-sized, never corpus-sized). A corpus vector stores only 4
+  // code ids (M * log2 K = 16 bits vs 2048 for float32 — 128x compression);
+  // queries stay RAW and score against per-code reconstructions (ADC).
+  // Encoding is a pure projection — all 4 codebooks ride ONE broadcast row
+  // and each subspace argmin is array_min(graft_cell_dists(slice(v), cs_m)),
+  // so at 100 TB the corpus is coded in a single scan with zero data
+  // movement. Completes the quantization triad (s3 IVF + s4 SQ + s5 PQ).
+  private val PqM = 4
+  private val PqK = 16
+  private val PqSubDim = Clustering.Dims / PqM
+
+  /** PQ codebooks + reconstructions, memoized per (session, sfDir): trained
+    * once per dataset like [[rankedCells]] — every s5 evaluation reuses the
+    * same cached quantized index.
+    */
+  private val pqReconCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  private def s5PqAdc(s: SparkSession, d: String): DataFrame = {
+    val recon = pqReconCache.getOrElseUpdate((s, d), pqRecon(s, d))
+    // ADC: raw query against reconstructed corpus
+    val q = recon.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"))
+    val c = recon.select(col("vec_id").as("cid"), col("rv").as("qb"), col("rnrm").as("qnb"),
+      col("v").as("bd"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("pqcos").desc, col("cid"))
+    broadcast(q).join(c, col("qid") =!= col("cid"))
+      .withColumn("pqcos", expr("graft_dot(ad, qb)") / (col("na") * col("qnb")))
+      .withColumn("cos", cosCol)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("cid"),
+        round(col("pqcos"), 6).as("pqcos_r"), round(col("cos"), 6).as("cos_r"),
+        round(abs(col("pqcos") - col("cos")), 6).as("abs_err_r"))
+      .orderBy("qid", "rk")
+  }
+
+  private def pqRecon(s: SparkSession, d: String): DataFrame = {
+    val e = vecsD(s, d).cache()
+    val vecs = e.select(col("vec_id"), col("v"))
+    val params = e.agg(count(lit(1)).as("n"))
+      .select(lit(PqK).as("k"),
+        expr(s"(n + ${TrainPerCell * PqK} - 1) div ${TrainPerCell * PqK}").cast("int").as("rate"))
+    val train = trainSample(vecs, params)
+    // one codebook per subspace, each folded to a single-row array; the 4
+    // single-row frames cross-join into ONE broadcast row of cs0..cs3.
+    // Trainings are independent, so they are SUBMITTED concurrently — the
+    // per-iteration checkpoint jobs of the 4 Lloyd chains overlap instead
+    // of serializing (Spark's scheduler interleaves jobs from different
+    // threads; each chain is deterministic regardless of completion order).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val futures = (0 until PqM).map { m =>
+      Future {
+        val sub = train.select(col("vec_id"),
+          expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)").as("v"))
+        val cents0 = sub
+          .withColumn("rn", row_number().over(Window.orderBy("vec_id")))
+          .where(col("rn") <= PqK)
+          .select(col("vec_id").as("cid"), col("v").as("c"))
+        // relabel codes to DENSE 0..K-1 (order-preserving over the trained
+        // cids, so argmin tie-breaks are unchanged): the reconstruction
+        // lookup becomes a direct element_at instead of an array filter
+        val cb = Clustering.kmeans(sub, cents0, IvfIters)
+          .withColumn("cid", row_number().over(Window.orderBy("cid")).cast("long") - 1)
+        Clustering.centsAsArray(cb).select(col("cs").as(s"cs$m"))
+      }
+    }
+    val codebooks = futures.map(Await.result(_, Duration.Inf))
+    val books = broadcast(codebooks.reduce(_.crossJoin(_)))
+    // encode + reconstruct in one projection: per subspace, the argmin code
+    // and its centroid (fetched from the same broadcast array), concatenated
+    val withRv = (0 until PqM).foldLeft(e.crossJoin(books)) { (df, m) =>
+      df.withColumn(s"code$m",
+          expr(s"array_min(graft_cell_dists(slice(v, ${m * PqSubDim + 1}, $PqSubDim), cs$m)).cid"))
+        .withColumn(s"rv$m",
+          expr(s"element_at(cs$m, CAST(code$m + 1 AS INT)).c"))
+    }
+    withRv
+      .withColumn("rv", expr((0 until PqM).map(m => s"rv$m").mkString("concat(", ", ", ")")))
+      .withColumn("rnrm", sqrt(expr("graft_dot(rv, rv)")))
+      .select("vec_id", "v", "nrm", "rv", "rnrm")
+      .cache()
+  }
+
+  private val s5Sql = {
+    val ctes = new scala.collection.mutable.ListBuffer[String]
+    ctes += "ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    ctes += s"""pq_params AS (
+               |  SELECT $PqK AS k, (count(*) + ${TrainPerCell * PqK} - 1) // ${TrainPerCell * PqK} AS rate
+               |  FROM embeddings
+               |)""".stripMargin
+    ctes += s"""pq_train AS (
+               |  SELECT vec_id, v FROM ev, pq_params
+               |  WHERE rate <= 1 OR
+               |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % rate = 0
+               |)""".stripMargin
+    val finals = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      ctes += s"pq${m}_vecs AS (SELECT vec_id, v[$lo:$hi] AS v FROM pq_train)"
+      ctes += s"""pq${m}_cents0 AS (
+                 |  SELECT vec_id AS cid, v AS c FROM (
+                 |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM pq${m}_vecs)
+                 |  WHERE rn <= $PqK
+                 |)""".stripMargin
+      val fin = Clustering.kmeansCtes(ctes, s"pq${m}_vecs", s"pq${m}_cents0", IvfIters,
+        s"pq${m}_", PqSubDim)
+      // encode the FULL corpus subspace against the trained codebook
+      ctes += s"pq${m}_all AS (SELECT vec_id, v[$lo:$hi] AS v FROM ev)"
+      ctes += Clustering.assignCte(s"pq${m}_all", fin, s"pq${m}_enc", PqSubDim)
+      fin
+    }
+    val joins = (0 until PqM).map(m =>
+      s"JOIN pq${m}_enc e$m ON e$m.vec_id = e.vec_id JOIN ${finals(m)} c$m ON c$m.cid = e$m.cid")
+      .mkString("\n  ")
+    ctes += s"""recon AS (
+               |  SELECT e.vec_id, e.v, ${(0 until PqM).map(m => s"c$m.c").mkString(" || ")} AS rv
+               |  FROM ev e
+               |  $joins
+               |)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT qid, rk, cid, pqcos_r, cos_r, abs_err_r FROM (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    round(list_cosine_similarity(q.v, c.rv), 6) AS pqcos_r,
+       |    round(list_cosine_similarity(q.v, c.v), 6) AS cos_r,
+       |    round(abs(list_cosine_similarity(q.v, c.rv) - list_cosine_similarity(q.v, c.v)), 6) AS abs_err_r,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.v, c.rv) DESC, c.vec_id) AS rk
+       |  FROM recon q JOIN recon c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 5)
+       |WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> s1CosineTopK _,
     "s2_lsh_ann"     -> s2LshAnn _,
     "s3_ivf_ann"     -> s3IvfAnn _,
     "s4_scalar_quant" -> s4ScalarQuant _,
+    "s5_pq_adc"      -> s5PqAdc _,
     "e2_semdedup"    -> e2SemDedup _)
 
   val oracles: Map[String, String] = Map(
@@ -468,5 +610,6 @@ object Similarity {
     "s2_lsh_ann"     -> s2Sql,
     "s3_ivf_ann"     -> s3Sql,
     "s4_scalar_quant" -> s4Sql,
+    "s5_pq_adc"      -> s5Sql,
     "e2_semdedup"    -> e2Sql)
 }

@@ -156,6 +156,24 @@ class SimilaritySpec extends AnyFunSuite {
       s"worst bucket ${buckets.max} vs mean $mean — re-blocking needed")
   }
 
+  test("s5 PQ-ADC approximation error is bounded and recall stays useful") {
+    val rows = Similarity.queries("s5_pq_adc")(spark, sfDir).collect()
+    assert(rows.length == 15)
+    // 4 subspaces x 16 codes is a coarse 128x compression, and the fixture's
+    // near-isotropic vectors are PQ's worst case (no cluster structure for
+    // the codebooks to exploit) — observed drift peaks ~0.31; the pin guards
+    // regression toward noise (cos spans [-1, 1], so 0.45 is still signal)
+    rows.foreach { r =>
+      val err = r.getAs[Double]("abs_err_r")
+      assert(err < 0.45, s"PQ cosine drifted by $err")
+    }
+    val r = recall(
+      rows.map(x => (x.getAs[Number]("qid").longValue(), x.getAs[Number]("cid").longValue()))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap,
+      bruteTop(Seq(0L, 1L, 2L, 3L, 4L), 3))
+    assert(r >= 0.25, s"PQ ANN recall@3 degraded to $r")
+  }
+
   test("whale-bucket cap bounds the self-join even on an adversarial lattice corpus") {
     // a linear lattice concentrates sign-LSH keys (half the corpus behind
     // one key); without the cap the band self-join is quadratic. With it,
