@@ -134,11 +134,43 @@ object Multimodal {
        |  md5(substring(text, frame_idx * $FrameStride + 1, $FrameW)) AS frame_md5
        |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // m3 — the mapPartitions feature-extraction path itself, DuckDB-oracled:
+  // the stub decoder's features are integer byte arithmetic (sums of values
+  // <= 255 and squares <= 65025 over ~300-byte payloads are exact in IEEE
+  // doubles regardless of order), so even the RDD batch path gets a SQL
+  // cross-check — a real codec swaps FakeDecoder and keeps the plumbing.
+  // The oracle re-derives per-byte values via ord() over the (ASCII) text.
+  private def m3Features(s: SparkSession, d: String): DataFrame =
+    extractFeatures(mediaTable(s, d))
+      .where(col("n_bytes") > 0)
+      .select(col("media_id"), col("n_bytes"),
+        round(expr("feat[0]"), 6).as("mean_r"),
+        expr("CAST(feat[1] AS INT)").as("min_b"),
+        expr("CAST(feat[2] AS INT)").as("max_b"),
+        round(expr("feat[3]"), 6).as("energy_r"))
+      .orderBy("media_id")
+
+  private val m3Sql =
+    """WITH chars AS (
+      |  SELECT doc_id AS media_id, length(text) AS n,
+      |    list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))) AS bs
+      |  FROM documents
+      |)
+      |SELECT media_id, CAST(n AS INTEGER) AS n_bytes,
+      |  round(CAST(list_sum(bs) AS DOUBLE) / n, 6) AS mean_r,
+      |  CAST(list_min(bs) AS INT) AS min_b,
+      |  CAST(list_max(bs) AS INT) AS max_b,
+      |  round(CAST(list_sum(list_transform(bs, b -> b * b)) AS DOUBLE) / n, 6) AS energy_r
+      |FROM chars WHERE n > 0 ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta"  -> m1BinaryMeta _,
-    "m2_frame_sample" -> m2FrameSample _)
+    "m2_frame_sample" -> m2FrameSample _,
+    "m3_features"     -> m3Features _)
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta"  -> m1Sql,
-    "m2_frame_sample" -> m2Sql)
+    "m2_frame_sample" -> m2Sql,
+    "m3_features"     -> m3Sql)
 }
