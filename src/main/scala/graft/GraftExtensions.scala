@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cell_dists"),
       info("graft_cell_dists", "graft_cell_dists(v, cents) - array<struct<dist2, cid>> distances to each centroid"),
       (exprs: Seq[Expression]) => CellDists(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_cell_top"),
+      info("graft_cell_top", "graft_cell_top(v, cents, n) - n nearest centroids as sorted array<struct<dist2, cid>>"),
+      (exprs: Seq[Expression]) => CellTopN(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((FunctionIdentifier("st_area"),
       info("st_area", "st_area(geom) - shoelace area, holes negative"),
       (e: Seq[Expression]) => StArea(e.head)))

@@ -65,9 +65,40 @@ case class DotProduct(left: Expression, right: Expression)
   * multiply-adds run as tight compiled loops. Summation is index-ascending,
   * bit-identical to the HOF fold and to the oracle's list_sum fold.
   */
+/** Shared per-task decode of the broadcast centroid array: within any one
+  * plan instance the `cs` argument is a constant (it rides a single-row
+  * broadcast), so the struct-array is unpacked ONCE per task into primitive
+  * `Array[Array[Double]]` / `Array[Long]` — the per-row hot loop then does
+  * pure double math with no accessor allocation (a per-row `getStruct` +
+  * `getArray` per centroid cost ~45M short-lived objects per 100k x 448
+  * assignment before this).
+  */
+trait CentroidDecode {
+  @transient private var cids: Array[Long] = _
+  @transient private var cents: Array[Array[Double]] = _
+
+  protected def decoded(cs: ArrayData): (Array[Long], Array[Array[Double]]) = {
+    if (cents == null || cents.length != cs.numElements()) {
+      val k = cs.numElements()
+      val ids = new Array[Long](k)
+      val cc = new Array[Array[Double]](k)
+      var j = 0
+      while (j < k) {
+        val row = cs.getStruct(j, 2)
+        ids(j) = row.getLong(0)
+        cc(j) = row.getArray(1).toDoubleArray()
+        j += 1
+      }
+      cids = ids; cents = cc
+    }
+    (cids, cents)
+  }
+}
+
 case class CellDists(left: Expression, right: Expression)
     extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with CentroidDecode {
 
   override def nullIntolerant: Boolean = true
 
@@ -79,20 +110,18 @@ case class CellDists(left: Expression, right: Expression)
       containsNull = false)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val v = a.asInstanceOf[ArrayData]
-    val cs = b.asInstanceOf[ArrayData]
-    val k = cs.numElements()
+    val v = a.asInstanceOf[ArrayData].toDoubleArray()
+    val (cids, cents) = decoded(b.asInstanceOf[ArrayData])
+    val k = cids.length
     val out = new Array[Any](k)
     var j = 0
     while (j < k) {
-      val row = cs.getStruct(j, 2)
-      val cid = row.getLong(0)
-      val c = row.getArray(1)
-      val n = math.min(v.numElements(), c.numElements())
+      val c = cents(j)
+      val n = math.min(v.length, c.length)
       var s = 0.0
       var i = 0
-      while (i < n) { val dx = v.getDouble(i) - c.getDouble(i); s += dx * dx; i += 1 }
-      out(j) = InternalRow(s, cid)
+      while (i < n) { val dx = v(i) - c(i); s += dx * dx; i += 1 }
+      out(j) = InternalRow(s, cids(j))
       j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -100,6 +129,61 @@ case class CellDists(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** The n smallest (dist2, cid) entries of [[CellDists]] in ascending
+  * (dist2, cid) order, selected in compiled code: `slice(array_sort(
+  * graft_cell_dists(...)), 1, n)` pays an interpreted comparator call per
+  * struct comparison (k log k of them per row — the dominant cost of cell
+  * ranking at k ~ sqrt(corpus)); this is one O(k * n) insertion pass with
+  * primitive comparisons. n = 1 is the Lloyd argmin; n = NProbe is the IVF
+  * probe set. Tie-break identical to array_sort/array_min on the struct:
+  * lexicographic (dist2, cid).
+  */
+case class CellTopN(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with CentroidDecode {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = CellDists(first, second).dataType
+
+  override def nullSafeEval(a: Any, b: Any, nAny: Any): Any = {
+    val v = a.asInstanceOf[ArrayData].toDoubleArray()
+    val (cids, cents) = decoded(b.asInstanceOf[ArrayData])
+    val topN = math.max(1, nAny.asInstanceOf[Number].intValue())
+    val k = cids.length
+    val m = math.min(topN, k)
+    val bestD = Array.fill(m)(Double.PositiveInfinity)
+    val bestC = Array.fill(m)(Long.MaxValue)
+    var j = 0
+    while (j < k) {
+      val cid = cids(j)
+      val c = cents(j)
+      val dims = math.min(v.length, c.length)
+      var s = 0.0
+      var i = 0
+      while (i < dims) { val dx = v(i) - c(i); s += dx * dx; i += 1 }
+      // insertion into the sorted top-m buffer ((dist2, cid) ascending)
+      if (s < bestD(m - 1) || (s == bestD(m - 1) && cid < bestC(m - 1))) {
+        var p = m - 1
+        while (p > 0 && (s < bestD(p - 1) || (s == bestD(p - 1) && cid < bestC(p - 1)))) {
+          bestD(p) = bestD(p - 1); bestC(p) = bestC(p - 1); p -= 1
+        }
+        bestD(p) = s; bestC(p) = cid
+      }
+      j += 1
+    }
+    val out = new Array[Any](m)
+    var p = 0
+    while (p < m) { out(p) = InternalRow(bestD(p), bestC(p)); p += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }
 
 /** Element-wise exact sum of decimal vectors — the aggregation half of a
@@ -197,5 +281,7 @@ object VectorFunctions {
       "graft_vecsum_dec", exprs => VecSumDec(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_cell_dists", exprs => CellDists(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cell_top", exprs => CellTopN(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

@@ -44,13 +44,6 @@ object Clustering {
   private[operators] def centsAsArray(cs: DataFrame): DataFrame =
     cs.agg(sort_array(collect_list(struct(col("cid"), col("c")))).as("cs"))
 
-  /** Per-row distances to every centroid: array<struct<dist2, cid>> in cid
-    * order, via the compiled [[graft.functions.CellDists]] expression (the
-    * interpreted `transform(cs, ce -> aggregate(zip_with(...)))` HOF paid an
-    * allocation + virtual call per multiply). Arithmetic is the same
-    * in-index-order IEEE sum the oracle's list_sum/list_transform computes.
-    */
-  private[operators] val distsExpr = "graft_cell_dists(v, cs)"
 
   /** Lloyd assignment: (vec_id, v, cid, dist2) — nearest centroid by squared
     * euclidean distance, ties to the lowest cid.
@@ -65,7 +58,7 @@ object Clustering {
     */
   private[operators] def assignStep(vecs: DataFrame, cs: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centsAsArray(cs)))
-      .withColumn("m", expr(s"array_min($distsExpr)"))
+      .withColumn("m", expr("element_at(graft_cell_top(v, cs, 1), 1)"))
       .select(col("vec_id"), col("v"), col("m.cid").as("cid"), col("m.dist2").as("dist2"))
 
   /** `iters` Lloyd rounds from `cents0` ((cid, c)); returns the trained

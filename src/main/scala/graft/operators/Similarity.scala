@@ -251,14 +251,24 @@ object Similarity {
       // <= NProbe = a query's probe set. Shuffle-free: the k trained cells
       // broadcast as one array row, and the per-vector rank is a sorted
       // projection (array_sort on (dist2, cid) structs == the oracle's
-      // ORDER BY dist2, cid) — no corpus-wide window sort.
-      e.crossJoin(broadcast(Clustering.centsAsArray(cents)))
+      // ORDER BY dist2, cid) — no corpus-wide window sort. Only the
+      // top-NProbe slice is kept and cached: consumers never look past
+      // crk <= NProbe, and a full n x k ranking with the vector riding
+      // along would make the cache k/NProbe times the corpus (ruinous at
+      // k ~ sqrt(n) — 50 GB at a 200k-vector probe; the slice is 2n rows).
+      val ranked = e.crossJoin(broadcast(Clustering.centsAsArray(cents)))
         .select(col("vec_id"), col("v"), col("nrm"),
-          posexplode(expr(s"array_sort(${Clustering.distsExpr})")).as(Seq("pos", "dc")))
+          posexplode(expr(s"graft_cell_top(v, cs, $NProbe)"))
+            .as(Seq("pos", "dc")))
         .select(col("vec_id"), col("v"), col("nrm"),
           col("dc.cid").as("cid"), col("dc.dist2").as("dist2"),
           (col("pos") + 1).as("crk"))
         .cache()
+      // populate eagerly: every consumer reads ranked at least twice in one
+      // query (home cells + probe set), and concurrent AQE map-jobs racing
+      // an unpopulated cache would each recompute the full n x k ranking
+      ranked.count()
+      ranked
     })
 
   private def s3IvfAnn(s: SparkSession, d: String): DataFrame = {
@@ -465,7 +475,7 @@ object Similarity {
   // code ids (M * log2 K = 16 bits vs 2048 for float32 — 128x compression);
   // queries stay RAW and score against per-code reconstructions (ADC).
   // Encoding is a pure projection — all 4 codebooks ride ONE broadcast row
-  // and each subspace argmin is array_min(graft_cell_dists(slice(v), cs_m)),
+  // and each subspace argmin is graft_cell_top(slice(v), cs_m, 1),
   // so at 100 TB the corpus is coded in a single scan with zero data
   // movement. Completes the quantization triad (s3 IVF + s4 SQ + s5 PQ).
   private val PqM = 4
@@ -536,7 +546,7 @@ object Similarity {
     // and its centroid (fetched from the same broadcast array), concatenated
     val withRv = (0 until PqM).foldLeft(e.crossJoin(books)) { (df, m) =>
       df.withColumn(s"code$m",
-          expr(s"array_min(graft_cell_dists(slice(v, ${m * PqSubDim + 1}, $PqSubDim), cs$m)).cid"))
+          expr(s"element_at(graft_cell_top(slice(v, ${m * PqSubDim + 1}, $PqSubDim), cs$m, 1), 1).cid"))
         .withColumn(s"rv$m",
           expr(s"element_at(cs$m, CAST(code$m + 1 AS INT)).c"))
     }

@@ -31,10 +31,62 @@ object ScaleProbe {
       runFull(
         if (args.length > 1) args(1).toInt else 100000,
         if (args.length > 2) args(2).toInt else 240)
+    else if (args.headOption.contains("embed"))
+      runEmbed(if (args.length > 1) args(1).toInt else 200000)
     else
       runJoinKernel(
         if (args.nonEmpty) args(0).toInt else 10000,
         if (args.length > 1) args(1).toInt else 24)
+
+  // ---------------------------------------------------------------------------
+  // Mode 3 — EMBEDDING OPERATORS AT 100-400x the verify corpus: synthesizes
+  // n 64-dim vectors (splitmix64-mixed, deterministic), writes them as a
+  // standalone embeddings.parquet, and drives the PUBLIC query surface —
+  // d8 (corpus-scaled-key LSH dedup + whale cap), s3/e2 (trained sqrt-n IVF
+  // quantizer with sampled training, shared ranking cache), s5 (PQ) —
+  // reporting per-query wall time and shuffle bytes. This is the direct
+  // evidence for the round-3 scale mechanisms: at n=200k the LSH key space
+  // is 13 bits (8192 buckets/table), the quantizer trains k=448 cells on a
+  // rate-2 hash-sample, and the IVF ranking cache holds 2n rows (not n x k).
+  private def runEmbed(n: Int): Unit = {
+    val spark = session()
+    val dir = s"/tmp/graft_scaleprobe_embed_$n"
+    val marker = Paths.get(dir, "_done")
+    if (!Files.exists(marker)) {
+      // xxhash64-mixed per (vec_id, dim): near-uniform in [-1, 1), and the
+      // mixer can't hit Spark 4's ANSI long-overflow guard
+      spark.range(n).select(col("id").as("vec_id"),
+          expr("""transform(sequence(0, 63), d ->
+            | CAST(xxhash64(id, d) % 1000000 AS DOUBLE) / 1000000.0
+            |)""".stripMargin).cast("array<float>").as("embedding"),
+          (col("id") % 10).cast("int").as("label"))
+        .coalesce(8)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      Files.createFile(marker)
+    }
+
+    val shuffleTotal = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleTotal.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    def time(name: String): (String, Double, Long) = {
+      val before = shuffleTotal.get()
+      val t0 = System.nanoTime()
+      // noop sink materializes EVERY column, like the bench: a count() would
+      // let Catalyst eliminate e.g. e2's distinct-keyed left join entirely
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = df.count() // cheap second action on the cached/derived frame
+      println(f"""[embed-probe] $name rows=$rows sec=$sec%.1f shuffle_mb=${(shuffleTotal.get() - before) / 1e6}%.1f""")
+      (name, sec, rows)
+    }
+    val results = Seq("d8_embed_lsh_dedup", "s3_ivf_ann", "e2_semdedup", "s5_pq_adc").map(time)
+    val parts = results.map { case (nm, sec, rows) => s""""$nm":{"sec":$sec,"rows":$rows}""" }
+    println(s"""{"probe":"embed_scale","n":$n,"shuffle_total_mb":${shuffleTotal.get() / 1e6},${parts.mkString(",")}}""")
+  }
 
   private def session(): SparkSession = {
     val spark = SparkSession.builder()
