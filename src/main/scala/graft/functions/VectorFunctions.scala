@@ -77,8 +77,26 @@ trait CentroidDecode {
   @transient private var cids: Array[Long] = _
   @transient private var cents: Array[Array[Double]] = _
 
+  /** Cache validity = same length AND same cid sequence (cids identify the
+    * centroids of a trained codebook, so a changed centroid SET always
+    * shows in them; the O(k) long scan is ~1% of the O(k * dims) distance
+    * work). A pathological caller feeding per-row arrays with identical
+    * cids but different vectors would need the full content compare — the
+    * engine's own call sites all bind `cs` to a single-row broadcast, where
+    * the value is constant per plan.
+    */
+  private def cacheValid(cs: ArrayData): Boolean = {
+    if (cents == null || cents.length != cs.numElements()) return false
+    var j = 0
+    while (j < cids.length) {
+      if (cs.getStruct(j, 2).getLong(0) != cids(j)) return false
+      j += 1
+    }
+    true
+  }
+
   protected def decoded(cs: ArrayData): (Array[Long], Array[Array[Double]]) = {
-    if (cents == null || cents.length != cs.numElements()) {
+    if (!cacheValid(cs)) {
       val k = cs.numElements()
       val ids = new Array[Long](k)
       val cc = new Array[Array[Double]](k)
