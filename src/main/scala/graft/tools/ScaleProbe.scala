@@ -33,6 +33,8 @@ object ScaleProbe {
         if (args.length > 2) args(2).toInt else 240)
     else if (args.headOption.contains("embed"))
       runEmbed(if (args.length > 1) args(1).toInt else 200000)
+    else if (args.headOption.contains("docs"))
+      runDocs(if (args.length > 1) args(1).toInt else 50000)
     else
       runJoinKernel(
         if (args.nonEmpty) args(0).toInt else 10000,
@@ -86,6 +88,58 @@ object ScaleProbe {
     val results = Seq("d8_embed_lsh_dedup", "s3_ivf_ann", "e2_semdedup", "s5_pq_adc").map(time)
     val parts = results.map { case (nm, sec, rows) => s""""$nm":{"sec":$sec,"rows":$rows}""" }
     println(s"""{"probe":"embed_scale","n":$n,"shuffle_total_mb":${shuffleTotal.get() / 1e6},${parts.mkString(",")}}""")
+  }
+
+  // ---------------------------------------------------------------------------
+  // Mode 4 — TEXT-DEDUP FAMILY AT 100x the verify corpus: synthesizes n
+  // documents (30-100 tokens from a 40-word vocabulary, xxhash64-mixed;
+  // every 50th document is a near-clone of its predecessor — one appended
+  // token — so the MinHash/SimHash blockers and the connected-components
+  // closure all have real work) and drives the public d3/d7/d9/t8/t9
+  // queries, reporting wall time and shuffle bytes per query.
+  private def runDocs(n: Int): Unit = {
+    val spark = session()
+    val dir = s"/tmp/graft_scaleprobe_docs_$n"
+    val marker = Paths.get(dir, "_done")
+    if (!Files.exists(marker)) {
+      val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+        "hash", "merge", "batch", "spark", "window", "order", "data", "column", "join",
+        "small", "line", "customer", "query", "big", "group", "sort", "stream", "filter",
+        "the", "a", "of", "and", "to", "in", "view", "click", "error", "plan", "cache",
+        "shuffle", "stage").map(w => s"'$w'").mkString("array(", ", ", ")")
+      spark.range(n).select(col("id").as("doc_id"),
+          expr(s"""concat(
+            | array_join(transform(sequence(1, 30 + CAST(pmod(xxhash64(CASE WHEN id % 50 = 1 THEN id - 1 ELSE id END), 70) AS INT)),
+            |   w -> element_at($vocab, 1 + CAST(pmod(xxhash64(CASE WHEN id % 50 = 1 THEN id - 1 ELSE id END, w), 40) AS INT))), ' '),
+            | CASE WHEN id % 50 = 1 THEN ' xtra' ELSE '' END)""".stripMargin).as("text"),
+          expr("element_at(array('en','de','es'), 1 + CAST(id % 3 AS INT))").as("lang"),
+          lit("synth").as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(8)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Files.createFile(marker)
+    }
+
+    val shuffleTotal = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleTotal.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    def time(name: String): (String, Double, Long) = {
+      val before = shuffleTotal.get()
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = df.count()
+      println(f"""[docs-probe] $name rows=$rows sec=$sec%.1f shuffle_mb=${(shuffleTotal.get() - before) / 1e6}%.1f""")
+      (name, sec, rows)
+    }
+    val results = Seq("d3_minhash_pairs", "d7_simhash_pairs", "d9_dedup_groups",
+      "t8_gopher_repetition", "t9_tfidf").map(time)
+    val parts = results.map { case (nm, sec, rows) => s""""$nm":{"sec":$sec,"rows":$rows}""" }
+    println(s"""{"probe":"docs_scale","n":$n,"shuffle_total_mb":${shuffleTotal.get() / 1e6},${parts.mkString(",")}}""")
   }
 
   private def session(): SparkSession = {
