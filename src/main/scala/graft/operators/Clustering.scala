@@ -137,19 +137,48 @@ object Clustering {
     cur
   }
 
-  private def e1Kmeans(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val vecs = Tables.embeddings(s, d)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .cache()
-    // seeded init: the K lowest vec_ids are the starting centroids
-    val cents0 = vecs.orderBy("vec_id").limit(K)
-      .select(col("vec_id").as("cid"), col("v").as("c"))
-    val cents = kmeans(vecs, cents0, Iters)
-    assignStep(vecs, cents)
+  /** The trained final assignment frame shared by e1 (per-vector view) and
+    * e3 (per-cluster quality metrics) — memoized per (session, dataset) and
+    * cached, the fit-once-serve-many shape every trained artifact here uses.
+    */
+  private val assignCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  private def finalAssign(s: SparkSession, d: String): DataFrame =
+    assignCache.getOrElseUpdate((s, d), {
+      graft.functions.VectorFunctions.register(s)
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .cache()
+      // seeded init: the K lowest vec_ids are the starting centroids
+      val cents0 = vecs.orderBy("vec_id").limit(K)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      assignStep(vecs, kmeans(vecs, cents0, Iters)).cache()
+    })
+
+  private def e1Kmeans(s: SparkSession, d: String): DataFrame =
+    finalAssign(s, d)
       .select(col("vec_id"), col("cid").as("cluster"), round(col("dist2"), 6).as("dist2_r"))
       .orderBy("vec_id")
-  }
+
+  // ---------------------------------------------------------------------------
+  // e3 — clustering quality metrics per cluster: size, inertia (the k-means
+  // objective — within-cluster sum of squared distances) and mean squared
+  // distance. The inertia sum routes through DECIMAL(28,14) so the
+  // cross-partition double sum is order-independent and hash-comparable;
+  // the metrics aggregate is map-side combinable (k rows out). This is the
+  // evaluation surface a curation pipeline watches to pick k / detect
+  // degenerate clusters.
+  private def e3Inertia(s: SparkSession, d: String): DataFrame =
+    finalAssign(s, d)
+      .groupBy(col("cid").as("cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("dist2").cast("decimal(28,14)")).cast("double").as("inertia"))
+      .select(col("cluster"), col("n"),
+        round(col("inertia"), 6).as("inertia_r"),
+        round(col("inertia") / col("n"), 6).as("mean_dist2_r"))
+      .orderBy("cluster")
 
   private val e1Sql = {
     val ctes = new scala.collection.mutable.ListBuffer[String]
@@ -167,9 +196,29 @@ object Clustering {
        |FROM final_assign ORDER BY vec_id""".stripMargin
   }
 
+  private val e3Sql = {
+    val ctes = new scala.collection.mutable.ListBuffer[String]
+    ctes += s"""vecs AS (
+               |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               |  FROM embeddings
+               |)""".stripMargin
+    ctes += s"""cents0 AS (
+               |  SELECT vec_id AS cid, v AS c FROM vecs ORDER BY vec_id LIMIT $K
+               |)""".stripMargin
+    val finalCents = kmeansCtes(ctes, "vecs", "cents0", Iters, "")
+    ctes += assignCte("vecs", finalCents, "final_assign")
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT cid AS cluster, count(*) AS n,
+       |  round(CAST(sum(CAST(dist2 AS DECIMAL(28,14))) AS DOUBLE), 6) AS inertia_r,
+       |  round(CAST(sum(CAST(dist2 AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) AS mean_dist2_r
+       |FROM final_assign GROUP BY cid ORDER BY cluster""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e1_kmeans" -> e1Kmeans _)
+    "e1_kmeans"  -> e1Kmeans _,
+    "e3_inertia" -> e3Inertia _)
 
   val oracles: Map[String, String] = Map(
-    "e1_kmeans" -> e1Sql)
+    "e1_kmeans"  -> e1Sql,
+    "e3_inertia" -> e3Sql)
 }
