@@ -43,9 +43,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_vecsum_dec"),
       info("graft_vecsum_dec", "graft_vecsum_dec(array<decimal>) - exact element-wise vector-sum aggregate"),
       (exprs: Seq[Expression]) => VecSumDec(exprs.head)))
-    ext.injectFunction((FunctionIdentifier("graft_cell_dists"),
-      info("graft_cell_dists", "graft_cell_dists(v, cents) - array<struct<dist2, cid>> distances to each centroid"),
-      (exprs: Seq[Expression]) => CellDists(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("graft_cell_top"),
       info("graft_cell_top", "graft_cell_top(v, cents, n) - n nearest centroids as sorted array<struct<dist2, cid>>"),
       (exprs: Seq[Expression]) => CellTopN(exprs(0), exprs(1), exprs(2))))

@@ -54,17 +54,6 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Squared-euclidean distances from one vector to every centroid of a
-  * broadcast centroid array: returns array<struct<dist2, cid>> in the input
-  * (cid-sorted) order — the shape `array_min` (Lloyd argmin, ties to lowest
-  * cid) and `array_sort` (IVF cell ranking) consume directly.
-  *
-  * Replaces the interpreted `transform(cs, ce -> named_struct(...aggregate
-  * (zip_with(...))...))` lambda: per row that form pays an allocation +
-  * virtual call per multiply (k x 64 of them); here the k x 64 fused
-  * multiply-adds run as tight compiled loops. Summation is index-ascending,
-  * bit-identical to the HOF fold and to the oracle's list_sum fold.
-  */
 /** Shared per-task decode of the broadcast centroid array: within any one
   * plan instance the `cs` argument is a constant (it rides a single-row
   * broadcast), so the struct-array is unpacked ONCE per task into primitive
@@ -76,23 +65,26 @@ case class DotProduct(left: Expression, right: Expression)
 trait CentroidDecode {
   @transient private var cids: Array[Long] = _
   @transient private var cents: Array[Array[Double]] = _
+  @transient private var cachedBytes: Array[Byte] = _
 
-  /** Cache validity = same length AND same cid sequence (cids identify the
-    * centroids of a trained codebook, so a changed centroid SET always
-    * shows in them; the O(k) long scan is ~1% of the O(k * dims) distance
-    * work). A pathological caller feeding per-row arrays with identical
-    * cids but different vectors would need the full content compare — the
-    * engine's own call sites all bind `cs` to a single-row broadcast, where
-    * the value is constant per plan.
+  /** Cache validity is decided by a no-copy BYTE comparison against a
+    * snapshot taken at decode time (`ByteArrayMethods.arrayEquals` over the
+    * UnsafeArrayData's region — ~5 µs for a 448 x 64 codebook vs ~100 µs to
+    * re-decode). Bytes equal => value equal, so this is SOUND for any
+    * caller: per-row-varying codebooks simply re-decode every row (no
+    * silent staleness), and the engine's broadcast-constant call sites hit
+    * every time. Identity or region checks alone would NOT be sound —
+    * whole-stage codegen reuses row buffers, so the same base + offset can
+    * hold different bytes on the next row.
     */
-  private def cacheValid(cs: ArrayData): Boolean = {
-    if (cents == null || cents.length != cs.numElements()) return false
-    var j = 0
-    while (j < cids.length) {
-      if (cs.getStruct(j, 2).getLong(0) != cids(j)) return false
-      j += 1
-    }
-    true
+  private def cacheValid(cs: ArrayData): Boolean = cs match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      cachedBytes != null && u.getSizeInBytes == cachedBytes.length &&
+        org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
+          u.getBaseObject, u.getBaseOffset,
+          cachedBytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          cachedBytes.length)
+    case _ => false // non-unsafe input: decode every call (correct, uncached)
   }
 
   protected def decoded(cs: ArrayData): (Array[Long], Array[Array[Double]]) = {
@@ -108,50 +100,23 @@ trait CentroidDecode {
         j += 1
       }
       cids = ids; cents = cc
+      cachedBytes = cs match {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+          val copy = new Array[Byte](u.getSizeInBytes)
+          org.apache.spark.unsafe.Platform.copyMemory(
+            u.getBaseObject, u.getBaseOffset,
+            copy, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, copy.length)
+          copy
+        case _ => null
+      }
     }
     (cids, cents)
   }
 }
 
-case class CellDists(left: Expression, right: Expression)
-    extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-    with CentroidDecode {
-
-  override def nullIntolerant: Boolean = true
-
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("dist2", DoubleType, nullable = false),
-        org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType, nullable = false))),
-      containsNull = false)
-
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val v = a.asInstanceOf[ArrayData].toDoubleArray()
-    val (cids, cents) = decoded(b.asInstanceOf[ArrayData])
-    val k = cids.length
-    val out = new Array[Any](k)
-    var j = 0
-    while (j < k) {
-      val c = cents(j)
-      val n = math.min(v.length, c.length)
-      var s = 0.0
-      var i = 0
-      while (i < n) { val dx = v(i) - c(i); s += dx * dx; i += 1 }
-      out(j) = InternalRow(s, cids(j))
-      j += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
-
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-}
-
-/** The n smallest (dist2, cid) entries of [[CellDists]] in ascending
-  * (dist2, cid) order, selected in compiled code: `slice(array_sort(
-  * graft_cell_dists(...)), 1, n)` pays an interpreted comparator call per
+/** The n smallest squared-euclidean (dist2, cid) centroid entries in ascending
+  * (dist2, cid) order, selected in compiled code: a sort-then-slice over a
+  * per-centroid distance array pays an interpreted comparator call per
   * struct comparison (k log k of them per row — the dominant cost of cell
   * ranking at k ~ sqrt(corpus)); this is one O(k * n) insertion pass with
   * primitive comparisons. n = 1 is the Lloyd argmin; n = NProbe is the IVF
@@ -165,7 +130,12 @@ case class CellTopN(first: Expression, second: Expression, third: Expression)
 
   override def nullIntolerant: Boolean = true
 
-  override def dataType: DataType = CellDists(first, second).dataType
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dist2", DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType, nullable = false))),
+      containsNull = false)
 
   override def nullSafeEval(a: Any, b: Any, nAny: Any): Any = {
     val v = a.asInstanceOf[ArrayData].toDoubleArray()
@@ -238,18 +208,35 @@ case class VecSumDec(
   override def nullable: Boolean = true
   override def createAggregationBuffer(): Array[java.math.BigDecimal] = null
 
+  /** Dimension-wise sum semantics for ragged input: the buffer grows to the
+    * longest array seen, missing dimensions contribute nothing, and null
+    * elements are skipped (SQL sum-over-nulls) — a public SQL function must
+    * not index-crash on a shorter/longer row or a null element (e.g. a
+    * non-ANSI overflow-to-null cast upstream).
+    */
+  private def grown(buf: Array[java.math.BigDecimal], n: Int): Array[java.math.BigDecimal] =
+    if (buf == null) Array.fill(n)(java.math.BigDecimal.ZERO)
+    else if (buf.length >= n) buf
+    else {
+      val out = java.util.Arrays.copyOf(buf, n)
+      var i = buf.length
+      while (i < n) { out(i) = java.math.BigDecimal.ZERO; i += 1 }
+      out
+    }
+
   override def update(
       buf: Array[java.math.BigDecimal], input: InternalRow): Array[java.math.BigDecimal] = {
     val v = child.eval(input)
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val acc =
-      if (buf != null) buf
-      else Array.fill(n)(java.math.BigDecimal.ZERO)
+    val acc = grown(buf, n)
     var i = 0
     while (i < n) {
-      acc(i) = acc(i).add(arr.getDecimal(i, prec, scale).toJavaBigDecimal)
+      if (!arr.isNullAt(i)) {
+        val d = arr.getDecimal(i, prec, scale)
+        if (d != null) acc(i) = acc(i).add(d.toJavaBigDecimal)
+      }
       i += 1
     }
     acc
@@ -259,9 +246,10 @@ case class VecSumDec(
       a: Array[java.math.BigDecimal], b: Array[java.math.BigDecimal]): Array[java.math.BigDecimal] = {
     if (a == null) return b
     if (b == null) return a
+    val acc = grown(a, b.length)
     var i = 0
-    while (i < a.length) { a(i) = a(i).add(b(i)); i += 1 }
-    a
+    while (i < b.length) { acc(i) = acc(i).add(b(i)); i += 1 }
+    acc
   }
 
   override def eval(buf: Array[java.math.BigDecimal]): Any =
@@ -297,8 +285,6 @@ object VectorFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_vecsum_dec", exprs => VecSumDec(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_cell_dists", exprs => CellDists(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_cell_top", exprs => CellTopN(exprs(0), exprs(1), exprs(2)), "built-in")
   }

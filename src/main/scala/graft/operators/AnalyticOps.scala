@@ -160,7 +160,11 @@ object AnalyticOps {
     val scaleNum = lit((KmvK - 1).toDouble) * lit(math.pow(2, 60))
     kmin.agg(count(lit(1)).as("k"), max(col("h")).as("hk"))
       .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("true_n")))
-      .withColumn("est", scaleNum / col("hk").cast(DoubleType))
+      // unfull sketch => it holds EVERY distinct hash, so the observed k IS
+      // the (exact) answer; the (k-1)/u_k estimator only applies at k = K
+      .withColumn("est",
+        when(col("k") < KmvK, col("k").cast(DoubleType))
+          .otherwise(scaleNum / col("hk").cast(DoubleType)))
       .select(col("k"), col("hk"), col("true_n"),
         round(col("est"), 2).as("est_n"),
         round((col("est") - col("true_n")) / col("true_n") * 100, 2).as("err_pct"))
@@ -178,8 +182,10 @@ object AnalyticOps {
        |  SELECT count(DISTINCT l_orderkey) AS true_n FROM lineitem
        |)
        |SELECT k, hk, true_n,
-       |  round(${KmvK - 1}.0 * power(2.0, 60) / CAST(hk AS DOUBLE), 2) AS est_n,
-       |  round((${KmvK - 1}.0 * power(2.0, 60) / CAST(hk AS DOUBLE) - true_n) / true_n * 100, 2) AS err_pct
+       |  round(CASE WHEN k < $KmvK THEN CAST(k AS DOUBLE)
+       |        ELSE ${KmvK - 1}.0 * power(2.0, 60) / CAST(hk AS DOUBLE) END, 2) AS est_n,
+       |  round((CASE WHEN k < $KmvK THEN CAST(k AS DOUBLE)
+       |         ELSE ${KmvK - 1}.0 * power(2.0, 60) / CAST(hk AS DOUBLE) END - true_n) / true_n * 100, 2) AS err_pct
        |FROM agg, exact""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

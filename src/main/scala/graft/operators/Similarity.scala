@@ -226,6 +226,22 @@ object Similarity {
         pmod(TextOps.hash60(col("vec_id").cast(StringType)), col("rate")) === 0)
       .select(col("vec_id"), col("v"), col("k"))
 
+  /** Seeds = the k lowest vec_ids OF THE TRAINING SET (under rate 1 and
+    * contiguous ids this degenerates to vec_id < k). The unpartitioned seed
+    * window ranks IDS ONLY — 8 bytes/row through the single sort task, not
+    * the 64-dim vectors (which would make the one-task sort a multi-GB
+    * straggler at a production-sized sample); the k winners broadcast back
+    * to fetch their vectors.
+    */
+  private[operators] def seedCents(train: DataFrame): DataFrame = {
+    val seedIds = train.select(col("vec_id"), col("k"))
+      .withColumn("rn", row_number().over(Window.orderBy("vec_id")))
+      .where(col("rn") <= col("k"))
+      .select("vec_id")
+    train.join(broadcast(seedIds), "vec_id")
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+  }
+
   private def rankedCells(s: SparkSession, d: String): DataFrame =
     rankedCache.getOrElseUpdate((s, d), {
       val e = vecsD(s, d).cache()
@@ -238,14 +254,7 @@ object Similarity {
         .withColumn("rate",
           expr(s"(n + $TrainPerCell * k - 1) div ($TrainPerCell * k)").cast("int"))
       val train = trainSample(vecs, params)
-      // seeds = the k lowest vec_ids OF THE TRAINING SET (under rate 1 and
-      // contiguous ids this degenerates to vec_id < k). The seed window is
-      // unpartitioned but runs over the bounded training sample, never the
-      // corpus.
-      val cents0 = train
-        .withColumn("rn", row_number().over(Window.orderBy("vec_id")))
-        .where(col("rn") <= col("k"))
-        .select(col("vec_id").as("cid"), col("v").as("c"))
+      val cents0 = seedCents(train)
       val cents = Clustering.kmeans(train.select("vec_id", "v"), cents0, IvfIters)
       // rank trained cells per vector by euclid distance; rank 1 = home cell,
       // <= NProbe = a query's probe set. Shuffle-free: the k trained cells
@@ -399,7 +408,40 @@ object Similarity {
   // step is IEEE-deterministic: one division, one round, both engines
   // identical). Quantization itself is a pure projection — at scale it
   // runs inside the scan with the stats row broadcast.
-  private def s4ScalarQuant(s: SparkSession, d: String): DataFrame = {
+  /** Top-3 by approximate cosine for the fixed query batch (vec_id < 5)
+    * over a quantized-index frame (vec_id, v, nrm, rv, rnrm), reporting the
+    * exact cosine and |error| alongside. `qUseRecon` selects symmetric (SQ:
+    * both sides reconstructed) vs asymmetric (PQ-ADC: raw query) scoring;
+    * `scoreName` names the approximate-cosine output column. Shared by
+    * s4/s5 so the tie-break and rounding rules cannot drift apart.
+    */
+  private def quantTop3(recon: DataFrame, qUseRecon: Boolean, scoreName: String): DataFrame = {
+    val (qv, qn) = if (qUseRecon) ("rv", "rnrm") else ("v", "nrm")
+    val q = recon.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col(qv).as("qa"), col(qn).as("qna"),
+        col("v").as("ad"), col("nrm").as("na"))
+    val c = recon.select(col("vec_id").as("cid"), col("rv").as("qb"), col("rnrm").as("qnb"),
+      col("v").as("bd"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
+    broadcast(q).join(c, col("qid") =!= col("cid"))
+      .withColumn("qcos", expr("graft_dot(qa, qb)") / (col("qna") * col("qnb")))
+      .withColumn("cos", cosCol)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("cid"),
+        round(col("qcos"), 6).as(scoreName), round(col("cos"), 6).as("cos_r"),
+        round(abs(col("qcos") - col("cos")), 6).as("abs_err_r"))
+      .orderBy("qid", "rk")
+  }
+
+  /** int8 index, memoized per (session, sfDir) like every trained artifact. */
+  private val sqReconCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  private def s4ScalarQuant(s: SparkSession, d: String): DataFrame =
+    quantTop3(sqReconCache.getOrElseUpdate((s, d), sqRecon(s, d)), qUseRecon = true, "qcos_r")
+
+  private def sqRecon(s: SparkSession, d: String): DataFrame = {
     val e = vecsD(s, d).cache()
     val stats = e
       .select(posexplode(col("v")).as(Seq("dim0", "x")))
@@ -412,28 +454,14 @@ object Similarity {
     // one fused transform: code (the int8 value) and reconstruction in a
     // single pass; the quantized index is cached — built once, served many,
     // exactly like a production vector index
-    val recon = e.crossJoin(broadcast(stats))
+    e.crossJoin(broadcast(stats))
       .withColumn("rv", expr(s"transform(sequence(1, $dims), i -> " +
         "element_at(mins, i) + " +
         "CAST(CAST(round((element_at(v, i) - element_at(mins, i)) / element_at(rngs, i) * 127, 0) AS INT) AS DOUBLE)" +
         " / 127 * element_at(rngs, i))"))
       .withColumn("rnrm", sqrt(expr("graft_dot(rv, rv)")))
+      .select("vec_id", "v", "nrm", "rv", "rnrm")
       .cache()
-    val q = recon.where(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("rv").as("qa"), col("rnrm").as("qna"),
-        col("v").as("ad"), col("nrm").as("na"))
-    val c = recon.select(col("vec_id").as("cid"), col("rv").as("qb"), col("rnrm").as("qnb"),
-      col("v").as("bd"), col("nrm").as("nb"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
-    broadcast(q).join(c, col("qid") =!= col("cid"))
-      .withColumn("qcos", expr("graft_dot(qa, qb)") / (col("qna") * col("qnb")))
-      .withColumn("cos", cosCol)
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 3)
-      .select(col("qid"), col("rk"), col("cid"),
-        round(col("qcos"), 6).as("qcos_r"), round(col("cos"), 6).as("cos_r"),
-        round(abs(col("qcos") - col("cos")), 6).as("abs_err_r"))
-      .orderBy("qid", "rk")
   }
 
   private val s4Sql = {
@@ -489,24 +517,10 @@ object Similarity {
   private val pqReconCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
-  private def s5PqAdc(s: SparkSession, d: String): DataFrame = {
-    val recon = pqReconCache.getOrElseUpdate((s, d), pqRecon(s, d))
-    // ADC: raw query against reconstructed corpus
-    val q = recon.where(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"))
-    val c = recon.select(col("vec_id").as("cid"), col("rv").as("qb"), col("rnrm").as("qnb"),
-      col("v").as("bd"), col("nrm").as("nb"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("pqcos").desc, col("cid"))
-    broadcast(q).join(c, col("qid") =!= col("cid"))
-      .withColumn("pqcos", expr("graft_dot(ad, qb)") / (col("na") * col("qnb")))
-      .withColumn("cos", cosCol)
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 3)
-      .select(col("qid"), col("rk"), col("cid"),
-        round(col("pqcos"), 6).as("pqcos_r"), round(col("cos"), 6).as("cos_r"),
-        round(abs(col("pqcos") - col("cos")), 6).as("abs_err_r"))
-      .orderBy("qid", "rk")
-  }
+  private def s5PqAdc(s: SparkSession, d: String): DataFrame =
+    // ADC: raw query against the reconstructed corpus (asymmetric scoring)
+    quantTop3(pqReconCache.getOrElseUpdate((s, d), pqRecon(s, d)),
+      qUseRecon = false, "pqcos_r")
 
   private def pqRecon(s: SparkSession, d: String): DataFrame = {
     val e = vecsD(s, d).cache()
@@ -526,12 +540,9 @@ object Similarity {
     import scala.concurrent.duration.Duration
     val futures = (0 until PqM).map { m =>
       Future {
-        val sub = train.select(col("vec_id"),
+        val sub = train.select(col("vec_id"), col("k"),
           expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)").as("v"))
-        val cents0 = sub
-          .withColumn("rn", row_number().over(Window.orderBy("vec_id")))
-          .where(col("rn") <= PqK)
-          .select(col("vec_id").as("cid"), col("v").as("c"))
+        val cents0 = seedCents(sub)
         // relabel codes to DENSE 0..K-1 (order-preserving over the trained
         // cids, so argmin tie-breaks are unchanged): the reconstruction
         // lookup becomes a direct element_at instead of an array filter

@@ -28,8 +28,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // row-local (array fold) — no aggregation exchange may appear.
     assert(countExchanges(plan) <= 1,
       s"t8 must stay row-local except the final sort, plan was:\n$plan")
-    assert(!plan.contains("HashAggregate") || !plan.contains("Expand"),
-      "t8 must not re-grow an explode+groupBy bigram pipeline")
+    // an explode+groupBy bigram pipeline would reappear as a Generate node
+    assert(!plan.contains("Generate"),
+      s"t8 must not re-grow an explode+groupBy bigram pipeline, plan was:\n$plan")
   }
 
   test("Lloyd assignment is a projection — no exchange between scan and argmin") {
@@ -42,12 +43,18 @@ class PlanShapeSpec extends AnyFunSuite {
       .toDF("cid", "c")
     val assigned = Clustering.assignStep(vecs, cents)
     val plan = assigned.queryExecution.executedPlan.toString
-    // the only allowed exchange feeds the single-row broadcast of the
-    // folded centroid array — never a corpus-wide shuffle
-    assert(!plan.contains("ShuffleExchange"),
+    // the corpus branch (everything rendered BEFORE the BroadcastExchange
+    // subtree) must contain no exchange at all: a reintroduced crossJoin +
+    // groupBy assignment renders a bare "Exchange hashpartitioning" there.
+    // The centroid-fold's own single-partition exchange (k rows, inside the
+    // broadcast subtree) is the only one permitted anywhere.
+    assert(plan.contains("BroadcastExchange"), "centroids must ride a broadcast")
+    val corpusBranch = plan.substring(0, plan.indexOf("BroadcastExchange"))
+    assert(countExchanges(corpusBranch) == 0,
       s"assignment must not shuffle the corpus, plan was:\n$plan")
-    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
-      "centroids must ride a broadcast")
+    val bareShuffles = countExchanges(plan) - "BroadcastExchange".r.findAllIn(plan).size
+    assert(bareShuffles <= 1,
+      s"only the k-row centroid fold may exchange ($bareShuffles found), plan was:\n$plan")
     assert(assigned.count() == 100)
   }
 
