@@ -188,12 +188,66 @@ object AnalyticOps {
        |         ELSE ${KmvK - 1}.0 * power(2.0, 60) / CAST(hk AS DOUBLE) END - true_n) / true_n * 100, 2) AS err_pct
        |FROM agg, exact""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // a10 — per-group KMV distinct sketches: the same k-minimum-values
+  // construction as a9 but keyed (distinct orderkeys per returnflag).
+  // Per-key sketches are what a 100 TB pipeline actually maintains
+  // (distincts per domain / language / source): each group's k-minima are
+  // mergeable cell-wise, the DISTINCT is map-side partial, and the window
+  // rank runs on already-deduped (flag, hash) rows. The estimator applies
+  // the same full/unfull split as a9 per group.
+  private def a10GroupedKmv(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val hashes = li.select(col("l_returnflag").as("flag"),
+        TextOps.hash60(col("l_orderkey").cast(StringType)).as("h"))
+      .distinct()
+    val w = Window.partitionBy("flag").orderBy("h")
+    val kmin = hashes.withColumn("rn", row_number().over(w)).where(col("rn") <= KmvK)
+    val scaleNum = lit((KmvK - 1).toDouble) * lit(math.pow(2, 60))
+    val exact = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(countDistinct(col("l_orderkey")).as("true_n"))
+    kmin.groupBy("flag")
+      .agg(count(lit(1)).as("k"), max(col("h")).as("hk"))
+      .join(exact, "flag")
+      .withColumn("est",
+        when(col("k") < KmvK, col("k").cast(DoubleType))
+          .otherwise(scaleNum / col("hk").cast(DoubleType)))
+      .select(col("flag"), col("k"), col("true_n"),
+        round(col("est"), 2).as("est_n"),
+        round((col("est") - col("true_n")) / col("true_n") * 100, 2).as("err_pct"))
+      .orderBy("flag")
+  }
+
+  private val a10Sql =
+    s"""WITH hashes AS (
+       |  SELECT DISTINCT l_returnflag AS flag,
+       |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),1,15)) AS BIGINT) AS h
+       |  FROM lineitem
+       |), kmin AS (
+       |  SELECT flag, h FROM (
+       |    SELECT flag, h, row_number() OVER (PARTITION BY flag ORDER BY h) AS rn FROM hashes)
+       |  WHERE rn <= $KmvK
+       |), agg AS (
+       |  SELECT flag, CAST(count(*) AS BIGINT) AS k, max(h) AS hk FROM kmin GROUP BY flag
+       |), exact AS (
+       |  SELECT l_returnflag AS flag, count(DISTINCT l_orderkey) AS true_n
+       |  FROM lineitem GROUP BY flag
+       |)
+       |SELECT flag, k, true_n,
+       |  round(CASE WHEN k < $KmvK THEN CAST(k AS DOUBLE)
+       |        ELSE ${KmvK - 1}.0 * power(2.0, 60) / CAST(hk AS DOUBLE) END, 2) AS est_n,
+       |  round((CASE WHEN k < $KmvK THEN CAST(k AS DOUBLE)
+       |         ELSE ${KmvK - 1}.0 * power(2.0, 60) / CAST(hk AS DOUBLE) END - true_n) / true_n * 100, 2) AS err_pct
+       |FROM agg JOIN exact USING (flag)
+       |ORDER BY flag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u6_rollup"        -> u6Rollup _,
     "o5_window_frames" -> o5WindowFrames _,
     "a7_percentiles"   -> a7Percentiles _,
     "a8_salted_agg"    -> a8SaltedAgg _,
     "a9_kmv_distinct"  -> a9KmvDistinct _,
+    "a10_grouped_kmv"  -> a10GroupedKmv _,
     "j8_salted_join"   -> j8SaltedJoin _)
 
   val oracles: Map[String, String] = Map(
@@ -202,5 +256,6 @@ object AnalyticOps {
     "a7_percentiles"   -> a7Sql,
     "a8_salted_agg"    -> a8Sql,
     "a9_kmv_distinct"  -> a9Sql,
+    "a10_grouped_kmv"  -> a10Sql,
     "j8_salted_join"   -> j8Sql)
 }

@@ -59,6 +59,19 @@ class TextQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("a10 grouped KMV estimates land within the per-group error band") {
+    val rows = AnalyticOps.queries("a10_grouped_kmv")(spark, sfDir).collect()
+    assert(rows.length == 3, "one sketch per returnflag")
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val trueN = r.getAs[Long]("true_n")
+      val est = r.getAs[Double]("est_n")
+      if (k < 256L) assert(est == k.toDouble, s"unfull sketch must report its exact count")
+      val rel = math.abs(est - trueN) / trueN.toDouble
+      assert(rel < 0.3, s"flag ${r.getString(0)}: off by ${rel * 100}%% (est=$est true=$trueN)")
+    }
+  }
+
   test("a9 KMV estimate lands within the sketch's expected error band") {
     val row = AnalyticOps.queries("a9_kmv_distinct")(spark, sfDir).collect().head
     val k = row.getAs[Long]("k")
