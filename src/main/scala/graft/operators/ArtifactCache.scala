@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+
+/** Central registry for trained-artifact memoization — the fit-once-serve-many
+  * frames (IVF cell ranking, SQ/PQ quantized indexes, the Lloyd assignment)
+  * that Similarity/Clustering build once per (session, dataset dir) and every
+  * consumer query reuses, mirroring how a production pipeline fits a quantizer
+  * once and serves it to all readers.
+  *
+  * Entries hold CACHED DataFrames, so two lifecycle rules apply:
+  *
+  *  - If the data under a path is REWRITTEN within a live session, call
+  *    [[invalidate]] (or use a new SparkSession): the memo key is only
+  *    (session, path), so without invalidation the stale cached frame is
+  *    silently served.
+  *  - Entries whose session has been stopped are reaped on every access, so
+  *    dead sessions don't pin cached plans for the driver's lifetime (their
+  *    cached blocks died with the session's context; dropping the reference
+  *    is all that's left to do).
+  */
+object ArtifactCache {
+  private val caches =
+    TrieMap[String, TrieMap[(SparkSession, String), DataFrame]]()
+
+  /** Memoize `build` under (`name`, session, dataset dir). `build` runs at
+    * most once per live key; the produced frame is expected to be cached by
+    * the builder (unpersist happens on invalidation).
+    */
+  def getOrElseUpdate(name: String, s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
+    reapStopped()
+    caches.getOrElseUpdate(name, TrieMap.empty).getOrElseUpdate((s, d), build)
+  }
+
+  /** Drop (and unpersist) every cached artifact for the dataset under `d` in
+    * session `s` — call after rewriting data under that path mid-session.
+    */
+  def invalidate(s: SparkSession, d: String): Unit =
+    caches.values.foreach(_.remove((s, d)).foreach(unpersistQuietly))
+
+  /** Drop every entry (e.g. between test suites sharing one session). */
+  def invalidateAll(): Unit =
+    caches.values.foreach { c =>
+      c.keys.foreach(k => c.remove(k).foreach(unpersistQuietly))
+    }
+
+  private def unpersistQuietly(df: DataFrame): Unit =
+    try df.unpersist() catch { case _: Exception => () }
+
+  private def reapStopped(): Unit =
+    caches.values.foreach { c =>
+      c.keys.filter(_._1.sparkContext.isStopped).foreach(c.remove)
+    }
+}

@@ -138,14 +138,12 @@ object Clustering {
   }
 
   /** The trained final assignment frame shared by e1 (per-vector view) and
-    * e3 (per-cluster quality metrics) — memoized per (session, dataset) and
-    * cached, the fit-once-serve-many shape every trained artifact here uses.
+    * e3 (per-cluster quality metrics) — memoized via [[ArtifactCache]]
+    * (evictable per session + dataset, stopped sessions reaped), the
+    * fit-once-serve-many shape every trained artifact here uses.
     */
-  private val assignCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
-
   private def finalAssign(s: SparkSession, d: String): DataFrame =
-    assignCache.getOrElseUpdate((s, d), {
+    ArtifactCache.getOrElseUpdate("clustering.assign", s, d) {
       graft.functions.VectorFunctions.register(s)
       val vecs = Tables.embeddings(s, d)
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -154,7 +152,7 @@ object Clustering {
       val cents0 = vecs.orderBy("vec_id").limit(K)
         .select(col("vec_id").as("cid"), col("v").as("c"))
       assignStep(vecs, kmeans(vecs, cents0, Iters)).cache()
-    })
+    }
 
   private def e1Kmeans(s: SparkSession, d: String): DataFrame =
     finalAssign(s, d)

@@ -81,15 +81,35 @@ object GeoPipelineOps {
     * oracle SQL), so the export is WRITE-ONCE behind a marker file — the
     * fixture is deterministic, making the exports reusable and concurrent /
     * re-entrant runs race-free (no overwrite of files an oracle is reading).
-    * Bump the `_v1` path suffix if the export schema or semantics change.
+    * The marker records a fingerprint (semantic version + the actual parquet
+    * schemas on disk): a schema-visible change to the exports re-exports
+    * automatically on mismatch; a semantics-only change (same schema,
+    * different values) still needs the [[ExportVersion]] bump below.
     */
+  /** Semantic version of the export contents — bump when export VALUES
+    * change without a schema change (schema drift is caught automatically
+    * by the fingerprint).
+    */
+  private val ExportVersion = "v1"
+
+  /** Fingerprint of what is currently on disk: version + exported parquet
+    * schemas (footer-only reads — no job). Throws if the exports are absent
+    * or unreadable, which callers treat as "re-export".
+    */
+  private def onDiskFp(s: SparkSession): String =
+    ExportVersion + "|" + s.read.parquet(cellMapExport).schema.toDDL +
+      "|" + s.read.parquet(valuesExport).schema.toDDL
+
   /** Run the pipeline and export cellMap/values parquet (write-once behind
-    * the marker; see [[g2Invariants]] doc). Shared by g2 and the q_faithful
-    * quirk queries.
+    * the fingerprint marker; see [[g2Invariants]] doc). Shared by g2 and the
+    * q_faithful quirk queries.
     */
   private def ensureExports(s: SparkSession): Unit = synchronized {
     val marker = Paths.get(fixtureDir, "_exports_done")
-    if (Files.exists(marker)) return
+    val markerFp =
+      if (Files.exists(marker)) new String(Files.readAllBytes(marker), "UTF-8") else ""
+    if (markerFp.nonEmpty &&
+        scala.util.Try(onDiskFp(s)).toOption.contains(markerFp)) return
     val dir = ensureFixture()
     val res = RadoHydro.run(s, dir, s"$examples/einzugsgebiet.shp",
       RadoHydro.Config(datasource = "radolan"))
@@ -98,7 +118,7 @@ object GeoPipelineOps {
     res.values
       .select(date_format(col("ts"), "yyMMddHHmm").as("t"), col("row"), col("col"), col("v"))
       .write.mode("overwrite").parquet(valuesExport)
-    Files.write(marker, Array.emptyByteArray)
+    Files.write(marker, onDiskFp(s).getBytes("UTF-8"))
   }
 
   private def g2Invariants(s: SparkSession, d: String): DataFrame = {

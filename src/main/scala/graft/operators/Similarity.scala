@@ -89,17 +89,24 @@ object Similarity {
     * ceil(n/target)-1 via bin() (a float log2 could round differently
     * between engines exactly at power-of-2 boundaries). Table t is keyed by
     * the sign bits against planes pid in [t*nbits, (t+1)*nbits) — planes are
-    * embeddings of the lowest vec_ids, so both engines derive identical
-    * planes without a shared RNG. Shared by s2 and Dedup.d8.
+    * embeddings of the LshTables*nbits lowest EXISTING vec_ids, RANKED with
+    * row_number like [[seedCents]] (a literal `vec_id < planes` predicate
+    * silently loses planes — and key bits, and recall — whenever the low id
+    * range is sparse or non-contiguous), so both engines derive identical
+    * planes without a shared RNG. Only 8-byte ids ride the one-task rank
+    * sort; the winners' vectors join back by id. Shared by s2 and Dedup.d8.
     */
   private[operators] def lshKeys(e: DataFrame): DataFrame = {
     val params = e.agg(count(lit(1)).as("n"))
       .select(least(lit(LshMaxBits), greatest(lit(LshMinBits),
         length(bin(expr(s"(n + ${LshTargetBucket - 1}) div $LshTargetBucket - 1")))))
         .cast("int").as("nbits"))
-    val planes = e.crossJoin(broadcast(params))
-      .where(col("vec_id") < lit(LshTables) * col("nbits"))
-      .select(col("vec_id").as("pid"), col("v").as("pv"), col("nbits"))
+    val planeIds = e.select(col("vec_id")).crossJoin(broadcast(params))
+      .withColumn("rn", row_number().over(Window.orderBy("vec_id")))
+      .where(col("rn") <= lit(LshTables) * col("nbits"))
+      .select(col("vec_id"), (col("rn") - 1).cast("long").as("pid"), col("nbits"))
+    val planes = e.join(broadcast(planeIds), "vec_id")
+      .select(col("pid"), col("v").as("pv"), col("nbits"))
     e.crossJoin(broadcast(planes))
       .withColumn("dot", expr("graft_dot(v, pv)"))
       .select(col("vec_id"), expr("pid div nbits").as("tbl"),
@@ -120,7 +127,9 @@ object Similarity {
        |    length(bin((count(*) + ${LshTargetBucket - 1}) // $LshTargetBucket - 1)))) AS nbits
        |  FROM embeddings
        |), planes AS (
-       |  SELECT vec_id AS pid, v AS pv, nbits FROM ev, params WHERE vec_id < $LshTables * nbits
+       |  SELECT rn - 1 AS pid, pv, nbits FROM (
+       |    SELECT v AS pv, nbits, row_number() OVER (ORDER BY vec_id) AS rn FROM ev, params)
+       |  WHERE rn <= $LshTables * nbits
        |), keyed AS (
        |  SELECT e.vec_id, p.pid // p.nbits AS tbl,
        |    CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
@@ -203,17 +212,15 @@ object Similarity {
     */
   private[operators] val TrainPerCell = 256
 
-  /** Trained-quantizer cell ranking, memoized per (session, sfDir) and
-    * cached: k = max(8, ceil(sqrt(n))) centroids refined with
-    * [[Clustering.kmeans]] over the hash-sampled training set, then every
-    * vector ranked against every trained cell by squared-euclidean distance
-    * ((vec_id, v, nrm, cid, dist2, crk)). s3 (ANN probing) and e2 (SemDeDup)
-    * share this dimension state — training runs ONCE per dataset, which is
-    * also the production shape: a quantizer is fitted once and reused by
-    * every consumer.
-    */
-  private val rankedCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  // Trained-quantizer cell ranking is memoized via [[ArtifactCache]] (keyed
+  // per session + dataset dir, evictable, stopped sessions reaped): k =
+  // max(8, ceil(sqrt(n))) centroids refined with [[Clustering.kmeans]] over
+  // the hash-sampled training set, then every vector ranked against every
+  // trained cell by squared-euclidean distance ((vec_id, v, nrm, cid, dist2,
+  // crk)). s3 (ANN probing) and e2 (SemDeDup) share this dimension state —
+  // training runs ONCE per dataset, which is also the production shape: a
+  // quantizer is fitted once and reused by every consumer. Rewriting the
+  // data under a path mid-session requires ArtifactCache.invalidate.
 
   /** Deterministic training sample: keep vec_ids whose portable hash falls
     * in residue 0 of rate = ceil(n / (TrainPerCell * k)) — integer-exact in
@@ -243,7 +250,7 @@ object Similarity {
   }
 
   private def rankedCells(s: SparkSession, d: String): DataFrame =
-    rankedCache.getOrElseUpdate((s, d), {
+    ArtifactCache.getOrElseUpdate("similarity.ranked", s, d) {
       val e = vecsD(s, d).cache()
       val vecs = e.select(col("vec_id"), col("v"))
       // k = max(8, ceil(sqrt(n))): sqrt is correctly rounded in IEEE, so ceil
@@ -278,7 +285,7 @@ object Similarity {
       // an unpopulated cache would each recompute the full n x k ranking
       ranked.count()
       ranked
-    })
+    }
 
   private def s3IvfAnn(s: SparkSession, d: String): DataFrame = {
     val ranked = rankedCells(s, d)
@@ -434,12 +441,10 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
-  /** int8 index, memoized per (session, sfDir) like every trained artifact. */
-  private val sqReconCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
-
   private def s4ScalarQuant(s: SparkSession, d: String): DataFrame =
-    quantTop3(sqReconCache.getOrElseUpdate((s, d), sqRecon(s, d)), qUseRecon = true, "qcos_r")
+    // int8 index, memoized via ArtifactCache like every trained artifact
+    quantTop3(ArtifactCache.getOrElseUpdate("similarity.sq", s, d)(sqRecon(s, d)),
+      qUseRecon = true, "qcos_r")
 
   private def sqRecon(s: SparkSession, d: String): DataFrame = {
     val e = vecsD(s, d).cache()
@@ -510,16 +515,12 @@ object Similarity {
   private val PqK = 16
   private val PqSubDim = Clustering.Dims / PqM
 
-  /** PQ codebooks + reconstructions, memoized per (session, sfDir): trained
-    * once per dataset like [[rankedCells]] — every s5 evaluation reuses the
-    * same cached quantized index.
-    */
-  private val pqReconCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
-
   private def s5PqAdc(s: SparkSession, d: String): DataFrame =
-    // ADC: raw query against the reconstructed corpus (asymmetric scoring)
-    quantTop3(pqReconCache.getOrElseUpdate((s, d), pqRecon(s, d)),
+    // ADC: raw query against the reconstructed corpus (asymmetric scoring).
+    // Codebooks + reconstructions memoized via ArtifactCache: trained once
+    // per dataset like the IVF ranking — every s5 evaluation reuses the same
+    // cached quantized index.
+    quantTop3(ArtifactCache.getOrElseUpdate("similarity.pq", s, d)(pqRecon(s, d)),
       qUseRecon = false, "pqcos_r")
 
   private def pqRecon(s: SparkSession, d: String): DataFrame = {

@@ -10,6 +10,12 @@ import graft.out.CsvSink
   * — e.g. `radolan,faithful` — for the reference's byte-identical per-basin
   * files, which collect the series to the driver).
   *
+  * NOTE on the default layout's values: Spark's `round` is half-up while the
+  * reference (numpy) rounds half-even, so the partitioned output can differ
+  * from the reference files in the LAST printed decimal (<= 5e-4 per value).
+  * Use `,faithful` when byte-identical comparison against reference output
+  * is required.
+  *
   * Usage: runMain graft.tools.RadoHydroDemo <gridDir> <shpPath> <outDir>
   *        [datasource=radolan|regnie[,faithful]] [start=yyyyMMdd] [end=yyyyMMdd]
   */
@@ -40,7 +46,9 @@ object RadoHydroDemo {
       println(s"wrote ${files.size} faithful basin CSVs to $outDir")
       files.take(2).foreach(f => println(s"--- $f\n" +
         new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))))
-    } else println(s"wrote partitioned basin CSV tree to $outDir")
+    } else println(s"wrote partitioned basin CSV tree to $outDir " +
+      "(half-up rounding; last-decimal deltas vs reference files are expected — " +
+      "use ',faithful' for byte-identical output)")
     spark.stop()
   }
 }

@@ -42,7 +42,8 @@ object ScaleProbe {
 
   // ---------------------------------------------------------------------------
   // Mode 3 — EMBEDDING OPERATORS AT 100-400x the verify corpus: synthesizes
-  // n 64-dim vectors (splitmix64-mixed, deterministic), writes them as a
+  // n 64-dim vectors (xxhash64-mixed, deterministic — a different generator
+  // than SimilaritySpec's splitmix64 docs corpus), writes them as a
   // standalone embeddings.parquet, and drives the PUBLIC query surface —
   // d8 (corpus-scaled-key LSH dedup + whale cap), s3/e2 (trained sqrt-n IVF
   // quantizer with sampled training, shared ranking cache), s5 (PQ) —
@@ -55,8 +56,9 @@ object ScaleProbe {
     val dir = s"/tmp/graft_scaleprobe_embed_$n"
     val marker = Paths.get(dir, "_done")
     if (!Files.exists(marker)) {
-      // xxhash64-mixed per (vec_id, dim): near-uniform in [-1, 1), and the
-      // mixer can't hit Spark 4's ANSI long-overflow guard
+      // xxhash64-mixed per (vec_id, dim): the SIGNED residue of `% 1000000`
+      // gives near-uniform values in (-1, 1), and the mixer can't hit
+      // Spark 4's ANSI long-overflow guard
       spark.range(n).select(col("id").as("vec_id"),
           expr("""transform(sequence(0, 63), d ->
             | CAST(xxhash64(id, d) % 1000000 AS DOUBLE) / 1000000.0
