@@ -241,21 +241,290 @@ object AnalyticOps {
        |FROM agg JOIN exact USING (flag)
        |ORDER BY flag""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // u7 — explicit GROUPING SETS (the general form u6's ROLLUP special-cases):
+  // ((flag, status), (status), ()) — note (status) alone is NOT in the rollup
+  // chain of (flag, status), so this exercises the grouping-set lattice
+  // beyond what rollup/cube reach. gid = grouping(flag)*2 + grouping(status)
+  // disambiguates subtotal rows from genuine NULL keys. Same scale shape as
+  // any grouped agg: map-side partials per set, one shuffle.
+  private def u7GroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast(IntegerType).as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("qty_sum"),
+        dsum(col("l_extendedprice")).as("price_sum"))
+      .select("gid", "l_returnflag", "l_linestatus", "n", "qty_sum", "price_sum")
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val u7Sql =
+    """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+      |  l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty_sum,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // o6 — ranking-function battery per priority class: rank, dense_rank,
+  // ntile(4) quartiles, percent_rank and cume_dist over o_totalprice with a
+  // deterministic orderkey tie-break. percent_rank = (rank-1)/(n-1) and
+  // cume_dist = rank_from_end/n are single IEEE divisions of integers —
+  // identical in both engines; rounding is display-only. One shuffle on the
+  // partition key, sort within.
+  private def o6RankBattery(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank_r"),
+        round(cume_dist().over(w), 6).as("cume_dist_r"))
+      .orderBy("o_orderpriority", "rnk")
+  }
+
+  private val o6Sql =
+    """SELECT o_orderpriority, o_orderkey,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank_r,
+      |  round(cume_dist() OVER w, 6) AS cume_dist_r
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderpriority, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // a11 — z-score outlier gate per event_type: two-pass (stats, then flag) —
+  // the anomaly-detection shape a quality pipeline runs over metric streams.
+  // Moments route through DECIMAL (values are 2-decimal, squares cast at
+  // scale 8), variance/σ are then a FIXED sequence of IEEE double ops on
+  // those exact sums, so both engines produce bit-identical thresholds.
+  // Stats are 5 rows — they broadcast back onto the scan; the whole query is
+  // two passes over the fact with map-side partials, no wide shuffle.
+  private def a11ZscoreOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("vsum"),
+        sum((col("value") * col("value")).cast(DecimalType(28, 8)))
+          .cast(DoubleType).as("vsumsq"))
+      .withColumn("mean", col("vsum") / col("n"))
+      .withColumn("variance",
+        (col("vsumsq") / col("n") - col("mean") * col("mean"))
+          * col("n") / (col("n") - 1))
+      .withColumn("std", sqrt(col("variance")))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .groupBy("event_type")
+      .agg(
+        max(col("n")).as("n"),
+        round(max(col("mean")), 6).as("mean_r"),
+        round(max(col("std")), 6).as("std_r"),
+        count(when(col("z") > 2, 1)).as("n_hi"),
+        count(when(col("z") < -2, 1)).as("n_lo"))
+      .orderBy("event_type")
+  }
+
+  private val a11Sql =
+    """WITH stats AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+      |    CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS vsumsq
+      |  FROM events GROUP BY event_type
+      |), derived AS (
+      |  SELECT event_type, n, vsum / n AS mean,
+      |    sqrt((vsumsq / n - (vsum / n) * (vsum / n)) * n / (n - 1)) AS std
+      |  FROM stats
+      |)
+      |SELECT e.event_type, max(d.n) AS n,
+      |  round(max(d.mean), 6) AS mean_r, round(max(d.std), 6) AS std_r,
+      |  count(*) FILTER (WHERE (e.value - d.mean) / d.std > 2) AS n_hi,
+      |  count(*) FILTER (WHERE (e.value - d.mean) / d.std < -2) AS n_lo
+      |FROM events e JOIN derived d USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // a12 — HyperLogLog distinct sketch per group (Flajolet et al. 2007),
+  // completing the sketch triad (t7 Count-Min frequencies, a9/a10 KMV
+  // distincts, a12 HLL distincts). m = 256 registers; the 60-bit portable
+  // hash splits into bucket = h % m and a 52-bit register field w = h div m;
+  // rho(w) = leading-zero count + 1 = 53 - bitlength(w) (53 for w = 0).
+  // The per-(group, bucket) max-rho registers ARE the mergeable sketch — a
+  // 256-int state per group, map-side combinable, constant size no matter
+  // how many keys stream through (THE production distinct counter at
+  // 100 TB). The harmonic-mean estimate stays engine-exact by summing the
+  // register terms as INTEGERS: sum(2^(53-rho)) <= 256*2^53 fits a BIGINT
+  // exactly, and the raw estimate alpha_m * m^2 * 2^53 / S is then one
+  // deterministic double expression (no small-range linear-counting branch:
+  // ln() is not guaranteed identically rounded across engines — raw
+  // estimator bias at low cardinality is visible in err_pct instead, next
+  // to the exact count).
+  private val HllP = 8 // 2^8 = 256 registers
+  private val HllM = 1 << HllP
+
+  private def a12HllDistinct(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val regs = li.select(col("l_returnflag").as("flag"),
+        TextOps.hash60(col("l_orderkey").cast(StringType)).as("h"))
+      .withColumn("bucket", (col("h") % HllM).cast(IntegerType))
+      .withColumn("w", expr(s"h div $HllM"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(53)).otherwise(lit(53) - length(bin(col("w")))))
+      .groupBy("flag", "bucket")
+      .agg(max(col("rho")).as("maxrho"))
+    // complete the m-register lattice: empty registers carry rho = 0
+    val spine = li.select(col("l_returnflag").as("flag")).distinct()
+      .select(col("flag"), explode(expr(s"sequence(0, ${HllM - 1})")).as("bucket"))
+    val sums = spine.join(regs, Seq("flag", "bucket"), "left")
+      .withColumn("term", expr("shiftleft(CAST(1 AS BIGINT), 53 - coalesce(maxrho, 0))"))
+      .groupBy("flag")
+      .agg(sum(col("term")).as("s"),
+        count(col("maxrho")).as("buckets_used"))
+    val exact = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(countDistinct(col("l_orderkey")).as("true_n"))
+    // e0-suffixed literals parse as DOUBLE in BOTH engines (a bare 0.7213 is
+    // a DECIMAL literal in each, and their decimal-division scale rules
+    // differ — double arithmetic is the one that's bit-identical)
+    sums.join(exact, "flag")
+      .withColumn("est", expr(
+        s"0.7213e0 / (1.0e0 + 1.079e0 / ${HllM}e0) * ${HllM}e0 * ${HllM}e0 * 9007199254740992e0 / CAST(s AS DOUBLE)"))
+      .select(col("flag"), col("buckets_used"), col("true_n"),
+        round(col("est"), 2).as("est_n"),
+        round((col("est") - col("true_n")) / col("true_n") * 100, 2).as("err_pct"))
+      .orderBy("flag")
+  }
+
+  private val a12Sql =
+    s"""WITH regs AS (
+       |  SELECT flag, h % $HllM AS bucket,
+       |    max(CASE WHEN h // $HllM = 0 THEN 53
+       |        ELSE 53 - length(bin(h // $HllM)) END) AS maxrho
+       |  FROM (SELECT l_returnflag AS flag,
+       |          CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),1,15)) AS BIGINT) AS h
+       |        FROM lineitem)
+       |  GROUP BY flag, bucket
+       |), spine AS (
+       |  SELECT flag, r.range AS bucket
+       |  FROM (SELECT DISTINCT l_returnflag AS flag FROM lineitem), range($HllM) r
+       |), sums AS (
+       |  SELECT flag,
+       |    sum((CAST(1 AS BIGINT) << (53 - coalesce(maxrho, 0))))::BIGINT AS s,
+       |    count(maxrho) AS buckets_used
+       |  FROM spine LEFT JOIN regs USING (flag, bucket)
+       |  GROUP BY flag
+       |), exact AS (
+       |  SELECT l_returnflag AS flag, count(DISTINCT l_orderkey) AS true_n
+       |  FROM lineitem GROUP BY flag
+       |), est AS (
+       |  SELECT flag, buckets_used, true_n,
+       |    0.7213e0 / (1.0e0 + 1.079e0 / ${HllM}e0) * ${HllM}e0 * ${HllM}e0 * 9007199254740992e0 / CAST(s AS DOUBLE) AS est
+       |  FROM sums JOIN exact USING (flag)
+       |)
+       |SELECT flag, buckets_used, true_n, round(est, 2) AS est_n,
+       |  round((est - true_n) / true_n * 100, 2) AS err_pct
+       |FROM est ORDER BY flag""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // j10 — Bloom-filter join pruning: the build side (urgent orders' keys)
+  // compresses to a k=3-position bit membership structure that BROADCASTS to
+  // the fact scan; rows whose 3 probe positions all hit are candidates, and
+  // only candidates reach the exact join. At 100 TB this is how a big-probe /
+  // selective-build join avoids shuffling the fact: the filter is a few KB
+  // regardless of fact size and false positives are re-checked exactly —
+  // never wrong, only occasionally wasteful (fp_pct makes the trade visible).
+  // Spark's runtime bloom rewrite (spark.sql.optimizer.runtime.bloomFilter.*)
+  // is the automatic twin; this is the declared-plan version with a portable
+  // hash so the structure itself is oracle-checkable.
+  private val BloomBits = 1 << 16
+  private val BloomK = 3
+
+  private def j10BloomPrune(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashRegistry.register(s)
+    val urgent = Tables.orders(s, d)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("key")).distinct()
+    val positions = urgent.select(explode(expr(
+        s"transform(sequence(0, ${BloomK - 1}), i -> " +
+          s"graft_hash60(concat('bloom', CAST(i AS STRING), ':', CAST(key AS STRING))) % $BloomBits)"))
+        .as("pos")).distinct()
+    val bits = positions.agg(array_sort(collect_set(col("pos"))).as("bits"))
+    val probed = Tables.lineitem(s, d)
+      .select(col("l_orderkey"))
+      .crossJoin(broadcast(bits))
+      .withColumn("cand", (0 until BloomK).map(i =>
+          array_contains(col("bits"),
+            expr(s"graft_hash60(concat('bloom$i:', CAST(l_orderkey AS STRING))) % $BloomBits")))
+        .reduce(_ && _))
+      .join(broadcast(urgent.withColumn("hit", lit(1))),
+        col("l_orderkey") === col("key"), "left")
+    probed.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("cand"), 1)).as("n_cand"),
+        count(when(col("hit") === 1, 1)).as("n_true"),
+        count(when(col("cand") && col("hit").isNull, 1)).as("n_false_pos"))
+      .withColumn("fp_pct",
+        round(col("n_false_pos") / (col("n_rows") - col("n_true")).cast(DoubleType) * 100, 4))
+  }
+
+  private val j10Sql =
+    s"""WITH urgent AS (
+       |  SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+       |), positions AS (
+       |  SELECT DISTINCT CAST(('0x' || substr(md5('bloom' || CAST(i.range AS VARCHAR) || ':' || CAST(key AS VARCHAR)),1,15)) AS BIGINT) % $BloomBits AS pos
+       |  FROM urgent, range($BloomK) i
+       |), bits AS (
+       |  SELECT list(pos) AS bits FROM positions
+       |), probed AS (
+       |  SELECT l.l_orderkey,
+       |    ${(0 until BloomK).map(i =>
+             s"list_contains(b.bits, CAST(('0x' || substr(md5('bloom$i:' || CAST(l.l_orderkey AS VARCHAR)),1,15)) AS BIGINT) % $BloomBits)")
+             .mkString(" AND ")} AS cand,
+       |    u.key IS NOT NULL AS hit
+       |  FROM lineitem l CROSS JOIN bits b
+       |  LEFT JOIN urgent u ON l.l_orderkey = u.key
+       |)
+       |SELECT count(*) AS n_rows,
+       |  count(*) FILTER (WHERE cand) AS n_cand,
+       |  count(*) FILTER (WHERE hit) AS n_true,
+       |  count(*) FILTER (WHERE cand AND NOT hit) AS n_false_pos,
+       |  round(count(*) FILTER (WHERE cand AND NOT hit)
+       |    / CAST(count(*) - count(*) FILTER (WHERE hit) AS DOUBLE) * 100, 4) AS fp_pct
+       |FROM probed""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u6_rollup"        -> u6Rollup _,
+    "u7_grouping_sets" -> u7GroupingSets _,
     "o5_window_frames" -> o5WindowFrames _,
+    "o6_rank_battery"  -> o6RankBattery _,
     "a7_percentiles"   -> a7Percentiles _,
     "a8_salted_agg"    -> a8SaltedAgg _,
     "a9_kmv_distinct"  -> a9KmvDistinct _,
     "a10_grouped_kmv"  -> a10GroupedKmv _,
-    "j8_salted_join"   -> j8SaltedJoin _)
+    "a11_zscore_outliers" -> a11ZscoreOutliers _,
+    "a12_hll_distinct" -> a12HllDistinct _,
+    "j8_salted_join"   -> j8SaltedJoin _,
+    "j10_bloom_prune"  -> j10BloomPrune _)
 
   val oracles: Map[String, String] = Map(
     "u6_rollup"        -> u6Sql,
+    "u7_grouping_sets" -> u7Sql,
     "o5_window_frames" -> o5Sql,
+    "o6_rank_battery"  -> o6Sql,
     "a7_percentiles"   -> a7Sql,
     "a8_salted_agg"    -> a8Sql,
     "a9_kmv_distinct"  -> a9Sql,
     "a10_grouped_kmv"  -> a10Sql,
-    "j8_salted_join"   -> j8Sql)
+    "a11_zscore_outliers" -> a11Sql,
+    "a12_hll_distinct" -> a12Sql,
+    "j8_salted_join"   -> j8Sql,
+    "j10_bloom_prune"  -> j10Sql)
 }
