@@ -541,8 +541,60 @@ object Dedup {
        |SELECT src AS doc_id, min(dst) AS component, src = min(dst) AS kept
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // d10 — benchmark decontamination: flag training documents that share any
+  // 8-token shingle with a held-out eval set (the n-gram-overlap test every
+  // serious LLM data pipeline runs before training — e.g. GPT-3 appendix C's
+  // 13-gram check, scaled to this corpus's 30–100-token docs). The eval set
+  // here is the deterministic pseudo-benchmark doc_id % 100 = 0. THE SCALE
+  // SHAPE IS THE POINT: benchmarks are tiny and fixed, so the eval side's
+  // distinct shingle hashes BROADCAST; the 100 TB train side streams through
+  // one hash-explode + broadcast semi-match and aggregates per doc — the
+  // corpus never shuffles on shingles, and text never leaves the scan (only
+  // 8-byte hashes explode).
+  private val DecontamN = 8
+
+  /** Exploded (doc_id, sh) token-8-gram hashes; docs shorter than 8 tokens
+    * contribute their full-token shingle (greatest(..,1) — same clamp as the
+    * d2/d5 char shingles).
+    */
+  private def tokenShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(expr(normExpr), " "))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, greatest(size(toks) - ${DecontamN - 1}, 1)), " +
+          s"i -> md5(array_join(slice(toks, i, $DecontamN), ' ')))")).as("sh"))
+
+  private def d10Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val evalSh = tokenShingles(docs.where(col("doc_id") % 100 === 0))
+      .select(col("sh")).distinct()
+    val train = tokenShingles(docs.where(col("doc_id") % 100 =!= 0))
+    train.join(broadcast(evalSh), "sh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  private val d10Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(toks) - ${DecontamN - 1}, 1) + 1),
+       |    i -> md5(array_to_string(list_slice(toks, i, i + ${DecontamN - 1}), ' ')))) AS sh
+       |  FROM toks
+       |), eval_sh AS (
+       |  SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0
+       |)
+       |SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared
+       |FROM sh s JOIN eval_sh e USING (sh)
+       |WHERE s.doc_id % 100 <> 0
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"    -> d1Exact _,
+    "d10_decontaminate" -> d10Decontaminate _,
     "d2_minhash_sigs"   -> d2Minhash _,
     "d3_minhash_pairs"  -> d3MinhashPairs _,
     "d4_simhash"        -> d4Simhash _,
@@ -554,6 +606,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup"    -> d1Sql,
+    "d10_decontaminate" -> d10Sql,
     "d2_minhash_sigs"   -> d2Sql,
     "d3_minhash_pairs"  -> d3Sql,
     "d4_simhash"        -> d4Sql,

@@ -619,8 +619,119 @@ object Similarity {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // s6 — MMR diverse reranking (Carbonell & Goldstein 1998): after retrieval,
+  // greedily select k results maximizing lambda*relevance - (1-lambda)*
+  // max-similarity-to-already-selected — the diversity-aware sampling step a
+  // curation pipeline runs so near-identical top hits don't all survive.
+  // Candidate pools are per-query top-10 (retrieval output, tiny by
+  // construction), so the greedy k-step recursion unrolls DECLARATIVELY over
+  // pool-sized frames — window argmax per step, one plan, no driver loop,
+  // no collect. At 100 TB the corpus-sized work is the retrieval (s1/s2/s3);
+  // MMR only ever touches k x pool rows per query.
+  private val MmrLambda = 0.7
+  private val MmrK = 3
+  private val MmrPool = 10
+
+  private def s6MmrRerank(s: SparkSession, d: String): DataFrame = {
+    val e = vecsD(s, d).cache()
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"))
+    val c = e.select(col("vec_id").as("cid"), col("v").as("bd"), col("nrm").as("nb"))
+    val wRel = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))
+    val cand = broadcast(q).join(c, col("qid") =!= col("cid"))
+      .withColumn("rel", cosCol)
+      .withColumn("rk", row_number().over(wRel))
+      .where(col("rk") <= MmrPool)
+      .select("qid", "cid", "rel")
+      .cache() // 5 queries x 10 candidates
+    val a = cand.select(col("qid"), col("cid").as("cid_a"))
+      .join(e.select(col("vec_id").as("cid_a"), col("v").as("ad"), col("nrm").as("na")), "cid_a")
+    val b = cand.select(col("qid"), col("cid").as("cid_b"))
+      .join(e.select(col("vec_id").as("cid_b"), col("v").as("bd"), col("nrm").as("nb")), "cid_b")
+    val sims = a.join(b, Seq("qid")).where(col("cid_a") =!= col("cid_b"))
+      .withColumn("sim", cosCol)
+      .select("qid", "cid_a", "cid_b", "sim")
+      .cache()
+    val wScore = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    val sel1 = cand
+      .withColumn("score", lit(MmrLambda) * col("rel"))
+      .withColumn("rn", row_number().over(wScore)).where(col("rn") === 1)
+      .select(col("qid"), col("cid"), lit(1).as("step"), col("score"))
+    def nextStep(selected: DataFrame, step: Int): DataFrame = {
+      val maxsim = sims
+        .join(selected.select(col("qid"), col("cid").as("cid_b")), Seq("qid", "cid_b"))
+        .groupBy("qid", "cid_a").agg(max(col("sim")).as("maxsim"))
+        .withColumnRenamed("cid_a", "cid")
+      cand.join(selected.select(col("qid"), col("cid")), Seq("qid", "cid"), "left_anti")
+        .join(maxsim, Seq("qid", "cid"))
+        // (1 - lambda) is COMPUTED from the 0.7 double in both engines (the
+        // oracle spells 1e0 - 0.7e0), so the penalty constant is bit-equal
+        .withColumn("score",
+          lit(MmrLambda) * col("rel") - lit(1.0 - MmrLambda) * col("maxsim"))
+        .withColumn("rn", row_number().over(wScore)).where(col("rn") === 1)
+        .select(col("qid"), col("cid"), lit(step).as("step"), col("score"))
+    }
+    val selAll = (2 to MmrK).foldLeft(sel1)((acc, st) => acc.union(nextStep(acc, st)))
+    selAll
+      .select(col("qid"), col("step"), col("cid"), round(col("score"), 6).as("score_r"))
+      .orderBy("qid", "step")
+  }
+
+  private val s6Sql = {
+    // unrolled greedy: selN picks the argmax of lambda*rel - (1-lambda)*
+    // max(sim to sel1..selN-1) among not-yet-selected candidates
+    def stepCte(n: Int): String = {
+      val selectedUnion =
+        (1 until n).map(i => s"SELECT qid, cid FROM sel$i").mkString(" UNION ALL ")
+      s"""sel$n AS (
+         |  SELECT qid, cid, $n AS step, score FROM (
+         |    SELECT p.qid, p.cid, p.score,
+         |      row_number() OVER (PARTITION BY p.qid ORDER BY p.score DESC, p.cid) AS rn
+         |    FROM (
+         |      SELECT c.qid, c.cid,
+         |        ${MmrLambda}e0 * c.rel - (1e0 - ${MmrLambda}e0) * max(s.sim) AS score
+         |      FROM cand c
+         |      JOIN sims s ON s.qid = c.qid AND s.cid_a = c.cid
+         |      JOIN ($selectedUnion) t ON t.qid = s.qid AND t.cid = s.cid_b
+         |      WHERE NOT EXISTS (SELECT 1 FROM ($selectedUnion) x
+         |                        WHERE x.qid = c.qid AND x.cid = c.cid)
+         |      GROUP BY c.qid, c.cid, c.rel) p) WHERE rn = 1
+         |)""".stripMargin
+    }
+    val steps = (2 to MmrK).map(stepCte).mkString(",\n")
+    val unionAll = (1 to MmrK).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    s"""WITH ev AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), cand AS (
+       |  SELECT qid, cid, rel FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |      list_cosine_similarity(q.v, c.v) AS rel,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rk
+       |    FROM ev q JOIN ev c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 5)
+       |  WHERE rk <= $MmrPool
+       |), sims AS (
+       |  SELECT a.qid, a.cid AS cid_a, b.cid AS cid_b,
+       |    list_cosine_similarity(ea.v, eb.v) AS sim
+       |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+       |  JOIN ev ea ON ea.vec_id = a.cid JOIN ev eb ON eb.vec_id = b.cid
+       |), sel1 AS (
+       |  SELECT qid, cid, 1 AS step, score FROM (
+       |    SELECT qid, cid, ${MmrLambda}e0 * rel AS score,
+       |      row_number() OVER (PARTITION BY qid ORDER BY ${MmrLambda}e0 * rel DESC, cid) AS rn
+       |    FROM cand) WHERE rn = 1
+       |),
+       |$steps
+       |SELECT qid, step, cid, round(score, 6) AS score_r
+       |FROM ($unionAll)
+       |ORDER BY qid, step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> s1CosineTopK _,
+    "s6_mmr_rerank"  -> s6MmrRerank _,
     "s2_lsh_ann"     -> s2LshAnn _,
     "s3_ivf_ann"     -> s3IvfAnn _,
     "s4_scalar_quant" -> s4ScalarQuant _,
@@ -629,6 +740,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Sql,
+    "s6_mmr_rerank"  -> s6Sql,
     "s2_lsh_ann"     -> s2Sql,
     "s3_ivf_ann"     -> s3Sql,
     "s4_scalar_quant" -> s4Sql,

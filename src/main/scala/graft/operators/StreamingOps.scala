@@ -155,7 +155,35 @@ object StreamingOps {
        |ORDER BY user_id, ts, event_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // st4 — streaming-dedup batch twin: the batch execution of
+  // [[graft.streaming.StreamOps.dedupWithinWatermark]] (which wraps
+  // dropDuplicatesWithinWatermark — streaming-only by API): keep the FIRST
+  // event per (user_id, event_type) in event-time order with a deterministic
+  // event_id tie-break. In the stream the state store holds one entry per
+  // key bounded by the watermark horizon; here the same semantics is a
+  // per-key window argmin — one shuffle on the key, Top-1 per partition.
+  private def st4DedupTwin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("ts").as("first_ts"),
+        col("event_id").as("first_event_id"))
+      .orderBy("user_id", "event_type")
+  }
+
+  private val st4Sql =
+    """SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id
+      |FROM (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st4_stream_dedup"    -> st4DedupTwin _,
     "st1_tumbling_window" -> st1Tumbling _,
     "st2_sliding_window"  -> st2Sliding _,
     "st3_session_window"  -> st3Sessions _,
@@ -163,6 +191,7 @@ object StreamingOps {
     "r2_ewma"             -> r2Ewma _)
 
   val oracles: Map[String, String] = Map(
+    "st4_stream_dedup"    -> st4Sql,
     "st1_tumbling_window" -> st1Sql,
     "st2_sliding_window"  -> st2Sql,
     "st3_session_window"  -> st3Sql,
