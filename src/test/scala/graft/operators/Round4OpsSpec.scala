@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.TestSpark
+
+/** Behavior specs for the round-4 additions (the DuckDB hash gate pins
+  * exact values; these pin the SEMANTIC claims each operator makes).
+  */
+class Round4OpsSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("j10 bloom pruning never drops a true match (no false negatives)") {
+    val r = AnalyticOps.queries("j10_bloom_prune")(spark, sf).collect()(0)
+    val (nCand, nTrue, nFp) =
+      (r.getAs[Long]("n_cand"), r.getAs[Long]("n_true"), r.getAs[Long]("n_false_pos"))
+    // every true row must be a candidate: candidates decompose exactly into
+    // true matches + false positives only when no true match was pruned
+    assert(nCand === nTrue + nFp)
+    assert(nTrue > 0)
+  }
+
+  test("a12 HLL estimate lands near the exact distinct count") {
+    val rows = AnalyticOps.queries("a12_hll_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("buckets_used") <= 256)
+      assert(r.getAs[Double]("est_n") > 0.0)
+      // raw HLL (no small-range correction) at these cardinalities: keep a
+      // generous pin — the point is "right order, deterministic", and the
+      // exact value is already hash-checked by the oracle
+      assert(math.abs(r.getAs[Double]("err_pct")) < 35.0,
+        s"err ${r.getAs[Double]("err_pct")}% for ${r.getAs[String]("flag")}")
+    }
+  }
+
+  test("s6 MMR picks distinct candidates and starts from the relevance argmax") {
+    val sel = Similarity.queries("s6_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("step"), r.getAs[Long]("cid")))
+    val s1 = Similarity.queries("s1_cosine_topk")(spark, sf).collect()
+      .filter(_.getAs[Int]("rk") == 1)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("cid")).toMap
+    val byQid = sel.groupBy(_._1)
+    assert(byQid.nonEmpty)
+    byQid.foreach { case (qid, picks) =>
+      assert(picks.length === 3)
+      assert(picks.map(_._3).distinct.length === 3, s"duplicate picks for qid $qid")
+      // step 1 has no diversity penalty -> must equal the plain top-1
+      assert(picks.find(_._2 == 1).get._3 === s1(qid))
+    }
+  }
+
+  test("s6 MMR selection is no less diverse than the plain top-3") {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def maxIntraSim(ids: Seq[Long]): Double =
+      ids.combinations(2).map { case Seq(a, b) => cos(vecs(a), vecs(b)) }.max
+    val mmr = Similarity.queries("s6_mmr_rerank")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cid")).toSeq }
+    val top3 = Similarity.queries("s1_cosine_topk")(spark, sf).collect()
+      .filter(_.getAs[Int]("rk") <= 3)
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cid")).toSeq }
+    mmr.foreach { case (qid, ids) =>
+      assert(maxIntraSim(ids) <= maxIntraSim(top3(qid)) + 1e-12,
+        s"qid $qid: MMR set less diverse than plain top-3")
+    }
+  }
+
+  test("d10 flags exactly the train docs sharing an 8-token shingle with the eval set") {
+    val flagged = Dedup.queries("d10_decontaminate")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    // independent recomputation in plain Scala on the tiny sf
+    def shingles(text: String): Set[String] = {
+      val toks = text.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+      if (toks.length <= 8) Set(toks.mkString(" "))
+      else toks.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1)))
+    val evalSh = docs.filter(_._1 % 100 == 0).flatMap(_._2).toSet
+    val expected = docs.filter(_._1 % 100 != 0)
+      .map { case (id, sh) => id -> sh.count(evalSh.contains).toLong }
+      .filter(_._2 > 0).toMap
+    assert(flagged === expected)
+    assert(flagged.keys.forall(_ % 100 != 0))
+  }
+
+  test("st4 keeps the event-time-first event per (user, type)") {
+    val kept = StreamingOps.queries("st4_stream_dedup")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("first_event_id")).toMap
+    val expected = graft.Tables.events(spark, sf)
+      .groupBy("user_id", "event_type")
+      .agg(min(struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("event_type"), col("m.event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(kept === expected)
+  }
+
+  test("a11 outlier counts are consistent with the gate definition") {
+    val rows = AnalyticOps.queries("a11_zscore_outliers")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hi, lo) =
+        (r.getAs[Long]("n"), r.getAs[Long]("n_hi"), r.getAs[Long]("n_lo"))
+      assert(r.getAs[Double]("std_r") > 0.0)
+      // a |z|>2 gate can flag at most 25% of any distribution (Chebyshev)
+      assert(hi + lo <= n / 4)
+    }
+  }
+
+  test("ArtifactCache memoizes per (session, dir) and invalidate forces a rebuild") {
+    var builds = 0
+    def build = { builds += 1; spark.range(3).toDF("x") }
+    val a = ArtifactCache.getOrElseUpdate("spec.probe", spark, "/tmp/spec-a")(build)
+    val b = ArtifactCache.getOrElseUpdate("spec.probe", spark, "/tmp/spec-a")(build)
+    assert(builds === 1)
+    assert(a eq b)
+    ArtifactCache.invalidate(spark, "/tmp/spec-a")
+    ArtifactCache.getOrElseUpdate("spec.probe", spark, "/tmp/spec-a")(build)
+    assert(builds === 2)
+    ArtifactCache.invalidate(spark, "/tmp/spec-a")
+  }
+}
