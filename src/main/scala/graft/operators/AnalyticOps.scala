@@ -447,22 +447,42 @@ object AnalyticOps {
   private val BloomBits = 1 << 16
   private val BloomK = 3
 
+  // 63-bit words: DuckDB traps the 1 << 63 overflow that a full 64-bit
+  // word layout needs for bit 63, and 62 is the max shift either engine
+  // must produce — the array grows by 2% and both engines agree everywhere
+  private val BloomWordBits = 63
+  private val BloomWords = (BloomBits + BloomWordBits - 1) / BloomWordBits
+
   private def j10BloomPrune(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashRegistry.register(s)
     val urgent = Tables.orders(s, d)
       .where(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("key")).distinct()
+    // a REAL bitset: positions OR into 63-bit words (bit_or is idempotent,
+    // so no distinct pass), assembled into a dense BloomWords-long array —
+    // the broadcast structure is 8 KB regardless of build-side size, and
+    // each probe is one O(1) element_at + bit test (a sorted-array
+    // `array_contains` is a linear scan per probe — quadratic in disguise)
     val positions = urgent.select(explode(expr(
         s"transform(sequence(0, ${BloomK - 1}), i -> " +
           s"graft_hash60(concat('bloom', CAST(i AS STRING), ':', CAST(key AS STRING))) % $BloomBits)"))
-        .as("pos")).distinct()
-    val bits = positions.agg(array_sort(collect_set(col("pos"))).as("bits"))
-    val probed = Tables.lineitem(s, d)
-      .select(col("l_orderkey"))
-      .crossJoin(broadcast(bits))
+        .as("pos"))
+    val words = positions
+      .groupBy(expr("CAST(pos div 63 AS INT)").as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)))").as("mask"))
+    val bits = words
+      .agg(expr("map_from_entries(collect_list(struct(w, mask)))").as("m"))
+      .select(expr(s"transform(sequence(0, ${BloomWords - 1}), " +
+        "i -> coalesce(element_at(m, i), CAST(0 AS BIGINT)))").as("bits"))
+    val withPos = (0 until BloomK).foldLeft(
+        Tables.lineitem(s, d).select(col("l_orderkey")).crossJoin(broadcast(bits))) {
+      (df, i) => df.withColumn(s"pos$i",
+        expr(s"graft_hash60(concat('bloom$i:', CAST(l_orderkey AS STRING))) % $BloomBits"))
+    }
+    val probed = withPos
       .withColumn("cand", (0 until BloomK).map(i =>
-          array_contains(col("bits"),
-            expr(s"graft_hash60(concat('bloom$i:', CAST(l_orderkey AS STRING))) % $BloomBits")))
+          expr(s"(shiftright(element_at(bits, CAST(pos$i div 63 AS INT) + 1), " +
+            s"CAST(pos$i % 63 AS INT)) & 1) = 1"))
         .reduce(_ && _))
       .join(broadcast(urgent.withColumn("hit", lit(1))),
         col("l_orderkey") === col("key"), "left")
@@ -479,18 +499,29 @@ object AnalyticOps {
     s"""WITH urgent AS (
        |  SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
        |), positions AS (
-       |  SELECT DISTINCT CAST(('0x' || substr(md5('bloom' || CAST(i.range AS VARCHAR) || ':' || CAST(key AS VARCHAR)),1,15)) AS BIGINT) % $BloomBits AS pos
+       |  SELECT CAST(('0x' || substr(md5('bloom' || CAST(i.range AS VARCHAR) || ':' || CAST(key AS VARCHAR)),1,15)) AS BIGINT) % $BloomBits AS pos
        |  FROM urgent, range($BloomK) i
+       |), words AS (
+       |  SELECT CAST(pos // 63 AS INT) AS w,
+       |    bit_or((CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)))::BIGINT AS mask
+       |  FROM positions GROUP BY 1
        |), bits AS (
-       |  SELECT list(pos) AS bits FROM positions
-       |), probed AS (
+       |  SELECT list(coalesce(mask, 0) ORDER BY r.range) AS bits
+       |  FROM range($BloomWords) r LEFT JOIN words ON words.w = r.range
+       |), probe_pos AS (
        |  SELECT l.l_orderkey,
        |    ${(0 until BloomK).map(i =>
-             s"list_contains(b.bits, CAST(('0x' || substr(md5('bloom$i:' || CAST(l.l_orderkey AS VARCHAR)),1,15)) AS BIGINT) % $BloomBits)")
+             s"CAST(('0x' || substr(md5('bloom$i:' || CAST(l.l_orderkey AS VARCHAR)),1,15)) AS BIGINT) % $BloomBits AS pos$i")
+             .mkString(",\n       |    ")}
+       |  FROM lineitem l
+       |), probed AS (
+       |  SELECT p.l_orderkey,
+       |    ${(0 until BloomK).map(i =>
+             s"((b.bits[CAST(pos$i // 63 AS INT) + 1] >> CAST(pos$i % 63 AS INT)) & 1) = 1")
              .mkString(" AND ")} AS cand,
        |    u.key IS NOT NULL AS hit
-       |  FROM lineitem l CROSS JOIN bits b
-       |  LEFT JOIN urgent u ON l.l_orderkey = u.key
+       |  FROM probe_pos p CROSS JOIN bits b
+       |  LEFT JOIN urgent u ON p.l_orderkey = u.key
        |)
        |SELECT count(*) AS n_rows,
        |  count(*) FILTER (WHERE cand) AS n_cand,
