@@ -22,6 +22,7 @@ object SparkEntry {
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.StreamingOps.queries, operators.StreamingOps.oracles),
       (operators.AnalyticOps.queries, operators.AnalyticOps.oracles),
+      (operators.CurationOps.queries, operators.CurationOps.oracles),
       (operators.GeoPipelineOps.queries, operators.GeoPipelineOps.oracles)
     )
 

@@ -531,8 +531,40 @@ object AnalyticOps {
        |    / CAST(count(*) - count(*) FILTER (WHERE hit) AS DOUBLE) * 100, 4) AS fp_pct
        |FROM probed""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // o7 — event-TIME range frame (the rolling-window primitive o5's ROWS
+  // frame can't express): per user, the sum/count of events in the trailing
+  // hour of EVENT TIME — frame membership depends on timestamp distance, not
+  // row position, so bursts widen the frame and quiet periods shrink it.
+  // Ordering key is integer epoch MICROS (epoch_us/unix_micros agree
+  // exactly; a float seconds key would make frame-boundary comparisons
+  // engine-dependent). Tie rows are RANGE-frame peers in both engines, so
+  // intra-tie order cannot matter. One shuffle on user_id; the frame scan
+  // is the standard two-pointer pass per partition.
+  private def o7RangeFrames(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ep"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, d)
+      .withColumn("ep", unix_micros(col("ts")))
+      .withColumn("roll_sum",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DoubleType))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_id"), col("ts"), col("roll_sum"), col("roll_n"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  private val o7Sql =
+    """SELECT user_id, event_id, ts,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+      |  count(*) OVER w AS roll_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u6_rollup"        -> u6Rollup _,
+    "o7_range_frames"  -> o7RangeFrames _,
     "u7_grouping_sets" -> u7GroupingSets _,
     "o5_window_frames" -> o5WindowFrames _,
     "o6_rank_battery"  -> o6RankBattery _,
@@ -547,6 +579,7 @@ object AnalyticOps {
 
   val oracles: Map[String, String] = Map(
     "u6_rollup"        -> u6Sql,
+    "o7_range_frames"  -> o7Sql,
     "u7_grouping_sets" -> u7Sql,
     "o5_window_frames" -> o5Sql,
     "o6_rank_battery"  -> o6Sql,

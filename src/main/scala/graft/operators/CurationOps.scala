@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** c1 — the END-TO-END curation composite: the individual training-data
+  * operators (t5 quality gate, d1 exact-dup keeper, d10 decontamination, t6
+  * deterministic sampling) chained the way a real corpus snapshot is cut,
+  * with a per-document audit ledger as output: every doc gets its per-stage
+  * verdicts and the final keep bit, so any exclusion is attributable — the
+  * auditability property a published training set needs.
+  *
+  * Scale shape: all four stages are the already-proven shapes — per-row
+  * codegen scoring, one hash-groupBy for the keeper, a broadcast semi-match
+  * for contamination, a stateless hash sample — composed in ONE declarative
+  * plan; Catalyst shares the documents scan across branches and nothing new
+  * shuffles beyond the component operators.
+  */
+object CurationOps {
+
+  private def c1Curate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val quality = docs
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")).cast(DoubleType))
+      .withColumn("punct_ratio",
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast(DoubleType)
+          / length(col("text")))
+      .withColumn("stop_hits",
+        size(expr("filter(toks, t -> t IN ('the','a','of','and','to','in'))")).cast(DoubleType))
+      .withColumn("quality",
+        least(col("n_tokens") / 100, lit(1.0)) * 0.4 +
+          (lit(1.0) - col("punct_ratio")) * 0.3 +
+          least(col("stop_hits") / 10, lit(1.0)) * 0.3)
+      .select(col("doc_id"), (col("quality") >= 0.5).as("q_pass"))
+    val fps = docs
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .select("doc_id", "fp")
+    val keepers = fps.groupBy("fp").agg(min("doc_id").as("keeper_id"))
+    val isKeeper = fps.join(keepers, "fp")
+      .select(col("doc_id"), (col("doc_id") === col("keeper_id")).as("is_keeper"))
+    val evalSh = Dedup.tokenShingles(docs.where(col("doc_id") % 100 === 0))
+      .select("sh").distinct()
+    val contaminated = Dedup.tokenShingles(docs.where(col("doc_id") % 100 =!= 0))
+      .join(broadcast(evalSh), "sh")
+      .select("doc_id").distinct()
+      .withColumn("contam", lit(true))
+    docs.select("doc_id")
+      .join(quality, "doc_id")
+      .join(isKeeper, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("is_eval", col("doc_id") % 100 === 0)
+      .withColumn("clean", coalesce(col("contam"), lit(false)) === false)
+      .withColumn("sampled",
+        TextOps.hash60(concat(lit("c1:"), col("doc_id").cast(StringType))) % 100 < 50)
+      .withColumn("kept",
+        col("q_pass") && col("is_keeper") && col("clean") && col("sampled") && !col("is_eval"))
+      .select("doc_id", "q_pass", "is_keeper", "clean", "sampled", "is_eval", "kept")
+      .orderBy("doc_id")
+  }
+
+  private val c1Sql = {
+    val n = Dedup.DecontamN
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    (least(CAST(len(toks) AS DOUBLE) / 100, 1.0) * 0.4 +
+       |     (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 +
+       |     least(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) / 10, 1.0) * 0.3
+       |    ) >= 0.5 AS q_pass
+       |  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+       |), fps AS (
+       |  SELECT doc_id, md5(${Dedup.duckNorm}) AS fp FROM documents
+       |), keep AS (
+       |  SELECT fp, min(doc_id) AS keeper_id FROM fps GROUP BY fp
+       |), toks AS (
+       |  SELECT doc_id, string_split(${Dedup.duckNorm}, ' ') AS toks FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(toks) - ${n - 1}, 1) + 1),
+       |    i -> md5(array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')))) AS sh
+       |  FROM toks
+       |), eval_sh AS (
+       |  SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0
+       |), contam AS (
+       |  SELECT DISTINCT s.doc_id FROM sh s JOIN eval_sh e USING (sh) WHERE s.doc_id % 100 <> 0
+       |)
+       |SELECT d.doc_id, q.q_pass, f.doc_id = k.keeper_id AS is_keeper,
+       |  c.doc_id IS NULL AS clean,
+       |  CAST(('0x' || substr(md5('c1:' || CAST(d.doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 50 AS sampled,
+       |  d.doc_id % 100 = 0 AS is_eval,
+       |  q.q_pass AND f.doc_id = k.keeper_id AND c.doc_id IS NULL
+       |    AND CAST(('0x' || substr(md5('c1:' || CAST(d.doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 50
+       |    AND d.doc_id % 100 <> 0 AS kept
+       |FROM documents d
+       |JOIN q USING (doc_id)
+       |JOIN fps f USING (doc_id)
+       |JOIN keep k USING (fp)
+       |LEFT JOIN contam c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_curation_pipeline" -> c1Curate _)
+
+  val oracles: Map[String, String] = Map(
+    "c1_curation_pipeline" -> c1Sql)
+}

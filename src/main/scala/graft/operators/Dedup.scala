@@ -44,7 +44,7 @@ object Dedup {
   private val normExpr = "regexp_replace(lower(text), '\\\\s+', ' ')"
   // (Spark side computes shingles+minhash fused in graft_minhash_text; the
   // oracle spells out the equivalent shingle list explicitly)
-  private val duckNorm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+  private[operators] val duckNorm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
   private val duckShingles =
     "list_transform(range(1, greatest(len(norm)-4,1)+1), i -> substr(norm, i, 5))"
   private def duckMinhash(seed: Int) = {
@@ -552,13 +552,13 @@ object Dedup {
   // one hash-explode + broadcast semi-match and aggregates per doc — the
   // corpus never shuffles on shingles, and text never leaves the scan (only
   // 8-byte hashes explode).
-  private val DecontamN = 8
+  private[operators] val DecontamN = 8
 
   /** Exploded (doc_id, sh) token-8-gram hashes; docs shorter than 8 tokens
     * contribute their full-token shingle (greatest(..,1) — same clamp as the
-    * d2/d5 char shingles).
+    * d2/d5 char shingles). Shared with the c1 curation composite.
     */
-  private def tokenShingles(docs: DataFrame): DataFrame =
+  private[operators] def tokenShingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(expr(normExpr), " "))
       .select(col("doc_id"), explode(expr(

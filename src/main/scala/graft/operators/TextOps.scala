@@ -381,7 +381,43 @@ object TextOps {
       |WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // t10 — the hashing trick (Weinberger et al. 2009, "Feature Hashing for
+  // Large Scale Multitask Learning"): project unbounded token vocabularies
+  // into a FIXED d-dim feature space — idx = hash(tok) % d, with a second
+  // sign hash so collisions cancel in expectation instead of biasing
+  // upward. THE vectorization step before any linear/embedding model when
+  // the vocabulary is 100 TB-sized: no dictionary is built, no state is
+  // shared — each row vectorizes independently inside the scan, and the
+  // (doc, idx) aggregation is map-side combinable. Output is the sparse
+  // COO triple list (doc_id, idx, val); values are integer count sums, so
+  // the result is engine-exact with the portable hash.
+  private val FeatDim = 1024
+
+  private def t10FeatureHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("tok", explode(split(trim(col("text")), "\\s+")))
+      .withColumn("idx", (hash60(col("tok")) % FeatDim).cast(IntegerType))
+      .withColumn("sign",
+        when(hash60(concat(lit("sgn:"), col("tok"))) % 2 === 0, 1).otherwise(-1))
+      .groupBy("doc_id", "idx")
+      .agg(sum(col("sign")).as("val"))
+      .where(col("val") =!= 0) // cancelled collisions carry no signal
+      .orderBy("doc_id", "idx")
+
+  private val t10Sql =
+    s"""SELECT doc_id, idx, val FROM (
+       |  SELECT doc_id,
+       |    CAST(${hash60Sql("tok")} % $FeatDim AS INTEGER) AS idx,
+       |    CAST(sum(CASE WHEN ${hash60Sql("'sgn:' || tok")} % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS val
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |        FROM documents)
+       |  GROUP BY doc_id, idx)
+       |WHERE val <> 0
+       |ORDER BY doc_id, idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_feature_hash" -> t10FeatureHash _,
     "t1_text_stats"  -> t1TextStats _,
     "t2_lang_id"     -> t2LangId _,
     "t3_fingerprint" -> t3Fingerprint _,
@@ -393,6 +429,7 @@ object TextOps {
     "t9_tfidf"              -> t9Tfidf _)
 
   val oracles: Map[String, String] = Map(
+    "t10_feature_hash" -> t10Sql,
     "t1_text_stats"  -> t1Sql,
     "t2_lang_id"     -> t2Sql,
     "t3_fingerprint" -> t3Sql,
