@@ -138,8 +138,12 @@ object ScaleProbe {
       println(f"""[docs-probe] $name rows=$rows sec=$sec%.1f shuffle_mb=${(shuffleTotal.get() - before) / 1e6}%.1f""")
       (name, sec, rows)
     }
+    // round-4 additions ride along: decontamination (eval docs are ids
+    // % 100 = 0, and every id = 1 mod 100 is a near-clone of one — real
+    // shared-shingle work), feature hashing, and the c1 composite
     val results = Seq("d3_minhash_pairs", "d7_simhash_pairs", "d9_dedup_groups",
-      "t8_gopher_repetition", "t9_tfidf").map(time)
+      "t8_gopher_repetition", "t9_tfidf",
+      "d10_decontaminate", "t10_feature_hash", "c1_curation_pipeline").map(time)
     val parts = results.map { case (nm, sec, rows) => s""""$nm":{"sec":$sec,"rows":$rows}""" }
     println(s"""{"probe":"docs_scale","n":$n,"shuffle_total_mb":${shuffleTotal.get() / 1e6},${parts.mkString(",")}}""")
   }
