@@ -12,17 +12,19 @@ import graft.Tables
   * verdicts and the final keep bit, so any exclusion is attributable — the
   * auditability property a published training set needs.
   *
-  * Scale shape: all four stages are the already-proven shapes — per-row
-  * codegen scoring, one hash-groupBy for the keeper, a broadcast semi-match
-  * for contamination, a stateless hash sample — composed in ONE declarative
-  * plan; Catalyst shares the documents scan across branches and nothing new
-  * shuffles beyond the component operators.
+  * Scale shape: every per-ROW stage (quality score, exact-dup fingerprint,
+  * sample bucket, eval membership) fuses into ONE codegen projection over a
+  * single documents scan; the only extra passes are the ones that
+  * structurally need different row grain — the keeper groupBy on the
+  * fingerprint and the shingle explode for contamination (whose eval side
+  * broadcasts). Nothing shuffles beyond the component operators.
   */
 object CurationOps {
 
   private def c1Curate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val quality = docs
+    // one per-row pass: all row-grain stage verdicts from the same scan
+    val base = docs
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .withColumn("n_tokens", size(col("toks")).cast(DoubleType))
       .withColumn("punct_ratio",
@@ -34,27 +36,24 @@ object CurationOps {
         least(col("n_tokens") / 100, lit(1.0)) * 0.4 +
           (lit(1.0) - col("punct_ratio")) * 0.3 +
           least(col("stop_hits") / 10, lit(1.0)) * 0.3)
-      .select(col("doc_id"), (col("quality") >= 0.5).as("q_pass"))
-    val fps = docs
-      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
-      .select("doc_id", "fp")
-    val keepers = fps.groupBy("fp").agg(min("doc_id").as("keeper_id"))
-    val isKeeper = fps.join(keepers, "fp")
-      .select(col("doc_id"), (col("doc_id") === col("keeper_id")).as("is_keeper"))
+      .select(col("doc_id"),
+        (col("quality") >= 0.5).as("q_pass"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
+        (TextOps.hash60(concat(lit("c1:"), col("doc_id").cast(StringType))) % 100 < 50)
+          .as("sampled"),
+        (col("doc_id") % 100 === 0).as("is_eval"))
+    val keepers = base.groupBy("fp").agg(min("doc_id").as("keeper_id"))
     val evalSh = Dedup.tokenShingles(docs.where(col("doc_id") % 100 === 0))
       .select("sh").distinct()
     val contaminated = Dedup.tokenShingles(docs.where(col("doc_id") % 100 =!= 0))
       .join(broadcast(evalSh), "sh")
       .select("doc_id").distinct()
       .withColumn("contam", lit(true))
-    docs.select("doc_id")
-      .join(quality, "doc_id")
-      .join(isKeeper, "doc_id")
+    base
+      .join(keepers, "fp")
       .join(contaminated, Seq("doc_id"), "left")
-      .withColumn("is_eval", col("doc_id") % 100 === 0)
+      .withColumn("is_keeper", col("doc_id") === col("keeper_id"))
       .withColumn("clean", coalesce(col("contam"), lit(false)) === false)
-      .withColumn("sampled",
-        TextOps.hash60(concat(lit("c1:"), col("doc_id").cast(StringType))) % 100 < 50)
       .withColumn("kept",
         col("q_pass") && col("is_keeper") && col("clean") && col("sampled") && !col("is_eval"))
       .select("doc_id", "q_pass", "is_keeper", "clean", "sampled", "is_eval", "kept")

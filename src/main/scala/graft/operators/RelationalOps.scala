@@ -125,6 +125,39 @@ object RelationalOps {
       |LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q6 — returned-item revenue per customer (TPC-H Q10 shape): selective
+  // fact filter (returnflag = 'R' pushed to the scan) -> two fact-sized
+  // equi-joins -> broadcast nation -> grouped revenue -> top-20 via
+  // TakeOrderedAndProject. The customer grouping key is high-cardinality
+  // (unlike q2's 25 nations), so the aggregate genuinely shuffles on
+  // c_custkey — the "who to contact about returns" operational query.
+  private def q6ReturnedRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum2(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q6Sql =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // q5 — snowflake dimension rollup (supplier -> nation -> region): the
   // two-level broadcast dim chain; completes scan coverage of every harness
   // table. Distinct-count + money sum per region.
@@ -571,6 +604,7 @@ object RelationalOps {
     "q2_revenue_by_nation" -> q2RevenueByNation _,
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q5_region_rollup"     -> q5RegionRollup _,
+    "q6_returned_revenue"  -> q6ReturnedRevenue _,
     "j9_asof_join"         -> j9AsofJoin _,
     "s10_date_sequence"    -> s10DateSequence _,
     "p1_between_filter"    -> p1BetweenFilter _,
@@ -597,6 +631,7 @@ object RelationalOps {
     "q2_revenue_by_nation" -> q2Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_region_rollup"     -> q5Sql,
+    "q6_returned_revenue"  -> q6Sql,
     "j9_asof_join"         -> j9Sql,
     "s10_date_sequence"    -> s10Sql,
     "p1_between_filter"    -> p1Sql,

@@ -182,8 +182,63 @@ object StreamingOps {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // r3 — ordered funnel analysis (view -> click -> purchase): each stage's
+  // entry time is the user's FIRST qualifying event strictly AFTER the
+  // previous stage — the sequence-matching shape behavioral analytics runs
+  // over event streams. Each stage is a selective scan-filter + per-user
+  // min-aggregate joined to the previous stage's (tiny, <=|users|) frame:
+  // the events table streams through three filtered passes and only
+  // user-sized frames ever join or shuffle. Output is the per-user ledger
+  // with the furthest stage reached (0-3).
+  private def r3Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    ev.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0).cast(IntegerType))
+      .select("user_id", "t_view", "t_click", "t_purchase", "stage")
+      .orderBy("user_id")
+  }
+
+  private val r3Sql =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+      |)
+      |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+      |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+      |       WHEN c.user_id IS NOT NULL THEN 2
+      |       WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage
+      |FROM (SELECT DISTINCT user_id FROM events) u
+      |LEFT JOIN v USING (user_id)
+      |LEFT JOIN c USING (user_id)
+      |LEFT JOIN p USING (user_id)
+      |ORDER BY u.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st4_stream_dedup"    -> st4DedupTwin _,
+    "r3_funnel"           -> r3Funnel _,
     "st1_tumbling_window" -> st1Tumbling _,
     "st2_sliding_window"  -> st2Sliding _,
     "st3_session_window"  -> st3Sessions _,
@@ -192,6 +247,7 @@ object StreamingOps {
 
   val oracles: Map[String, String] = Map(
     "st4_stream_dedup"    -> st4Sql,
+    "r3_funnel"           -> r3Sql,
     "st1_tumbling_window" -> st1Sql,
     "st2_sliding_window"  -> st2Sql,
     "st3_session_window"  -> st3Sql,
