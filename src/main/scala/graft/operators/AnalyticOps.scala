@@ -562,9 +562,128 @@ object AnalyticOps {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, ts, event_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // a13 — quantiles from a deterministic hash-sample, next to the exact
+  // answer: mergeable quantile sketches (GK, t-digest, KLL) have
+  // engine-private layouts no oracle can check, so the PORTABLE scale path
+  // for "p90 of 100 TB" is a fixed-rate hash sample (reproducible on any
+  // cluster size, no RNG) + exact quantiles over the sample. The query
+  // reports sampled vs exact per event_type with the absolute error —
+  // the accuracy/cost trade made visible and hash-checked. At scale the
+  // sample predicate runs inside the scan and only the sample shuffles.
+  private val QSampleRate = 4 // keep 1-in-4
+
+  private def a13SampledQuantiles(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val sampled = ev.where(
+        pmod(TextOps.hash60(concat(lit("q:"), col("event_id").cast(StringType))), lit(QSampleRate)) === 0)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("s_p50"),
+        expr("percentile(value, 0.9)").as("s_p90"),
+        count(lit(1)).as("n_sample"))
+    val exact = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("e_p50"),
+        expr("percentile(value, 0.9)").as("e_p90"),
+        count(lit(1)).as("n_full"))
+    exact.join(sampled, "event_type")
+      .select(col("event_type"), col("n_full"), col("n_sample"),
+        round(col("e_p50"), 6).as("e_p50_r"), round(col("s_p50"), 6).as("s_p50_r"),
+        round(abs(col("s_p50") - col("e_p50")), 6).as("p50_err_r"),
+        round(col("e_p90"), 6).as("e_p90_r"), round(col("s_p90"), 6).as("s_p90_r"),
+        round(abs(col("s_p90") - col("e_p90")), 6).as("p90_err_r"))
+      .orderBy("event_type")
+  }
+
+  private val a13Sql =
+    s"""WITH sampled AS (
+       |  SELECT event_type, quantile_cont(value, 0.5) AS s_p50,
+       |    quantile_cont(value, 0.9) AS s_p90, count(*) AS n_sample
+       |  FROM events
+       |  WHERE CAST(('0x' || substr(md5('q:' || CAST(event_id AS VARCHAR)),1,15)) AS BIGINT) % $QSampleRate = 0
+       |  GROUP BY event_type
+       |), exact AS (
+       |  SELECT event_type, quantile_cont(value, 0.5) AS e_p50,
+       |    quantile_cont(value, 0.9) AS e_p90, count(*) AS n_full
+       |  FROM events GROUP BY event_type
+       |)
+       |SELECT event_type, n_full, n_sample,
+       |  round(e_p50, 6) AS e_p50_r, round(s_p50, 6) AS s_p50_r,
+       |  round(abs(s_p50 - e_p50), 6) AS p50_err_r,
+       |  round(e_p90, 6) AS e_p90_r, round(s_p90, 6) AS s_p90_r,
+       |  round(abs(s_p90 - e_p90), 6) AS p90_err_r
+       |FROM exact JOIN sampled USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // a14 — HLL MERGEABILITY proven in-plan: the property that makes HLL the
+  // production distinct counter is that shard sketches combine losslessly
+  // (register-wise max). The query builds per-shard sketches (shard =
+  // l_orderkey % 4 — think per-day or per-datacenter sketches at 100 TB),
+  // merges them via max per register, builds the direct global sketch, and
+  // emits both estimates plus their equality bit — max-of-max = global max,
+  // so merged_equals_direct is the oracle-checked invariant. Only
+  // register-sized state (shards x 256 ints) ever moves.
+  private def a14HllMerge(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val hashed = li.select(col("l_orderkey"),
+        TextOps.hash60(col("l_orderkey").cast(StringType)).as("h"))
+      .withColumn("shard", (col("l_orderkey") % 4).cast(IntegerType))
+      .withColumn("bucket", (col("h") % HllM).cast(IntegerType))
+      .withColumn("w", expr(s"h div $HllM"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(53)).otherwise(lit(53) - length(bin(col("w")))))
+    val shardRegs = hashed.groupBy("shard", "bucket").agg(max(col("rho")).as("maxrho"))
+    val mergedRegs = shardRegs.groupBy("bucket").agg(max(col("maxrho")).as("maxrho"))
+    val directRegs = hashed.groupBy("bucket").agg(max(col("rho")).as("maxrho"))
+    def estimate(regs: DataFrame): DataFrame = {
+      val spine = s.range(HllM).select(col("id").cast(IntegerType).as("bucket"))
+      spine.join(regs, Seq("bucket"), "left")
+        .withColumn("term", expr("shiftleft(CAST(1 AS BIGINT), 53 - coalesce(maxrho, 0))"))
+        .agg(sum(col("term")).as("s"))
+        .select(expr(
+          s"0.7213e0 / (1.0e0 + 1.079e0 / ${HllM}e0) * ${HllM}e0 * ${HllM}e0 * 9007199254740992e0 / CAST(s AS DOUBLE)")
+          .as("est"))
+    }
+    val exact = li.agg(countDistinct(col("l_orderkey")).as("true_n"))
+    estimate(mergedRegs).select(round(col("est"), 2).as("est_merged_n"))
+      .crossJoin(estimate(directRegs).select(round(col("est"), 2).as("est_direct_n")))
+      .crossJoin(exact)
+      .withColumn("merged_equals_direct", col("est_merged_n") === col("est_direct_n"))
+      .select("est_merged_n", "est_direct_n", "merged_equals_direct", "true_n")
+  }
+
+  private val a14Sql =
+    s"""WITH hashed AS (
+       |  SELECT l_orderkey % 4 AS shard, h % $HllM AS bucket,
+       |    CASE WHEN h // $HllM = 0 THEN 53 ELSE 53 - length(bin(h // $HllM)) END AS rho
+       |  FROM (SELECT l_orderkey,
+       |          CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),1,15)) AS BIGINT) AS h
+       |        FROM lineitem)
+       |), shard_regs AS (
+       |  SELECT shard, bucket, max(rho) AS maxrho FROM hashed GROUP BY shard, bucket
+       |), merged_regs AS (
+       |  SELECT bucket, max(maxrho) AS maxrho FROM shard_regs GROUP BY bucket
+       |), direct_regs AS (
+       |  SELECT bucket, max(rho) AS maxrho FROM hashed GROUP BY bucket
+       |), spine AS (SELECT r.range AS bucket FROM range($HllM) r),
+       |est_merged AS (
+       |  SELECT round(0.7213e0 / (1.0e0 + 1.079e0 / ${HllM}e0) * ${HllM}e0 * ${HllM}e0 * 9007199254740992e0
+       |    / CAST(sum((CAST(1 AS BIGINT) << (53 - coalesce(maxrho, 0))))::BIGINT AS DOUBLE), 2) AS est_merged_n
+       |  FROM spine LEFT JOIN merged_regs USING (bucket)
+       |), est_direct AS (
+       |  SELECT round(0.7213e0 / (1.0e0 + 1.079e0 / ${HllM}e0) * ${HllM}e0 * ${HllM}e0 * 9007199254740992e0
+       |    / CAST(sum((CAST(1 AS BIGINT) << (53 - coalesce(maxrho, 0))))::BIGINT AS DOUBLE), 2) AS est_direct_n
+       |  FROM spine LEFT JOIN direct_regs USING (bucket)
+       |), exact AS (SELECT count(DISTINCT l_orderkey) AS true_n FROM lineitem)
+       |SELECT est_merged_n, est_direct_n,
+       |  est_merged_n = est_direct_n AS merged_equals_direct, true_n
+       |FROM est_merged, est_direct, exact""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u6_rollup"        -> u6Rollup _,
     "o7_range_frames"  -> o7RangeFrames _,
+    "a13_sampled_quantiles" -> a13SampledQuantiles _,
+    "a14_hll_merge"    -> a14HllMerge _,
     "u7_grouping_sets" -> u7GroupingSets _,
     "o5_window_frames" -> o5WindowFrames _,
     "o6_rank_battery"  -> o6RankBattery _,
@@ -580,6 +699,8 @@ object AnalyticOps {
   val oracles: Map[String, String] = Map(
     "u6_rollup"        -> u6Sql,
     "o7_range_frames"  -> o7Sql,
+    "a13_sampled_quantiles" -> a13Sql,
+    "a14_hll_merge"    -> a14Sql,
     "u7_grouping_sets" -> u7Sql,
     "o5_window_frames" -> o5Sql,
     "o6_rank_battery"  -> o6Sql,

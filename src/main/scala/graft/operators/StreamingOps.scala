@@ -236,8 +236,38 @@ object StreamingOps {
       |LEFT JOIN p USING (user_id)
       |ORDER BY u.user_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // st5 — stream-stream interval-join batch twin: the batch execution of
+  // [[graft.streaming.StreamOps.clickToPurchase]] (clicks joined to the same
+  // user's purchases within the following hour). In the stream both sides
+  // carry watermarks and the event-time condition bounds state; in batch the
+  // identical plan is an equi-join on user_id with the interval as a join
+  // filter — the per-user shuffle is the only data movement. Value sums
+  // aggregate per user through DECIMAL for the hash compare.
+  private def st5IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val joined = graft.streaming.StreamOps.clickToPurchase(Tables.events(s, d))
+    joined.groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("click_ts")).as("first_click"),
+        max(col("purchase_ts")).as("last_purchase"),
+        dsum(col("purchase_value")).as("purchase_sum"))
+      .orderBy("user_id")
+  }
+
+  private val st5Sql =
+    """SELECT c.user_id, count(*) AS n_pairs,
+      |  min(c.ts) AS first_click, max(p.ts) AS last_purchase,
+      |  CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_sum
+      |FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |GROUP BY c.user_id
+      |ORDER BY c.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st4_stream_dedup"    -> st4DedupTwin _,
+    "st5_interval_join"   -> st5IntervalJoin _,
     "r3_funnel"           -> r3Funnel _,
     "st1_tumbling_window" -> st1Tumbling _,
     "st2_sliding_window"  -> st2Sliding _,
@@ -247,6 +277,7 @@ object StreamingOps {
 
   val oracles: Map[String, String] = Map(
     "st4_stream_dedup"    -> st4Sql,
+    "st5_interval_join"   -> st5Sql,
     "r3_funnel"           -> r3Sql,
     "st1_tumbling_window" -> st1Sql,
     "st2_sliding_window"  -> st2Sql,
