@@ -23,6 +23,7 @@ object SparkEntry {
       (operators.StreamingOps.queries, operators.StreamingOps.oracles),
       (operators.AnalyticOps.queries, operators.AnalyticOps.oracles),
       (operators.CurationOps.queries, operators.CurationOps.oracles),
+      (operators.GraphOps.queries, operators.GraphOps.oracles),
       (operators.GeoPipelineOps.queries, operators.GeoPipelineOps.oracles)
     )
 

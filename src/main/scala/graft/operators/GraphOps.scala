@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics beyond connected components (d9): PageRank over the
+  * customer-supplier transaction graph — the link-analysis quality signal a
+  * web-corpus curation pipeline computes (rank-weighted sampling, spam
+  * down-weighting) expressed as iterative joins.
+  *
+  * n1 — FIXED-POINT PageRank (damping 0.85, 3 unrolled iterations): ranks
+  * are BIGINTs scaled by 10^12, per-node shares use integer division and
+  * the damping/teleport terms are (x * 85) div 100-style integer ops — so
+  * the whole iteration is float-free and bit-identical in any engine (a
+  * float PageRank's per-node contribution sums are order-dependent and
+  * could never hash-match; truncation loss is deterministic and identical
+  * on both sides). The bipartite customer<->supplier edges are bidirected,
+  * so every node has out-degree > 0 and no dangling-mass redistribution
+  * pass is needed.
+  *
+  * Scale shape: per iteration, ranks join the (src-partitioned) edge list
+  * and aggregate by dst — the standard distributed PageRank round (one
+  * shuffle per iteration on the edge key). Edges and degrees are computed
+  * once and cached; iterations are unrolled in ONE declarative plan (3
+  * rounds; a production run would localCheckpoint per round like d9/e1 —
+  * at 3 rounds the lineage is bounded and a checkpoint would only add
+  * actions).
+  */
+object GraphOps {
+
+  private val Scale = 1000000000000L // 10^12 fixed-point
+  private val Iters = 3
+
+  private def n1PageRank(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    // teleport base (1-d)/N and the initial rank 1/N, both pre-scaled
+    val nodesN = nodes.crossJoin(broadcast(nn)).cache()
+    var r = nodesN.select(col("node"), expr(s"$Scale div n").as("r"))
+    for (_ <- 1 to Iters) {
+      val shares = r.join(deg, r("node") === deg("src"))
+        .select(col("src"), expr("r div outdeg").as("share"))
+      val contrib = shares.join(edges, "src")
+        .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
+      r = nodesN
+        .join(contrib, nodesN("node") === contrib("dst"), "left")
+        .select(col("node"),
+          expr(s"(($Scale div n) * 15) div 100 + (85 * coalesce(contrib, 0)) div 100").as("r"))
+    }
+    r.orderBy(col("r").desc, col("node"))
+      .limit(20)
+      .select(col("node"), col("r").as("rank_fp"),
+        round(col("r").cast("double") / Scale, 8).as("rank_r"))
+  }
+
+  private val n1Sql = {
+    val iters = (1 to Iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""s$i AS (
+         |  SELECT $prev.node AS src, $prev.r // deg.outdeg AS share
+         |  FROM $prev JOIN deg ON $prev.node = deg.src
+         |), c$i AS (
+         |  SELECT e.dst AS node, CAST(sum(s$i.share) AS BIGINT) AS contrib
+         |  FROM s$i JOIN edges e ON s$i.src = e.src GROUP BY e.dst
+         |), r$i AS (
+         |  SELECT nodes.node,
+         |    (($Scale // n) * 15) // 100 + (85 * coalesce(c$i.contrib, 0)) // 100 AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.node = nodes.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+       |    's:' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), edges AS (
+       |  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+       |), deg AS (
+       |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+       |), nodes AS (
+       |  SELECT DISTINCT src AS node FROM edges
+       |), nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, $Scale // n AS r FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT node, r AS rank_fp, round(CAST(r AS DOUBLE) / $Scale, 8) AS rank_r
+       |FROM r$Iters
+       |ORDER BY r DESC, node
+       |LIMIT 20""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n1_pagerank" -> n1PageRank _)
+
+  val oracles: Map[String, String] = Map(
+    "n1_pagerank" -> n1Sql)
+}

@@ -120,6 +120,22 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("n1 fixed-point PageRank ranks supplier hubs above customers and conserves mass") {
+    val rows = GraphOps.queries("n1_pagerank")(spark, sf).collect()
+    assert(rows.length === 20)
+    // suppliers aggregate many customers' rank in a bipartite transaction
+    // graph — the top node must be a supplier hub
+    assert(rows.head.getAs[String]("node").startsWith("s:"))
+    // fixed-point ranks are positive and bounded by the scaled total mass
+    rows.foreach { r =>
+      val fp = r.getAs[Long]("rank_fp")
+      assert(fp > 0 && fp < 1000000000000L)
+    }
+    // deterministic: a second evaluation is bit-identical
+    val again = GraphOps.queries("n1_pagerank")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("ArtifactCache memoizes per (session, dir) and invalidate forces a rebuild") {
     var builds = 0
     def build = { builds += 1; spark.range(3).toDF("x") }
