@@ -462,11 +462,17 @@ object AnalyticOps {
     // so no distinct pass), assembled into a dense BloomWords-long array —
     // the broadcast structure is 8 KB regardless of build-side size, and
     // each probe is one O(1) element_at + bit test (a sorted-array
-    // `array_contains` is a linear scan per probe — quadratic in disguise)
-    val positions = urgent.select(explode(expr(
-        s"transform(sequence(0, ${BloomK - 1}), i -> " +
-          s"graft_hash60(concat('bloom', CAST(i AS STRING), ':', CAST(key AS STRING))) % $BloomBits)"))
-        .as("pos"))
+    // `array_contains` is a linear scan per probe — quadratic in disguise).
+    // The k positions derive from ONE md5 per key via double hashing
+    // (Kirsch & Mitzenmacher 2006: pos_i = h1 + i*h2, asymptotically the
+    // same false-positive rate as k independent hashes) — md5 is the probe
+    // path's dominant cost, so k=3 independent hashes would triple it.
+    val positions = urgent
+      .select(expr("graft_hash60(CAST(key AS STRING))").as("h"))
+      .select(expr(s"h % $BloomBits").as("h1"),
+        expr(s"((h div $BloomBits) % $BloomBits) * 2 + 1").as("h2"))
+      .select(explode(expr(
+        s"transform(sequence(0, ${BloomK - 1}), i -> (h1 + i * h2) % $BloomBits)")).as("pos"))
     val words = positions
       .groupBy(expr("CAST(pos div 63 AS INT)").as("w"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)))").as("mask"))
@@ -475,9 +481,11 @@ object AnalyticOps {
       .select(expr(s"transform(sequence(0, ${BloomWords - 1}), " +
         "i -> coalesce(element_at(m, i), CAST(0 AS BIGINT)))").as("bits"))
     val withPos = (0 until BloomK).foldLeft(
-        Tables.lineitem(s, d).select(col("l_orderkey")).crossJoin(broadcast(bits))) {
-      (df, i) => df.withColumn(s"pos$i",
-        expr(s"graft_hash60(concat('bloom$i:', CAST(l_orderkey AS STRING))) % $BloomBits"))
+        Tables.lineitem(s, d).select(col("l_orderkey")).crossJoin(broadcast(bits))
+          .withColumn("h", expr("graft_hash60(CAST(l_orderkey AS STRING))"))
+          .withColumn("h1", expr(s"h % $BloomBits"))
+          .withColumn("h2", expr(s"((h div $BloomBits) % $BloomBits) * 2 + 1"))) {
+      (df, i) => df.withColumn(s"pos$i", expr(s"(h1 + $i * h2) % $BloomBits"))
     }
     val probed = withPos
       .withColumn("cand", (0 until BloomK).map(i =>
@@ -499,8 +507,10 @@ object AnalyticOps {
     s"""WITH urgent AS (
        |  SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
        |), positions AS (
-       |  SELECT CAST(('0x' || substr(md5('bloom' || CAST(i.range AS VARCHAR) || ':' || CAST(key AS VARCHAR)),1,15)) AS BIGINT) % $BloomBits AS pos
-       |  FROM urgent, range($BloomK) i
+       |  SELECT (h1 + i.range * h2) % $BloomBits AS pos
+       |  FROM (SELECT h % $BloomBits AS h1, ((h // $BloomBits) % $BloomBits) * 2 + 1 AS h2
+       |        FROM (SELECT CAST(('0x' || substr(md5(CAST(key AS VARCHAR)),1,15)) AS BIGINT) AS h
+       |              FROM urgent)), range($BloomK) i
        |), words AS (
        |  SELECT CAST(pos // 63 AS INT) AS w,
        |    bit_or((CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)))::BIGINT AS mask
@@ -509,11 +519,14 @@ object AnalyticOps {
        |  SELECT list(coalesce(mask, 0) ORDER BY r.range) AS bits
        |  FROM range($BloomWords) r LEFT JOIN words ON words.w = r.range
        |), probe_pos AS (
-       |  SELECT l.l_orderkey,
-       |    ${(0 until BloomK).map(i =>
-             s"CAST(('0x' || substr(md5('bloom$i:' || CAST(l.l_orderkey AS VARCHAR)),1,15)) AS BIGINT) % $BloomBits AS pos$i")
+       |  SELECT l_orderkey,
+       |    ${(0 until BloomK).map(i => s"(h1 + $i * h2) % $BloomBits AS pos$i")
              .mkString(",\n       |    ")}
-       |  FROM lineitem l
+       |  FROM (SELECT l_orderkey, h % $BloomBits AS h1,
+       |          ((h // $BloomBits) % $BloomBits) * 2 + 1 AS h2
+       |        FROM (SELECT l_orderkey,
+       |                CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),1,15)) AS BIGINT) AS h
+       |              FROM lineitem))
        |), probed AS (
        |  SELECT p.l_orderkey,
        |    ${(0 until BloomK).map(i =>
@@ -625,6 +638,8 @@ object AnalyticOps {
   // register-sized state (shards x 256 ints) ever moves.
   private def a14HllMerge(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
+    // cached: the shard-sketch and direct-sketch branches share ONE hashing
+    // pass instead of scanning + md5-ing the fact twice
     val hashed = li.select(col("l_orderkey"),
         TextOps.hash60(col("l_orderkey").cast(StringType)).as("h"))
       .withColumn("shard", (col("l_orderkey") % 4).cast(IntegerType))
@@ -632,6 +647,7 @@ object AnalyticOps {
       .withColumn("w", expr(s"h div $HllM"))
       .withColumn("rho",
         when(col("w") === 0, lit(53)).otherwise(lit(53) - length(bin(col("w")))))
+      .cache()
     val shardRegs = hashed.groupBy("shard", "bucket").agg(max(col("rho")).as("maxrho"))
     val mergedRegs = shardRegs.groupBy("bucket").agg(max(col("maxrho")).as("maxrho"))
     val directRegs = hashed.groupBy("bucket").agg(max(col("rho")).as("maxrho"))

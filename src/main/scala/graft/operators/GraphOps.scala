@@ -19,13 +19,15 @@ import graft.Tables
   * so every node has out-degree > 0 and no dangling-mass redistribution
   * pass is needed.
   *
-  * Scale shape: per iteration, ranks join the (src-partitioned) edge list
-  * and aggregate by dst — the standard distributed PageRank round (one
-  * shuffle per iteration on the edge key). Edges and degrees are computed
-  * once and cached; iterations are unrolled in ONE declarative plan (3
-  * rounds; a production run would localCheckpoint per round like d9/e1 —
-  * at 3 rounds the lineage is bounded and a checkpoint would only add
-  * actions).
+  * Scale shape: the EDGE list is the fact (it scans once per iteration,
+  * cached) and the rank/degree frames are node-sized — in a transaction
+  * bipartite graph |nodes| ~ sqrt(|edges|), so the per-iteration rank frame
+  * BROADCASTS against the edge scan and the only shuffle per round is the
+  * map-side-combined groupBy(dst). (For a web-scale graph whose node set
+  * outgrows broadcast, the same plan degrades gracefully: drop the
+  * broadcast hints and each round becomes the classic shuffle join on the
+  * edge key, plus per-round localCheckpoint like d9/e1.) Edges and degrees
+  * are computed once; iterations unroll in ONE declarative plan.
   */
 object GraphOps {
 
@@ -38,22 +40,26 @@ object GraphOps {
       .select(concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
         concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
       .distinct()
+    // the c:/s: namespaces are disjoint, so the union of two distinct sets
+    // is already distinct — no second dedup shuffle
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val nodes = edges.select(col("src").as("node")).distinct()
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    // teleport base (1-d)/N and the initial rank 1/N, both pre-scaled
-    val nodesN = nodes.crossJoin(broadcast(nn)).cache()
-    var r = nodesN.select(col("node"), expr(s"$Scale div n").as("r"))
+      .cache()
+    // one static node-level frame carries degree AND graph size, so each
+    // iteration is exactly two broadcasts (shares out, contributions back)
+    // around the round's single map-side-combined shuffle
+    val nodesDeg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+      .crossJoin(broadcast(edges.select(col("src")).distinct().agg(count(lit(1)).as("n"))))
+      .cache()
+    var r = nodesDeg.select(col("node"), col("outdeg"), col("n"),
+      expr(s"$Scale div n").as("r"))
     for (_ <- 1 to Iters) {
-      val shares = r.join(deg, r("node") === deg("src"))
-        .select(col("src"), expr("r div outdeg").as("share"))
-      val contrib = shares.join(edges, "src")
+      val shares = r.select(col("node").as("src"), expr("r div outdeg").as("share"))
+      val contrib = edges.join(broadcast(shares), "src")
         .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
-      r = nodesN
-        .join(contrib, nodesN("node") === contrib("dst"), "left")
-        .select(col("node"),
+      r = nodesDeg
+        .join(broadcast(contrib), nodesDeg("node") === contrib("dst"), "left")
+        .select(col("node"), col("outdeg"), col("n"),
           expr(s"(($Scale div n) * 15) div 100 + (85 * coalesce(contrib, 0)) div 100").as("r"))
     }
     r.orderBy(col("r").desc, col("node"))
