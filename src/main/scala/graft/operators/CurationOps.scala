@@ -43,9 +43,10 @@ object CurationOps {
           .as("sampled"),
         (col("doc_id") % 100 === 0).as("is_eval"))
     val keepers = base.groupBy("fp").agg(min("doc_id").as("keeper_id"))
-    val evalSh = Dedup.tokenShingles(docs.where(col("doc_id") % 100 === 0))
-      .select("sh").distinct()
-    val contaminated = Dedup.tokenShingles(docs.where(col("doc_id") % 100 =!= 0))
+    // one cached shingle pass feeds both contamination sides, like d10
+    val sh = Dedup.tokenShingles(docs).cache()
+    val evalSh = sh.where(col("doc_id") % 100 === 0).select("sh").distinct()
+    val contaminated = sh.where(col("doc_id") % 100 =!= 0)
       .join(broadcast(evalSh), "sh")
       .select("doc_id").distinct()
       .withColumn("contam", lit(true))

@@ -566,10 +566,12 @@ object Dedup {
           s"i -> md5(array_join(slice(toks, i, $DecontamN), ' ')))")).as("sh"))
 
   private def d10Decontaminate(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val evalSh = tokenShingles(docs.where(col("doc_id") % 100 === 0))
-      .select(col("sh")).distinct()
-    val train = tokenShingles(docs.where(col("doc_id") % 100 =!= 0))
+    // ONE shingle-hash pass (cached) feeds both sides — the md5-per-shingle
+    // explode is the query's dominant cost, and the eval/train split is a
+    // cheap filter over it (mirrors the oracle's single sh CTE)
+    val sh = tokenShingles(Tables.documents(s, d)).cache()
+    val evalSh = sh.where(col("doc_id") % 100 === 0).select(col("sh")).distinct()
+    val train = sh.where(col("doc_id") % 100 =!= 0)
     train.join(broadcast(evalSh), "sh")
       .groupBy("doc_id")
       .agg(countDistinct(col("sh")).as("n_shared"))

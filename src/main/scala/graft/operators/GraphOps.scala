@@ -41,9 +41,12 @@ object GraphOps {
         concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
       .distinct()
     // the c:/s: namespaces are disjoint, so the union of two distinct sets
-    // is already distinct — no second dedup shuffle
+    // is already distinct — no second dedup shuffle. The cached edge frame
+    // coalesces to a few fat partitions: each iteration re-scans it, and at
+    // this row count per-task scheduling would otherwise dominate the round
+    // (at web scale the partition count follows the edge volume instead).
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .cache()
+      .coalesce(8).cache()
     // one static node-level frame carries degree AND graph size, so each
     // iteration is exactly two broadcasts (shares out, contributions back)
     // around the round's single map-side-combined shuffle
