@@ -16,13 +16,22 @@ object Bench {
     // events read flips the nanos conf and compiles its own codegen)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     try graft.Tables.events(spark, sfDir).limit(1).count() catch { case _: Throwable => () }
-    // the d/t/s query families all scan documents/embeddings; cache the base
+    // every query family re-scans a handful of base tables; cache the base
     // scans once so per-query time measures the operator, not repeated IO
     // (at cluster scale the analogue is a shared in-memory/alluxio-cached
     // table; the DuckDB comparison reads the same OS-page-cached parquet).
-    // The policy is declared in the output JSON as "cached_tables".
-    try graft.Tables.documents(spark, sfDir).cache().count() catch { case _: Throwable => () }
-    try graft.Tables.embeddings(spark, sfDir).cache().count() catch { case _: Throwable => () }
+    // CacheManager rewrites any structurally-identical scan to the cached
+    // relation, so queries built through graft.Tables all benefit. The
+    // policy is declared in the output JSON as "cached_tables".
+    val cachedTables = Seq(
+      "documents" -> ((sf: String) => graft.Tables.documents(spark, sf)),
+      "embeddings" -> ((sf: String) => graft.Tables.embeddings(spark, sf)),
+      "lineitem" -> ((sf: String) => graft.Tables.lineitem(spark, sf)),
+      "orders" -> ((sf: String) => graft.Tables.orders(spark, sf)),
+      "events" -> ((sf: String) => graft.Tables.events(spark, sf)),
+      "customer" -> ((sf: String) => graft.Tables.customer(spark, sf)))
+    for ((_, load) <- cachedTables)
+      try load(sfDir).cache().count() catch { case _: Throwable => () }
     // calibration: a fixed 10M-row codegen aggregation, measured AFTER
     // warmup. Its idle-machine time is ~0.1 s and data-independent, so a
     // loaded/contended bench environment is detectable from the JSON alone
@@ -51,7 +60,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":$calib,"cached_tables":["documents","embeddings"]}""")
+    val cachedList = cachedTables.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":$calib,"cached_tables":$cachedList}""")
     spark.stop()
   }
 }

@@ -35,16 +35,21 @@ object GraphOps {
   private val Iters = 3
 
   private def n1PageRank(s: SparkSession, d: String): DataFrame = {
+    // Integer node ids (custkey*2 / suppkey*2+1) keep every iteration's
+    // hashing, shuffling and codegen on one BIGINT column; the c:/s: string
+    // labels only materialize in the final 20-row projection. The mapping is
+    // bijective, so pair cardinalities and degrees match the string-keyed
+    // oracle exactly.
     val pairs = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
-        concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    // the c:/s: namespaces are disjoint, so the union of two distinct sets
-    // is already distinct — no second dedup shuffle. The cached edge frame
-    // coalesces to a few fat partitions: each iteration re-scans it, and at
-    // this row count per-task scheduling would otherwise dominate the round
-    // (at web scale the partition count follows the edge volume instead).
+    // the customer/supplier id spaces are disjoint, so the union of two
+    // distinct sets is already distinct — no second dedup shuffle. The
+    // cached edge frame coalesces to a few fat partitions: each iteration
+    // re-scans it, and at this row count per-task scheduling would otherwise
+    // dominate the round (at web scale the partition count follows the edge
+    // volume instead).
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .coalesce(8).cache()
     // one static node-level frame carries degree AND graph size, so each
@@ -54,8 +59,16 @@ object GraphOps {
       .agg(count(lit(1)).as("outdeg"))
       .crossJoin(broadcast(edges.select(col("src")).distinct().agg(count(lit(1)).as("n"))))
       .cache()
+    // localCheckpoint flattens the node-sized rank frame (~|nodes| rows)
+    // each round, so every broadcast subplan stays one level deep instead of
+    // nesting all prior iterations — the unrolled-lineage variant spent most
+    // of its wall time in driver planning + Janino on the final plan. With
+    // r0 checkpointed too, all three rounds present the exact same physical
+    // shape (checkpoint scan -> cached-edge join -> agg -> cached-node join),
+    // so the generated code compiles once and later rounds hit the codegen
+    // source cache.
     var r = nodesDeg.select(col("node"), col("outdeg"), col("n"),
-      expr(s"$Scale div n").as("r"))
+      expr(s"$Scale div n").as("r")).localCheckpoint()
     for (_ <- 1 to Iters) {
       val shares = r.select(col("node").as("src"), expr("r div outdeg").as("share"))
       val contrib = edges.join(broadcast(shares), "src")
@@ -64,8 +77,12 @@ object GraphOps {
         .join(broadcast(contrib), nodesDeg("node") === contrib("dst"), "left")
         .select(col("node"), col("outdeg"), col("n"),
           expr(s"(($Scale div n) * 15) div 100 + (85 * coalesce(contrib, 0)) div 100").as("r"))
+        .localCheckpoint()
     }
-    r.orderBy(col("r").desc, col("node"))
+    val label = when(col("node") % 2 === 0, concat(lit("c:"), expr("node div 2").cast("string")))
+      .otherwise(concat(lit("s:"), expr("(node - 1) div 2").cast("string")))
+    r.select(label.as("node"), col("r"))
+      .orderBy(col("r").desc, col("node"))
       .limit(20)
       .select(col("node"), col("r").as("rank_fp"),
         round(col("r").cast("double") / Scale, 8).as("rank_r"))
