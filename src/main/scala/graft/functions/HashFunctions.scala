@@ -232,10 +232,18 @@ case class GramHashes(child: Expression) extends UnaryExpression with CodegenFal
 }
 
 /** `graft_hash60(string) -> long`: md5-prefix hash, JVM-native (no conv/BigInteger). */
-case class Hash60(child: Expression) extends UnaryExpression with CodegenFallback {
+case class Hash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     HashFunctions.hash60(input.asInstanceOf[UTF8String].getBytes)
+  // real codegen (a static call), not CodegenFallback: row-grain probes
+  // (bloom pruning, fingerprinting) sit inside hot projections, and a
+  // fallback expression would knock the whole stage out of codegen
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashFunctions.hash60($c.getBytes())")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -341,6 +349,77 @@ object SimHashAgg {
   val Width = 60
 }
 
+/** Bounded k-minimum-values collector: keeps the k smallest distinct-input
+  * longs per group in a size-capped max-heap and evals to the ascending
+  * array. This is the mergeable per-key KMV sketch a production pipeline
+  * maintains per domain/language/source: constant O(k) state per group,
+  * map-side partial aggregation, one shuffle — replacing the
+  * window-rank-per-group formulation whose sort degenerates to one fat
+  * partition per key. Inputs are assumed pre-deduplicated (KMV is defined
+  * over distinct hashes); duplicates would bias the estimator, so callers
+  * dedup first — exactly what the oracle's DISTINCT CTE does.
+  */
+case class KMinAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): java.util.PriorityQueue[java.lang.Long] =
+    new java.util.PriorityQueue[java.lang.Long](java.util.Collections.reverseOrder[java.lang.Long]())
+
+  private def offer(heap: java.util.PriorityQueue[java.lang.Long], h: Long): Unit =
+    if (heap.size < k) heap.offer(h)
+    else if (heap.peek() > h) { heap.poll(); heap.offer(h) }
+
+  override def update(heap: java.util.PriorityQueue[java.lang.Long], input: InternalRow): java.util.PriorityQueue[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) offer(heap, v.asInstanceOf[Long])
+    heap
+  }
+
+  override def merge(a: java.util.PriorityQueue[java.lang.Long], b: java.util.PriorityQueue[java.lang.Long]): java.util.PriorityQueue[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) offer(a, it.next())
+    a
+  }
+
+  override def eval(heap: java.util.PriorityQueue[java.lang.Long]): Any = {
+    val arr = new Array[Long](heap.size)
+    var i = 0
+    val it = heap.iterator()
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr)
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(heap: java.util.PriorityQueue[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * heap.size)
+    bb.putInt(heap.size)
+    val it = heap.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val heap = createAggregationBuffer()
+    var i = 0
+    while (i < n) { heap.offer(bb.getLong()); i += 1 }
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): KMinAgg = copy(child = c)
+}
+
 object HashRegistry {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -355,5 +434,7 @@ object HashRegistry {
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash_agg",
       exprs => SimHashAgg(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_kmin",
+      exprs => KMinAgg(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

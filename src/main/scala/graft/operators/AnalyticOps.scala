@@ -197,21 +197,25 @@ object AnalyticOps {
   // rank runs on already-deduped (flag, hash) rows. The estimator applies
   // the same full/unfull split as a9 per group.
   private def a10GroupedKmv(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-    val hashes = li.select(col("l_returnflag").as("flag"),
-        TextOps.hash60(col("l_orderkey").cast(StringType)).as("h"))
+    graft.functions.HashRegistry.register(s)
+    // ONE dedup shuffle on the raw key, then ONE grouped aggregation that
+    // carries both the KMV heap (graft_kmin: O(k) state, map-side partial)
+    // and the exact count — the window-rank formulation sorted every
+    // distinct hash inside 3 fat flag-partitions and re-scanned lineitem
+    // for the exact counts.
+    val dd = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_orderkey").as("okey"))
       .distinct()
-    val w = Window.partitionBy("flag").orderBy("h")
-    val kmin = hashes.withColumn("rn", row_number().over(w)).where(col("rn") <= KmvK)
+    val agg = dd
+      .select(col("flag"), TextOps.hash60(col("okey").cast(StringType)).as("h"))
+      .groupBy("flag")
+      .agg(expr(s"graft_kmin(h, $KmvK)").as("hs"), count(lit(1)).as("true_n"))
     val scaleNum = lit((KmvK - 1).toDouble) * lit(math.pow(2, 60))
-    val exact = li.groupBy(col("l_returnflag").as("flag"))
-      .agg(countDistinct(col("l_orderkey")).as("true_n"))
-    kmin.groupBy("flag")
-      .agg(count(lit(1)).as("k"), max(col("h")).as("hk"))
-      .join(exact, "flag")
+    agg
+      .withColumn("k", size(col("hs")).cast(LongType))
       .withColumn("est",
         when(col("k") < KmvK, col("k").cast(DoubleType))
-          .otherwise(scaleNum / col("hk").cast(DoubleType)))
+          .otherwise(scaleNum / element_at(col("hs"), size(col("hs"))).cast(DoubleType)))
       .select(col("flag"), col("k"), col("true_n"),
         round(col("est"), 2).as("est_n"),
         round((col("est") - col("true_n")) / col("true_n") * 100, 2).as("err_pct"))
