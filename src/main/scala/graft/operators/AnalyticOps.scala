@@ -153,7 +153,7 @@ object AnalyticOps {
   private def a9KmvDistinct(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val hashes = li
-      .select(TextOps.hash60(col("l_orderkey").cast(StringType)).as("h")).distinct()
+      .select(TextOps.hash60F(s, col("l_orderkey").cast(StringType)).as("h")).distinct()
     val kmin = hashes.orderBy("h").limit(KmvK)
     // (k-1) * 2^60 is exact in IEEE double (8-bit mantissa), so the whole
     // estimate is one exactly-reproducible division in both engines
@@ -207,7 +207,7 @@ object AnalyticOps {
       .select(col("l_returnflag").as("flag"), col("l_orderkey").as("okey"))
       .distinct()
     val agg = dd
-      .select(col("flag"), TextOps.hash60(col("okey").cast(StringType)).as("h"))
+      .select(col("flag"), TextOps.hash60F(s, col("okey").cast(StringType)).as("h"))
       .groupBy("flag")
       .agg(expr(s"graft_kmin(h, $KmvK)").as("hs"), count(lit(1)).as("true_n"))
     val scaleNum = lit((KmvK - 1).toDouble) * lit(math.pow(2, 60))
@@ -378,7 +378,7 @@ object AnalyticOps {
   private def a12HllDistinct(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val regs = li.select(col("l_returnflag").as("flag"),
-        TextOps.hash60(col("l_orderkey").cast(StringType)).as("h"))
+        TextOps.hash60F(s, col("l_orderkey").cast(StringType)).as("h"))
       .withColumn("bucket", (col("h") % HllM).cast(IntegerType))
       .withColumn("w", expr(s"h div $HllM"))
       .withColumn("rho",
@@ -593,7 +593,7 @@ object AnalyticOps {
   private def a13SampledQuantiles(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val sampled = ev.where(
-        pmod(TextOps.hash60(concat(lit("q:"), col("event_id").cast(StringType))), lit(QSampleRate)) === 0)
+        pmod(TextOps.hash60F(s, concat(lit("q:"), col("event_id").cast(StringType))), lit(QSampleRate)) === 0)
       .groupBy("event_type")
       .agg(expr("percentile(value, 0.5)").as("s_p50"),
         expr("percentile(value, 0.9)").as("s_p90"),
@@ -645,7 +645,7 @@ object AnalyticOps {
     // cached: the shard-sketch and direct-sketch branches share ONE hashing
     // pass instead of scanning + md5-ing the fact twice
     val hashed = li.select(col("l_orderkey"),
-        TextOps.hash60(col("l_orderkey").cast(StringType)).as("h"))
+        TextOps.hash60F(s, col("l_orderkey").cast(StringType)).as("h"))
       .withColumn("shard", (col("l_orderkey") % 4).cast(IntegerType))
       .withColumn("bucket", (col("h") % HllM).cast(IntegerType))
       .withColumn("w", expr(s"h div $HllM"))

@@ -39,7 +39,7 @@ object CurationOps {
       .select(col("doc_id"),
         (col("quality") >= 0.5).as("q_pass"),
         md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
-        (TextOps.hash60(concat(lit("c1:"), col("doc_id").cast(StringType))) % 100 < 50)
+        (TextOps.hash60F(s, concat(lit("c1:"), col("doc_id").cast(StringType))) % 100 < 50)
           .as("sampled"),
         (col("doc_id") % 100 === 0).as("is_eval"))
     val keepers = base.groupBy("fp").agg(min("doc_id").as("keeper_id"))

@@ -639,12 +639,18 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"))
     val c = e.select(col("vec_id").as("cid"), col("v").as("bd"), col("nrm").as("nb"))
     val wRel = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))
+    // 5 queries x 10 candidates. Populated EAGERLY: the unrolled k-step plan
+    // references this frame ~2k times (and sims below references it twice per
+    // step), so a lazily-cached version lets AQE's concurrent broadcast-build
+    // jobs race its first materialization and redo the 5 x n cosine scan —
+    // the same race the IVF ranking cache hit at 400x.
     val cand = broadcast(q).join(c, col("qid") =!= col("cid"))
       .withColumn("rel", cosCol)
       .withColumn("rk", row_number().over(wRel))
       .where(col("rk") <= MmrPool)
       .select("qid", "cid", "rel")
-      .cache() // 5 queries x 10 candidates
+      .cache()
+    cand.count()
     val a = cand.select(col("qid"), col("cid").as("cid_a"))
       .join(e.select(col("vec_id").as("cid_a"), col("v").as("ad"), col("nrm").as("na")), "cid_a")
     val b = cand.select(col("qid"), col("cid").as("cid_b"))
@@ -653,6 +659,7 @@ object Similarity {
       .withColumn("sim", cosCol)
       .select("qid", "cid_a", "cid_b", "sim")
       .cache()
+    sims.count() // eager for the same reason — every step's maxsim probes it
     val wScore = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     val sel1 = cand
       .withColumn("score", lit(MmrLambda) * col("rel"))
@@ -672,7 +679,14 @@ object Similarity {
         .withColumn("rn", row_number().over(wScore)).where(col("rn") === 1)
         .select(col("qid"), col("cid"), lit(step).as("step"), col("score"))
     }
-    val selAll = (2 to MmrK).foldLeft(sel1)((acc, st) => acc.union(nextStep(acc, st)))
+    // Each step materializes via localCheckpoint (k x 5 rows): without it the
+    // fold nests step N-1's whole plan inside step N — ~20 sequential
+    // micro-jobs and most of the query's wall clock spent in driver-side
+    // re-analysis of the nested tree, not in any executor work (measured
+    // 2-9 s at sf0.1; flat-leaf steps plan in milliseconds). Same pattern as
+    // d9/e1's per-round truncation, at selection-frame size.
+    val selAll = (2 to MmrK).foldLeft(sel1.localCheckpoint())((acc, st) =>
+      acc.union(nextStep(acc, st)).localCheckpoint())
     selAll
       .select(col("qid"), col("step"), col("cid"), round(col("score"), 6).as("score_r"))
       .orderBy("qid", "step")
