@@ -101,9 +101,43 @@ object CurationOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // c2 — canonical selection within near-dup groups: d9 keeps each
+  // component's MIN doc_id, but a production pipeline keeps the BEST copy —
+  // the member with the highest quality score (t5's composite), doc_id as
+  // the deterministic tiebreak. Reuses the memoized component labels (the
+  // fit-once-serve-many artifact d9 materializes) joined with t5's row-local
+  // quality: one broadcast-sized window per component over an already-tiny
+  // grouped frame — the corpus-sized work happened once, in the labeling.
+  private def c2CanonicalKeep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    Dedup.componentLabels(s, d)
+      .join(TextOps.qualityFrame(s, d), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("component"),
+        round(col("quality"), 6).as("quality_r"),
+        (col("rn") === 1).as("canonical"))
+      .orderBy("doc_id")
+  }
+
+  private val c2Sql =
+    s"""WITH RECURSIVE ${Dedup.d9CompSqlCtes},
+       |comp AS (
+       |  SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+       |), ${TextOps.qualitySqlCte}
+       |SELECT c.doc_id, c.component, round(q.quality, 6) AS quality_r,
+       |  row_number() OVER (PARTITION BY c.component
+       |    ORDER BY q.quality DESC, c.doc_id) = 1 AS canonical
+       |FROM comp c JOIN quality q USING (doc_id)
+       |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c1_curation_pipeline" -> c1Curate _)
+    "c1_curation_pipeline" -> c1Curate _,
+    "c2_canonical_keep"    -> c2CanonicalKeep _)
 
   val oracles: Map[String, String] = Map(
-    "c1_curation_pipeline" -> c1Sql)
+    "c1_curation_pipeline" -> c1Sql,
+    "c2_canonical_keep"    -> c2Sql)
 }

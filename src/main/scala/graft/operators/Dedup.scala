@@ -467,7 +467,23 @@ object Dedup {
   // diameter, which LSH dup-clusters keep tiny). Oracle: DuckDB computes
   // the exact transitive closure with WITH RECURSIVE — an independent
   // formulation of the same fixed point.
-  private def d9DedupGroups(s: SparkSession, d: String): DataFrame = {
+  private def d9DedupGroups(s: SparkSession, d: String): DataFrame =
+    componentLabels(s, d).orderBy("doc_id")
+
+  /** The (doc_id, component, kept) frame behind d9, memoized per
+    * (session, dir) like the trained Similarity artifacts: component
+    * labels are fit-once-serve-many state — c2's canonical selection
+    * consumes the same labeling, and a production pipeline materializes
+    * the component map once per snapshot, not per downstream query.
+    */
+  private[operators] def componentLabels(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.getOrElseUpdate("d9_components", s, d) {
+      val out = componentLabelsBuild(s, d).cache()
+      out.count() // populate eagerly — concurrent first readers must not race
+      out
+    }
+
+  private def componentLabelsBuild(s: SparkSession, d: String): DataFrame = {
     val sigs = lshSigs(s, d)
     val pairs = lshCandidatePairs(lshBands(sigs))
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga"))
@@ -521,11 +537,14 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("component"),
         (col("doc_id") === coalesce(col("label"), col("doc_id"))).as("kept"))
-      .orderBy("doc_id")
   }
 
-  private val d9Sql =
-    s"""WITH RECURSIVE $lshCandSqlCtes,
+  /** d9's oracle CTE chain through `reach` (the recursive transitive
+    * closure) — shared with c2's canonical-selection oracle. Must be used
+    * under WITH RECURSIVE.
+    */
+  private[operators] val d9CompSqlCtes: String =
+    s"""$lshCandSqlCtes,
        |dup AS (
        |  SELECT c.doc_a, c.doc_b
        |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
@@ -537,7 +556,10 @@ object Dedup {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-       |)
+       |)""".stripMargin
+
+  private val d9Sql =
+    s"""WITH RECURSIVE $d9CompSqlCtes
        |SELECT src AS doc_id, min(dst) AS component, src = min(dst) AS kept
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 

@@ -161,7 +161,10 @@ object TextOps {
   // fixed threshold. Per-row arithmetic only — no cross-row sums, so the
   // score is engine-exact; the filter runs inside whole-stage codegen next
   // to the scan at any scale.
-  private def t5QualityFilter(s: SparkSession, d: String): DataFrame =
+  /** (doc_id, quality) — t5's per-row composite score, shared with c2's
+    * canonical selection. Row-local arithmetic only, so engine-exact.
+    */
+  private[operators] def qualityFrame(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .withColumn("n_tokens", size(col("toks")).cast(DoubleType))
@@ -174,19 +177,28 @@ object TextOps {
         least(col("n_tokens") / 100, lit(1.0)) * 0.4 +
           (lit(1.0) - col("punct_ratio")) * 0.3 +
           least(col("stop_hits") / 10, lit(1.0)) * 0.3)
-      .select(col("doc_id"), round(col("quality"), 6).as("quality_r"),
-        (col("quality") >= 0.5).as("kept"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("quality"))
 
-  private val t5Sql =
-    """SELECT doc_id, round(quality, 6) AS quality_r, quality >= 0.5 AS kept
-      |FROM (
+  /** The matching DuckDB derivation of (doc_id, quality) — a full CTE body. */
+  private[operators] val qualitySqlCte: String =
+    """quality AS (
       |  SELECT doc_id,
       |    least(CAST(len(toks) AS DOUBLE) / 100, 1.0) * 0.4 +
       |    (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 +
       |    least(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) / 10, 1.0) * 0.3
       |      AS quality
-      |  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents))
+      |  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents))""".stripMargin
+
+  private def t5QualityFilter(s: SparkSession, d: String): DataFrame =
+    qualityFrame(s, d)
+      .select(col("doc_id"), round(col("quality"), 6).as("quality_r"),
+        (col("quality") >= 0.5).as("kept"))
+      .orderBy("doc_id")
+
+  private val t5Sql =
+    s"""WITH $qualitySqlCte
+      |SELECT doc_id, round(quality, 6) AS quality_r, quality >= 0.5 AS kept
+      |FROM quality
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------------
@@ -426,8 +438,52 @@ object TextOps {
        |WHERE val <> 0
        |ORDER BY doc_id, idx""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // t11 — temperature resampling across sources (the data-MIXING step: after
+  // per-document curation, balance the corpus so head sources don't drown
+  // tail ones — multilingual LM training samples language s with
+  // probability ∝ n_s^alpha, alpha = 0.5 here). Expressed as per-language
+  // keep rates r_s = sqrt(min_n / n_s) (the rarest language keeps all,
+  // p_s ∝ sqrt(n_s)), gated by the portable hash — deterministic,
+  // cluster-size-independent, re-runnable. SCALE SHAPE: the rate table is
+  // language-cardinality (tiny) and BROADCASTS; the gate runs inside the scan,
+  // so the corpus never shuffles. sqrt and double division are IEEE
+  // correctly-rounded in both engines, and the rate lands as an INTEGER ppm
+  // threshold, so the kept set is engine-exact.
+  private val TempPpm = 1000000L
+
+  private def t11TempSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_docs")).as("min_n"))))
+      .withColumn("rate_ppm",
+        floor(sqrt(col("min_n").cast(DoubleType) / col("n_docs")) * TempPpm)
+          .cast(LongType))
+    docs.select("doc_id", "lang")
+      .join(broadcast(rates.select("lang", "n_docs", "rate_ppm")), "lang")
+      .where(hash60F(s, concat(lit("t11:"), col("doc_id").cast(StringType))) % TempPpm
+        < col("rate_ppm"))
+      .select("doc_id", "lang", "n_docs", "rate_ppm")
+      .orderBy("doc_id")
+  }
+
+  private val t11Sql =
+    s"""WITH counts AS (
+       |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+       |), rates AS (
+       |  SELECT lang, n_docs,
+       |    CAST(floor(sqrt(CAST((SELECT min(n_docs) FROM counts) AS DOUBLE) / n_docs) * $TempPpm) AS BIGINT) AS rate_ppm
+       |  FROM counts
+       |)
+       |SELECT d.doc_id, d.lang, r.n_docs, r.rate_ppm
+       |FROM documents d JOIN rates r USING (lang)
+       |WHERE ${hash60Sql("'t11:' || CAST(doc_id AS VARCHAR)")} % $TempPpm < r.rate_ppm
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_feature_hash" -> t10FeatureHash _,
+    "t11_temp_sample"  -> t11TempSample _,
     "t1_text_stats"  -> t1TextStats _,
     "t2_lang_id"     -> t2LangId _,
     "t3_fingerprint" -> t3Fingerprint _,
@@ -440,6 +496,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "t10_feature_hash" -> t10Sql,
+    "t11_temp_sample"  -> t11Sql,
     "t1_text_stats"  -> t1Sql,
     "t2_lang_id"     -> t2Sql,
     "t3_fingerprint" -> t3Sql,

@@ -136,6 +136,50 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("c2 keeps exactly one canonical per component — the best-quality member") {
+    val rows = CurationOps.queries("c2_canonical_keep")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"),
+        r.getAs[Double]("quality_r"), r.getAs[Boolean]("canonical")))
+    assert(rows.nonEmpty)
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      val canon = members.filter(_._4)
+      assert(canon.length === 1, s"component $comp has ${canon.length} canonicals")
+      // the canonical is the quality argmax (doc_id tiebreak)
+      val best = members.maxBy(m => (m._3, -m._1))
+      assert(canon.head._1 === best._1, s"component $comp kept ${canon.head._1}, best is ${best._1}")
+    }
+    // canonical choice differs from d9's min-id keeper whenever a later
+    // member scores higher — in every case the canonical's quality is >=
+    // the min-id member's
+    val minId = byComp.map { case (c, ms) => c -> ms.minBy(_._1) }
+    byComp.foreach { case (c, ms) =>
+      assert(ms.filter(_._4).head._3 >= minId(c)._3)
+    }
+  }
+
+  test("t11 temperature sampling keeps all of the rarest language and a sqrt share of the head") {
+    val kept = TextOps.queries("t11_temp_sample")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("rate_ppm")))
+    assert(kept.nonEmpty)
+    val byLang = kept.groupBy(_._2)
+    val minN = kept.map(_._3).min
+    byLang.foreach { case (lang, ms) =>
+      val nDocs = ms.head._3
+      val ppm = ms.head._4
+      assert(ppm === math.floor(math.sqrt(minN.toDouble / nDocs) * 1000000).toLong)
+      // the rarest language keeps everything
+      if (nDocs == minN) assert(ms.length.toLong === nDocs, s"$lang under-sampled")
+      // nothing is over-kept
+      assert(ms.length <= nDocs)
+    }
+    // head languages are actually thinned (rate < 1) whenever skew exists
+    val maxN = kept.map(_._3).max
+    if (maxN > minN)
+      assert(byLang.values.exists(ms => ms.length < ms.head._3))
+  }
+
   test("ArtifactCache memoizes per (session, dir) and invalidate forces a rebuild") {
     var builds = 0
     def build = { builds += 1; spark.range(3).toDF("x") }
