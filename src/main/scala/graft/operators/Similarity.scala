@@ -249,8 +249,12 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("c"))
   }
 
-  private def rankedCells(s: SparkSession, d: String): DataFrame =
-    ArtifactCache.getOrElseUpdate("similarity.ranked", s, d) {
+  /** The trained coarse-quantizer centroids ((cid, c), k rows), memoized
+    * separately from the ranking so residual consumers (s7's IVF-PQ) can
+    * read the cell centers without re-deriving the full per-vector ranking.
+    */
+  private[operators] def trainedCents(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.getOrElseUpdate("similarity.cents", s, d) {
       val e = vecsD(s, d).cache()
       val vecs = e.select(col("vec_id"), col("v"))
       // k = max(8, ceil(sqrt(n))): sqrt is correctly rounded in IEEE, so ceil
@@ -262,7 +266,15 @@ object Similarity {
           expr(s"(n + $TrainPerCell * k - 1) div ($TrainPerCell * k)").cast("int"))
       val train = trainSample(vecs, params)
       val cents0 = seedCents(train)
-      val cents = Clustering.kmeans(train.select("vec_id", "v"), cents0, IvfIters)
+      val out = Clustering.kmeans(train.select("vec_id", "v"), cents0, IvfIters).cache()
+      out.count()
+      out
+    }
+
+  private[operators] def rankedCells(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.getOrElseUpdate("similarity.ranked", s, d) {
+      val e = vecsD(s, d).cache()
+      val cents = trainedCents(s, d)
       // rank trained cells per vector by euclid distance; rank 1 = home cell,
       // <= NProbe = a query's probe set. Shuffle-free: the k trained cells
       // broadcast as one array row, and the per-vector rank is a sorted
@@ -310,7 +322,8 @@ object Similarity {
   /** Oracle CTE chain mirroring [[rankedCells]]: appends vecs/params/cents0,
     * the Lloyd iterations, and `ranked` ((vec_id, v, cell, crk)).
     */
-  private def rankedCtes(ctes: scala.collection.mutable.ListBuffer[String]): Unit = {
+  /** Returns the final trained-cents relation name (for residual consumers). */
+  private def rankedCtes(ctes: scala.collection.mutable.ListBuffer[String]): String = {
     ctes += "vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
     ctes += s"""params AS (
                |  SELECT k, (count(*) + $TrainPerCell * k - 1) // ($TrainPerCell * k) AS rate
@@ -335,6 +348,7 @@ object Similarity {
                |      ORDER BY $dist, c.cid) AS crk
                |  FROM vecs e, $finalCents c
                |)""".stripMargin
+    finalCents
   }
 
   private val s3Sql = {
@@ -743,9 +757,161 @@ object Similarity {
        |ORDER BY qid, step""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // s7 — IVF-PQ with RESIDUAL codebooks + ADC (Jegou et al. 2011 §IV — the
+  // composition FAISS ships as IndexIVFPQ, and the actual billion-scale
+  // serving shape): the coarse quantizer (s3's trained cells, shared
+  // artifact) partitions the corpus; each vector stores its cell id plus
+  // M=4 sub-codes of its RESIDUAL r = v - c_home (residuals concentrate
+  // near 0, so the same 16-entry codebooks quantize them far better than
+  // raw vectors — lower reconstruction error than s5 at identical 128x
+  // compression). Queries probe nprobe cells and rank candidates by
+  // asymmetric distance against c_home + r̂. SCALE SHAPE: everything the
+  // corpus touches is a projection — residual, encode, reconstruct all ride
+  // broadcast codebook rows inside one scan; probe-side candidate sets are
+  // cell-bounded exactly like s3. Training cost is codebook-sized (bounded
+  // hash-sample), never corpus-sized.
+  private def s7IvfPq(s: SparkSession, d: String): DataFrame = {
+    val recon = ArtifactCache.getOrElseUpdate("similarity.ivfpq", s, d)(ivfpqRecon(s, d))
+    val ranked = rankedCells(s, d)
+    val assigned = recon.select(col("vec_id").as("cid"), col("cell"),
+      col("v").as("bd"), col("nrm").as("nb"), col("rv").as("qb"), col("rnrm").as("qnb"))
+    val probes = ranked.where(col("crk") <= NProbe &&
+        col("vec_id") >= 200 && col("vec_id") < 205)
+      .select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"),
+        col("cid").as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("qcos", expr("graft_dot(ad, qb)") / (col("na") * col("qnb")))
+      .withColumn("cos", cosCol)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("cid"), col("cell"),
+        round(col("qcos"), 6).as("ivfpq_cos_r"), round(col("cos"), 6).as("cos_r"),
+        round(abs(col("qcos") - col("cos")), 6).as("abs_err_r"))
+      .orderBy("qid", "rk")
+  }
+
+  /** The IVF-PQ quantized index: (vec_id, cell, v, nrm, rv, rnrm) where
+    * rv = c_home + concat(residual sub-reconstructions). Codebooks train on
+    * the bounded residual hash-sample, concurrently per subspace like s5.
+    */
+  private def ivfpqRecon(s: SparkSession, d: String): DataFrame = {
+    val ranked = rankedCells(s, d)
+    val cents = trainedCents(s, d)
+    // residual per vector against its home (crk=1) cell, centroid kept for
+    // the final reconstruction — one broadcast join, no corpus shuffle
+    val resid = ranked.where(col("crk") === 1)
+      .join(broadcast(cents), "cid")
+      .select(col("vec_id"), col("cid").as("cell"), col("v"), col("nrm"),
+        expr("zip_with(v, c, (x, y) -> x - y)").as("r"), col("c"))
+      .cache()
+    val params = resid.agg(count(lit(1)).as("n"))
+      .select(lit(PqK).as("k"),
+        expr(s"(n + ${TrainPerCell * PqK} - 1) div ${TrainPerCell * PqK}").cast("int").as("rate"))
+    val train = trainSample(resid.select(col("vec_id"), col("r").as("v")), params)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val futures = (0 until PqM).map { m =>
+      Future {
+        val sub = train.select(col("vec_id"), col("k"),
+          expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)").as("v"))
+        val cents0 = seedCents(sub)
+        val cb = Clustering.kmeans(sub, cents0, IvfIters)
+          .withColumn("cid", row_number().over(Window.orderBy("cid")).cast("long") - 1)
+        Clustering.centsAsArray(cb).select(col("cs").as(s"rcs$m"))
+      }
+    }
+    val codebooks = futures.map(Await.result(_, Duration.Inf))
+    val books = broadcast(codebooks.reduce(_.crossJoin(_)))
+    val withRv = (0 until PqM).foldLeft(resid.crossJoin(books)) { (df, m) =>
+      df.withColumn(s"code$m",
+          expr(s"element_at(graft_cell_top(slice(r, ${m * PqSubDim + 1}, $PqSubDim), rcs$m, 1), 1).cid"))
+        .withColumn(s"rv$m",
+          expr(s"element_at(rcs$m, CAST(code$m + 1 AS INT)).c"))
+    }
+    val out = withRv
+      .withColumn("rr", expr((0 until PqM).map(m => s"rv$m").mkString("concat(", ", ", ")")))
+      .withColumn("rv", expr("zip_with(c, rr, (x, y) -> x + y)"))
+      .withColumn("rnrm", sqrt(expr("graft_dot(rv, rv)")))
+      .select("vec_id", "cell", "v", "nrm", "rv", "rnrm")
+      .cache()
+    out.count() // eager; resid feeds 4 concurrent trainings + the encode
+    resid.unpersist()
+    out
+  }
+
+  private val s7Sql = {
+    val ctes = new scala.collection.mutable.ListBuffer[String]
+    val finalCents = rankedCtes(ctes)
+    ctes += s"""resid AS (
+               |  SELECT h.vec_id, h.cell, h.v,
+               |    list_transform(range(1, ${Clustering.Dims + 1}), i -> h.v[i] - c.c[i]) AS r
+               |  FROM (SELECT vec_id, v, cell FROM ranked WHERE crk = 1) h
+               |  JOIN $finalCents c ON c.cid = h.cell
+               |)""".stripMargin
+    ctes += s"""rpq_params AS (
+               |  SELECT $PqK AS k, (count(*) + ${TrainPerCell * PqK} - 1) // ${TrainPerCell * PqK} AS rate
+               |  FROM embeddings
+               |)""".stripMargin
+    ctes += s"""rpq_train AS (
+               |  SELECT vec_id, r AS v FROM resid, rpq_params
+               |  WHERE rate <= 1 OR
+               |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % rate = 0
+               |)""".stripMargin
+    val finals = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      ctes += s"rpq${m}_vecs AS (SELECT vec_id, v[$lo:$hi] AS v FROM rpq_train)"
+      ctes += s"""rpq${m}_cents0 AS (
+                 |  SELECT vec_id AS cid, v AS c FROM (
+                 |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM rpq${m}_vecs)
+                 |  WHERE rn <= $PqK
+                 |)""".stripMargin
+      val fin = Clustering.kmeansCtes(ctes, s"rpq${m}_vecs", s"rpq${m}_cents0", IvfIters,
+        s"rpq${m}_", PqSubDim)
+      ctes += s"rpq${m}_all AS (SELECT vec_id, r[$lo:$hi] AS v FROM resid)"
+      ctes += Clustering.assignCte(s"rpq${m}_all", fin, s"rpq${m}_enc", PqSubDim)
+      fin
+    }
+    val joins = (0 until PqM).map(m =>
+      s"JOIN rpq${m}_enc e$m ON e$m.vec_id = e.vec_id JOIN ${finals(m)} c$m ON c$m.cid = e$m.cid")
+      .mkString("\n  ")
+    // NB: the home centroid joins back by cell — reconstructing it as
+    // v[i] - r[i] would NOT be bit-identical (v - fl(v - c) can differ from
+    // c by an ulp), and the Spark side adds the stored centroid directly
+    ctes += s"""ivfpq_recon AS (
+               |  SELECT e.vec_id, e.cell, e.v,
+               |    list_transform(range(1, ${Clustering.Dims + 1}),
+               |      i -> hc.c[i] + (${(0 until PqM).map(m => s"c$m.c").mkString(" || ")})[i]) AS rv
+               |  FROM resid e
+               |  JOIN $finalCents hc ON hc.cid = e.cell
+               |  $joins
+               |)""".stripMargin
+    ctes += s"""s7_probes AS (
+               |  SELECT vec_id AS qid, v AS qv, cell FROM ranked
+               |  WHERE crk <= $NProbe AND vec_id >= 200 AND vec_id < 205
+               |)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT qid, rk, cid, cell, ivfpq_cos_r, cos_r, abs_err_r FROM (
+       |  SELECT p.qid, a.vec_id AS cid, a.cell,
+       |    round(list_cosine_similarity(p.qv, a.rv), 6) AS ivfpq_cos_r,
+       |    round(list_cosine_similarity(p.qv, a.v), 6) AS cos_r,
+       |    round(abs(list_cosine_similarity(p.qv, a.rv) - list_cosine_similarity(p.qv, a.v)), 6) AS abs_err_r,
+       |    row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY list_cosine_similarity(p.qv, a.rv) DESC, a.vec_id) AS rk
+       |  FROM s7_probes p JOIN ivfpq_recon a USING (cell)
+       |  WHERE p.qid <> a.vec_id)
+       |WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> s1CosineTopK _,
     "s6_mmr_rerank"  -> s6MmrRerank _,
+    "s7_ivfpq_ann"   -> s7IvfPq _,
     "s2_lsh_ann"     -> s2LshAnn _,
     "s3_ivf_ann"     -> s3IvfAnn _,
     "s4_scalar_quant" -> s4ScalarQuant _,
@@ -755,6 +921,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Sql,
     "s6_mmr_rerank"  -> s6Sql,
+    "s7_ivfpq_ann"   -> s7Sql,
     "s2_lsh_ann"     -> s2Sql,
     "s3_ivf_ann"     -> s3Sql,
     "s4_scalar_quant" -> s4Sql,

@@ -180,6 +180,27 @@ class Round4OpsSpec extends AnyFunSuite {
       assert(byLang.values.exists(ms => ms.length < ms.head._3))
   }
 
+  test("s7 IVF-PQ residual coding beats plain PQ's ADC error at equal compression") {
+    val s7 = Similarity.queries("s7_ivfpq_ann")(spark, sf).collect()
+    assert(s7.nonEmpty)
+    // per-row sanity: approx and exact cosines are in range, error is their gap
+    s7.foreach { r =>
+      val (apx, exact, err) = (r.getAs[Double]("ivfpq_cos_r"),
+        r.getAs[Double]("cos_r"), r.getAs[Double]("abs_err_r"))
+      assert(apx >= -1.01 && apx <= 1.01)
+      assert(math.abs(math.abs(apx - exact) - err) < 2e-6)
+    }
+    // the residual claim (Jegou et al. 2011 §IV): residuals concentrate near
+    // zero, so 4x16 codebooks reconstruct v = c_home + r-hat better than the
+    // same codebooks on raw vectors. Compare mean |approx cos - exact cos|
+    // against s5 over each query surface's top-3.
+    val s5 = Similarity.queries("s5_pq_adc")(spark, sf).collect()
+    def meanErr(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getAs[Double]("abs_err_r")).sum / rows.length
+    assert(meanErr(s7) <= meanErr(s5) + 1e-9,
+      s"residual ADC err ${meanErr(s7)} worse than plain PQ ${meanErr(s5)}")
+  }
+
   test("ArtifactCache memoizes per (session, dir) and invalidate forces a rebuild") {
     var builds = 0
     def build = { builds += 1; spark.range(3).toDF("x") }
