@@ -87,7 +87,8 @@ object ScaleProbe {
       println(f"""[embed-probe] $name rows=$rows sec=$sec%.1f shuffle_mb=${(shuffleTotal.get() - before) / 1e6}%.1f""")
       (name, sec, rows)
     }
-    val results = Seq("d8_embed_lsh_dedup", "s3_ivf_ann", "e2_semdedup", "s5_pq_adc").map(time)
+    val results = Seq("d8_embed_lsh_dedup", "s3_ivf_ann", "e2_semdedup", "s5_pq_adc",
+      "s7_ivfpq_ann").map(time)
     val parts = results.map { case (nm, sec, rows) => s""""$nm":{"sec":$sec,"rows":$rows}""" }
     println(s"""{"probe":"embed_scale","n":$n,"shuffle_total_mb":${shuffleTotal.get() / 1e6},${parts.mkString(",")}}""")
   }
@@ -143,7 +144,8 @@ object ScaleProbe {
     // shared-shingle work), feature hashing, and the c1 composite
     val results = Seq("d3_minhash_pairs", "d7_simhash_pairs", "d9_dedup_groups",
       "t8_gopher_repetition", "t9_tfidf",
-      "d10_decontaminate", "t10_feature_hash", "c1_curation_pipeline").map(time)
+      "d10_decontaminate", "t10_feature_hash", "c1_curation_pipeline",
+      "c2_canonical_keep", "t11_temp_sample").map(time)
     val parts = results.map { case (nm, sec, rows) => s""""$nm":{"sec":$sec,"rows":$rows}""" }
     println(s"""{"probe":"docs_scale","n":$n,"shuffle_total_mb":${shuffleTotal.get() / 1e6},${parts.mkString(",")}}""")
   }
