@@ -265,7 +265,30 @@ object StreamingOps {
       |GROUP BY c.user_id
       |ORDER BY c.user_id""".stripMargin
 
+  // st6 — running per-user totals via Spark 4's transformWithState (the
+  // arbitrary-state successor of mapGroupsWithState), run HERE in batch
+  // mode over the same events table the streaming execution consumes
+  // (StreamingSpec asserts stream parity). The processor holds one
+  // (count, micros) pair per user and accumulates each value as its
+  // DECIMAL(18,6) integer micros, so its running sum IS the oracle's
+  // DECIMAL window sum — a custom stateful operator whose exact output is
+  // still DuckDB-checkable.
+  private def st6RunningTotals(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamOps.runningTotals(Tables.events(s, d))
+      .toDF()
+      .orderBy("user_id", "event_id")
+
+  private val st6Sql =
+    """SELECT user_id, event_id,
+      |  row_number() OVER w AS n_so_far,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS value_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st6_running_totals"  -> st6RunningTotals _,
     "st4_stream_dedup"    -> st4DedupTwin _,
     "st5_interval_join"   -> st5IntervalJoin _,
     "r3_funnel"           -> r3Funnel _,
@@ -276,6 +299,7 @@ object StreamingOps {
     "r2_ewma"             -> r2Ewma _)
 
   val oracles: Map[String, String] = Map(
+    "st6_running_totals"  -> st6Sql,
     "st4_stream_dedup"    -> st4Sql,
     "st5_interval_join"   -> st5Sql,
     "r3_funnel"           -> r3Sql,

@@ -481,9 +481,41 @@ object TextOps {
        |WHERE ${hash60Sql("'t11:' || CAST(doc_id AS VARCHAR)")} % $TempPpm < r.rate_ppm
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // t12 — context-window chunking: split each document's token stream into
+  // fixed CW-token chunks (last chunk ragged) — the step that turns curated
+  // documents into training-example-sized pieces before packing/batching.
+  // Chunking is doc-local (explode over doc-local slice offsets), so at
+  // 100 TB it runs inside the scan with zero data movement beyond the
+  // output itself; chunk ids are (doc_id, chunk_idx) — deterministic and
+  // partition-independent.
+  private val ChunkTokens = 32
+
+  private def t12SeqChunk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")))
+      // chunk starts 1, 1+CW, 1+2CW, ... (1-based slice offsets)
+      .select(col("doc_id"), col("toks"), col("n_tokens"),
+        posexplode(expr(s"sequence(1, n_tokens, $ChunkTokens)")).as(Seq("chunk_idx", "off")))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"array_join(slice(toks, off, $ChunkTokens), ' ')").as("chunk_text"),
+        least(col("n_tokens") - col("off") + 1, lit(ChunkTokens)).as("chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private val t12Sql =
+    s"""SELECT doc_id,
+       |  CAST(g.i AS INT) AS chunk_idx,
+       |  array_to_string(list_slice(toks, 1 + g.i * $ChunkTokens, (g.i + 1) * $ChunkTokens), ' ') AS chunk_text,
+       |  CAST(least(len(toks) - g.i * $ChunkTokens, $ChunkTokens) AS INT) AS chunk_tokens
+       |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |  LATERAL (SELECT unnest(range((len(toks) + $ChunkTokens - 1) // $ChunkTokens)) AS i) g
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_feature_hash" -> t10FeatureHash _,
     "t11_temp_sample"  -> t11TempSample _,
+    "t12_seq_chunk"    -> t12SeqChunk _,
     "t1_text_stats"  -> t1TextStats _,
     "t2_lang_id"     -> t2LangId _,
     "t3_fingerprint" -> t3Fingerprint _,
@@ -497,6 +529,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "t10_feature_hash" -> t10Sql,
     "t11_temp_sample"  -> t11Sql,
+    "t12_seq_chunk"    -> t12Sql,
     "t1_text_stats"  -> t1Sql,
     "t2_lang_id"     -> t2Sql,
     "t3_fingerprint" -> t3Sql,

@@ -119,6 +119,72 @@ object StreamOps {
         col("click_value"), col("purchase_value"))
   }
 
+  // ---------------------------------------------------------------------------
+  // transformWithState — Spark 4's arbitrary-state API (successor of
+  // [flat]mapGroupsWithState: typed per-key state handles, TTL, timers).
+  // A running per-user totals processor: every event emits the user's
+  // running (count, value-sum) — the live per-entity counter a serving
+  // pipeline maintains (budget tracking, rate limits, per-user corpus
+  // quotas). State is ONE (long, long) per user regardless of stream
+  // length, and the value sum is held as integer micros with each event's
+  // value rounded to DECIMAL(18,6) first (HALF_UP — the SQL cast's
+  // rounding), so the running value is exactly the DECIMAL window sum of
+  // the batch twin: associative, restart-safe, engine-exact.
+  final case class SpendEvent(user_id: Long, event_id: Long, value: Double)
+  final case class RunningTotal(user_id: Long, event_id: Long,
+      n_so_far: Long, value_sum: Double)
+
+  final class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SpendEvent, RunningTotal] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var totals: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState("totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SpendEvent],
+        timerValues: TimerValues): Iterator[RunningTotal] = {
+      var (n, micros) = if (totals.exists()) totals.get() else (0L, 0L)
+      // event_id order within the batch: deterministic regardless of file
+      // split / task order (across micro-batches, arrival order governs —
+      // as in any streaming accumulator)
+      val out = rows.toArray.sortBy(_.event_id).map { e =>
+        n += 1
+        micros += java.math.BigDecimal.valueOf(e.value)
+          .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+        // micros/1e6 and DECIMAL(_,6)->DOUBLE are both correctly-rounded
+        // conversions of the same rational, so they agree bit-for-bit
+        RunningTotal(e.user_id, e.event_id, n, micros / 1e6)
+      }
+      totals.update((n, micros))
+      out.iterator
+    }
+  }
+
+  /** Running totals via transformWithState; works on a batch OR streaming
+    * frame with (user_id, event_id, value) columns.
+    */
+  def runningTotals(events: DataFrame): Dataset[RunningTotal] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    val s = events.sparkSession
+    // transformWithState requires the RocksDB provider (the HDFS-backed
+    // store lacks the multi-column-family layout its typed state handles
+    // use); semantics of the other stateful ops are provider-independent
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // batch-mode state stores still report to the driver's
+    // StateStoreCoordinator RPC endpoint, which only the
+    // StreamingQueryManager instantiates — touch it so a pure-batch
+    // session has the endpoint registered
+    s.streams.active
+    import s.implicits._
+    events.select(col("user_id"), col("event_id"), col("value")).as[SpendEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Run any batch-or-stream transform over a parquet directory as a stream
     * into an in-memory table; returns the collected result (test/demo
     * harness for stream/batch parity).

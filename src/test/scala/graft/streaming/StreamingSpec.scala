@@ -94,6 +94,25 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState running totals: stream equals batch, state survives micro-batches") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val batch = StreamOps.runningTotals(spark.read.parquet(eventsDir))
+      .collect().map(r => (r.user_id, r.event_id) -> (r.n_so_far, r.value_sum)).toMap
+    val streamed = StreamOps.runFileStream(spark, eventsDir,
+      df => StreamOps.runningTotals(df).toDF(), "tws_parity", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(batch.nonEmpty && streamed.size == batch.size)
+    // one emission per event; the final (count, sum) per key must agree even
+    // if MICRO-BATCH boundaries split a user's events differently from the
+    // batch iterator (running prefixes beyond the final one can legitimately
+    // differ when arrival order differs — totals cannot)
+    val finalB = batch.groupBy(_._1._1).view.mapValues(_.values.maxBy(_._1)).toMap
+    val finalS = streamed.groupBy(_._1._1).view.mapValues(_.values.maxBy(_._1)).toMap
+    assert(finalB == finalS)
+    // single-file-batch layouts replay identically row-by-row
+    assert(streamed == batch)
+  }
+
   test("r2 EWMA matches the classic recurrence re-derived driver-side") {
     // the query computes adjust=true EWMA (alpha = 1/2) truncated at 20
     // terms via integer-scaled decimal lags; this re-derives it from the
