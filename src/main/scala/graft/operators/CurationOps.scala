@@ -107,8 +107,9 @@ object CurationOps {
   // the member with the highest quality score (t5's composite), doc_id as
   // the deterministic tiebreak. Reuses the memoized component labels (the
   // fit-once-serve-many artifact d9 materializes) joined with t5's row-local
-  // quality: one broadcast-sized window per component over an already-tiny
-  // grouped frame — the corpus-sized work happened once, in the labeling.
+  // quality; the selection itself is ONE shuffle on component for the
+  // per-group window — the expensive corpus-sized work (the labeling)
+  // happened once, in the shared artifact.
   private def c2CanonicalKeep(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("component"))

@@ -80,4 +80,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"update must not posexplode the corpus, plan was:\n$plan")
     assert(cents.count() == 3)
   }
+
+  test("t11's corpus branch joins the broadcast rate table without shuffling") {
+    val plan = executed("t11_temp_sample")
+    // the documents scan must stream through a BroadcastHashJoin; a
+    // SortMergeJoin (or any corpus-side exchange before the join) means the
+    // language-cardinality rate table stopped broadcasting
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast, plan was:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"t11 must not sort-merge the corpus against 5 rates, plan was:\n$plan")
+  }
+
+  test("t12 chunking is scan -> generate -> output sort, nothing else") {
+    val plan = executed("t12_seq_chunk")
+    assert(plan.contains("Generate"), "chunk explode must be a Generate")
+    // doc-local work: the ONLY exchange is the final deterministic ORDER BY
+    assert(countExchanges(plan) <= 1,
+      s"t12 must not move data beyond the output sort, plan was:\n$plan")
+  }
+
+  test("s7's probe join is cell-bounded and broadcast, like s3") {
+    val plan = executed("s7_ivfpq_ann")
+    // the ADC candidate join must be an equi-join ON THE CELL KEY with the
+    // probe side broadcast — not a sort-merge or an unbounded pair scan.
+    // (The cached ranking's stored plan legitimately contains the 1-row
+    // centroid-array broadcast cross join, so only the live segment —
+    // everything before the first InMemoryRelation — is inspected.)
+    assert(plan.contains("BroadcastHashJoin [cell"),
+      s"probe set must broadcast-join on cell, plan was:\n$plan")
+    val live = plan.substring(0, plan.indexOf("InMemoryRelation"))
+    assert(!live.contains("SortMergeJoin") && !live.contains("BroadcastNestedLoopJoin") &&
+      !live.contains("CartesianProduct"),
+      s"ADC must never degenerate to an unbounded pair scan, plan was:\n$plan")
+  }
 }
