@@ -512,10 +512,56 @@ object TextOps {
        |  LATERAL (SELECT unnest(range((len(toks) + $ChunkTokens - 1) // $ChunkTokens)) AS i) g
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // t13 — sequence packing (concat-then-split, the GPT training-batch
+  // layout): documents concatenate in deterministic order and the token
+  // stream splits into fixed PackSize windows; each doc records which pack
+  // its first token lands in and at what offset. A GLOBAL running sum would
+  // serialize the corpus through one partition, so packing is SHARDED —
+  // docs hash into PackShards independent streams packed in parallel, each
+  // shard's running offset a window cumsum in (shard, doc_id) order. That
+  // is the production layout: shards ≡ output files, deterministic and
+  // cluster-size-independent; only doc-count-sized (doc_id, n_tokens) pairs
+  // move, text itself never shuffles. All-integer arithmetic -> engine-exact.
+  private val PackSize = 256
+  private val PackShards = 16
+
+  private def t13Pack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        (hash60F(s, concat(lit("pack:"), col("doc_id").cast(StringType))) % PackShards)
+          .cast(IntegerType).as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $PackSize").cast(IntegerType).as("pack_id"),
+        expr(s"(cum - n_tokens) % $PackSize").cast(IntegerType).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  private val t13Sql =
+    s"""SELECT doc_id, shard, n_tokens,
+       |  CAST((cum - n_tokens) // $PackSize AS INTEGER) AS pack_id,
+       |  CAST((cum - n_tokens) % $PackSize AS INTEGER) AS pack_offset
+       |FROM (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+       |      CAST(${hash60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards AS INTEGER) AS shard
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_feature_hash" -> t10FeatureHash _,
     "t11_temp_sample"  -> t11TempSample _,
     "t12_seq_chunk"    -> t12SeqChunk _,
+    "t13_pack"         -> t13Pack _,
     "t1_text_stats"  -> t1TextStats _,
     "t2_lang_id"     -> t2LangId _,
     "t3_fingerprint" -> t3Fingerprint _,
@@ -530,6 +576,7 @@ object TextOps {
     "t10_feature_hash" -> t10Sql,
     "t11_temp_sample"  -> t11Sql,
     "t12_seq_chunk"    -> t12Sql,
+    "t13_pack"         -> t13Sql,
     "t1_text_stats"  -> t1Sql,
     "t2_lang_id"     -> t2Sql,
     "t3_fingerprint" -> t3Sql,

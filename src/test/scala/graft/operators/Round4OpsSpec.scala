@@ -201,6 +201,24 @@ class Round4OpsSpec extends AnyFunSuite {
       s"residual ADC err ${meanErr(s7)} worse than plain PQ ${meanErr(s5)}")
   }
 
+  test("t13 packing: per-shard token streams are gapless and pack-bounded") {
+    val rows = TextOps.queries("t13_pack")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+        r.getAs[Int]("n_tokens"), r.getAs[Int]("pack_id"), r.getAs[Int]("pack_offset")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (shard, docs) =>
+      val ordered = docs.sortBy(_._1)
+      var cum = 0L
+      ordered.foreach { case (id, _, n, packId, off) =>
+        // doc starts exactly where the shard's token stream stands: the
+        // concat-then-split layout has no gaps and no overlaps
+        assert(packId === (cum / 256).toInt, s"doc $id in shard $shard")
+        assert(off === (cum % 256).toInt, s"doc $id in shard $shard")
+        cum += n
+      }
+    }
+  }
+
   test("ArtifactCache memoizes per (session, dir) and invalidate forces a rebuild") {
     var builds = 0
     def build = { builds += 1; spark.range(3).toDF("x") }
