@@ -1,0 +1,111 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.{Dedup, TextOps}
+
+/** One-call curation snapshot over a documents dataset directory — the
+  * training-data counterpart of [[RadoHydro.run]]: the individual operator
+  * queries (t5 quality, d1 exact keeper, d10 decontamination, d9/c2 near-dup
+  * canonical, t11 temperature sample, t13 packing) composed the way a corpus
+  * snapshot is actually cut, returning a per-document audit LEDGER (every
+  * verdict attributable), the kept snapshot, and its packed training layout.
+  *
+  * The stages share the operators' own internals (quality frame, shingle
+  * explode, memoized component labels), so API results cannot drift from the
+  * oracle-checked query surface — `CurationApiSpec` additionally pins ledger
+  * columns against the t5/c2/c1 query outputs.
+  *
+  * Scale shape = the union of the component operators' shapes: row-local
+  * verdicts fuse into one scan; the exact-keeper groupBy and the canonical
+  * window are the only corpus shuffles; eval shingles and the rate table
+  * broadcast; packing is shard-parallel.
+  */
+object Curation {
+
+  final case class Config(
+      qualityThreshold: Double = 0.5,
+      evalModulus: Long = 100, // doc_id % m = 0 marks the held-out eval set
+      samplePct: Int = 50,     // deterministic hash-sample keep percentage
+      packSize: Int = 256,
+      packShards: Int = 16)
+
+  final case class Result(ledger: DataFrame, snapshot: DataFrame, packs: DataFrame)
+
+  def run(spark: SparkSession, dir: String, cfg: Config = Config()): Result = {
+    val docs = Tables.documents(spark, dir)
+
+    val quality = TextOps.qualityFrame(spark, dir)
+      .select(col("doc_id"), col("quality"),
+        (col("quality") >= cfg.qualityThreshold).as("q_pass"))
+
+    val keepers = docs
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .select(col("doc_id"), col("fp"))
+    val keeperIds = keepers.groupBy("fp").agg(min("doc_id").as("keeper_id"))
+
+    val sh = Dedup.tokenShingles(docs).cache()
+    val evalSh = sh.where(col("doc_id") % cfg.evalModulus === 0).select("sh").distinct()
+    val contaminated = sh.where(col("doc_id") % cfg.evalModulus =!= 0)
+      .join(broadcast(evalSh), "sh")
+      .select("doc_id").distinct()
+      .withColumn("contam", lit(true))
+
+    // near-dup canonical: best-quality member of each minhash component
+    val wCanon = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val canonical = Dedup.componentLabels(spark, dir)
+      .join(quality.select("doc_id", "quality"), "doc_id")
+      .withColumn("canonical", row_number().over(wCanon) === 1)
+      .select("doc_id", "component", "canonical")
+
+    // language temperature rates (alpha = 0.5, rarest keeps all), ppm gate
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_docs")).as("min_n"))))
+      .select(col("lang"),
+        floor(sqrt(col("min_n").cast(DoubleType) / col("n_docs")) * 1000000L)
+          .cast(LongType).as("rate_ppm"))
+
+    val ledger = docs.select("doc_id", "lang")
+      .join(quality, "doc_id")
+      .join(keepers, "doc_id").join(keeperIds, "fp")
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(canonical, "doc_id")
+      .join(broadcast(rates), "lang")
+      .withColumn("is_keeper", col("doc_id") === col("keeper_id"))
+      .withColumn("clean", coalesce(col("contam"), lit(false)) === false)
+      .withColumn("is_eval", col("doc_id") % cfg.evalModulus === 0)
+      .withColumn("sampled",
+        TextOps.hash60F(spark, concat(lit("c1:"), col("doc_id").cast(StringType))) % 100
+          < cfg.samplePct)
+      .withColumn("temp_kept",
+        TextOps.hash60F(spark, concat(lit("t11:"), col("doc_id").cast(StringType))) % 1000000L
+          < col("rate_ppm"))
+      .withColumn("kept",
+        col("q_pass") && col("is_keeper") && col("clean") && col("canonical") &&
+          col("sampled") && col("temp_kept") && !col("is_eval"))
+      .select("doc_id", "lang", "quality", "q_pass", "is_keeper", "clean",
+        "canonical", "sampled", "temp_kept", "is_eval", "kept")
+
+    val snapshot = docs.join(ledger.where(col("kept")).select("doc_id"), "doc_id")
+
+    // pack the KEPT docs only (t13's sharded concat-then-split layout)
+    val wPack = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packs = snapshot
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        (TextOps.hash60F(spark, concat(lit("pack:"), col("doc_id").cast(StringType)))
+          % cfg.packShards).cast(IntegerType).as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(wPack).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div ${cfg.packSize}").cast(IntegerType).as("pack_id"),
+        expr(s"(cum - n_tokens) % ${cfg.packSize}").cast(IntegerType).as("pack_offset"))
+
+    Result(ledger, snapshot, packs)
+  }
+}

@@ -476,7 +476,7 @@ object Dedup {
     * consumes the same labeling, and a production pipeline materializes
     * the component map once per snapshot, not per downstream query.
     */
-  private[operators] def componentLabels(s: SparkSession, d: String): DataFrame =
+  private[graft] def componentLabels(s: SparkSession, d: String): DataFrame =
     ArtifactCache.getOrElseUpdate("d9_components", s, d) {
       val out = componentLabelsBuild(s, d).cache()
       out.count() // populate eagerly — concurrent first readers must not race
@@ -574,13 +574,13 @@ object Dedup {
   // one hash-explode + broadcast semi-match and aggregates per doc — the
   // corpus never shuffles on shingles, and text never leaves the scan (only
   // 8-byte hashes explode).
-  private[operators] val DecontamN = 8
+  private[graft] val DecontamN = 8
 
   /** Exploded (doc_id, sh) token-8-gram hashes; docs shorter than 8 tokens
     * contribute their full-token shingle (greatest(..,1) — same clamp as the
     * d2/d5 char shingles). Shared with the c1 curation composite.
     */
-  private[operators] def tokenShingles(docs: DataFrame): DataFrame =
+  private[graft] def tokenShingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(expr(normExpr), " "))
       .select(col("doc_id"), explode(expr(

@@ -164,7 +164,7 @@ object TextOps {
   /** (doc_id, quality) — t5's per-row composite score, shared with c2's
     * canonical selection. Row-local arithmetic only, so engine-exact.
     */
-  private[operators] def qualityFrame(s: SparkSession, d: String): DataFrame =
+  private[graft] def qualityFrame(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .withColumn("n_tokens", size(col("toks")).cast(DoubleType))

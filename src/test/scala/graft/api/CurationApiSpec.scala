@@ -1,0 +1,64 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.TestSpark
+
+/** The one-call curation API must agree with the oracle-checked query
+  * surface it composes — ledger columns are pinned against the t5 and c2
+  * query outputs, and the packed layout re-derives gapless per shard.
+  */
+class CurationApiSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val result = Curation.run(spark, sf)
+
+  test("ledger covers every document and kept implies every stage verdict") {
+    val n = graft.Tables.documents(spark, sf).count()
+    val rows = result.ledger.collect()
+    assert(rows.length.toLong === n)
+    rows.filter(_.getAs[Boolean]("kept")).foreach { r =>
+      assert(r.getAs[Boolean]("q_pass") && r.getAs[Boolean]("is_keeper") &&
+        r.getAs[Boolean]("clean") && r.getAs[Boolean]("canonical") &&
+        r.getAs[Boolean]("sampled") && r.getAs[Boolean]("temp_kept") &&
+        !r.getAs[Boolean]("is_eval"))
+    }
+    val kept = rows.filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.nonEmpty, "a snapshot that keeps nothing is a config bug")
+    val snapIds = result.snapshot.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(snapIds === kept)
+  }
+
+  test("ledger verdicts equal the oracle-checked query outputs (t5, c2)") {
+    val ledger = result.ledger.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("q_pass"), r.getAs[Boolean]("canonical"))).toMap
+    val t5 = graft.operators.TextOps.queries("t5_quality_filter")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+    val c2 = graft.operators.CurationOps.queries("c2_canonical_keep")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("canonical")).toMap
+    assert(ledger.nonEmpty)
+    ledger.foreach { case (id, (qPass, canon)) =>
+      assert(qPass === t5(id), s"q_pass drift for doc $id")
+      assert(canon === c2(id), s"canonical drift for doc $id")
+    }
+  }
+
+  test("packs lay the kept snapshot out gapless per shard") {
+    val packs = result.packs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+        r.getAs[Int]("n_tokens"), r.getAs[Int]("pack_id"), r.getAs[Int]("pack_offset")))
+    assert(packs.nonEmpty)
+    assert(packs.map(_._1).toSet ===
+      result.snapshot.select("doc_id").collect().map(_.getLong(0)).toSet)
+    packs.groupBy(_._2).foreach { case (shard, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (id, _, n, packId, off) =>
+        assert(packId === (cum / 256).toInt, s"doc $id in shard $shard")
+        assert(off === (cum % 256).toInt, s"doc $id in shard $shard")
+        cum += n
+      }
+    }
+  }
+}
