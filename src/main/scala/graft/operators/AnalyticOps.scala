@@ -307,6 +307,36 @@ object AnalyticOps {
       |ORDER BY o_orderpriority, rnk""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // o8 — offset/navigation window battery: lag/lead (with defaults),
+  // first/last/nth over an explicit ROWS frame, and the per-event delta —
+  // the change-detection shape behind sessionized feature engineering.
+  // All navigation picks are row-local over one (user_id, event_id)-sorted
+  // partition: values are copied, never aggregated, so doubles are
+  // engine-exact by construction. One shuffle on the partition key.
+  private def o8LeadLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1, -1.0).over(w).as("prev_value"),
+        lead(col("value"), 1, -1.0).over(w).as("next_value"),
+        first(col("value")).over(wf).as("first_value"),
+        round(col("value") - lag(col("value"), 1, 0.0).over(w), 6).as("delta_r"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val o8Sql =
+    """SELECT user_id, event_id, value,
+      |  lag(value, 1, -1.0) OVER w AS prev_value,
+      |  lead(value, 1, -1.0) OVER w AS next_value,
+      |  first_value(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value,
+      |  round(value - lag(value, 1, 0.0) OVER w, 6) AS delta_r
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // a11 — z-score outlier gate per event_type: two-pass (stats, then flag) —
   // the anomaly-detection shape a quality pipeline runs over metric streams.
   // Moments route through DECIMAL (values are 2-decimal, squares cast at
@@ -707,6 +737,7 @@ object AnalyticOps {
     "u7_grouping_sets" -> u7GroupingSets _,
     "o5_window_frames" -> o5WindowFrames _,
     "o6_rank_battery"  -> o6RankBattery _,
+    "o8_lead_lag"      -> o8LeadLag _,
     "a7_percentiles"   -> a7Percentiles _,
     "a8_salted_agg"    -> a8SaltedAgg _,
     "a9_kmv_distinct"  -> a9KmvDistinct _,
@@ -724,6 +755,7 @@ object AnalyticOps {
     "u7_grouping_sets" -> u7Sql,
     "o5_window_frames" -> o5Sql,
     "o6_rank_battery"  -> o6Sql,
+    "o8_lead_lag"      -> o8Sql,
     "a7_percentiles"   -> a7Sql,
     "a8_salted_agg"    -> a8Sql,
     "a9_kmv_distinct"  -> a9Sql,

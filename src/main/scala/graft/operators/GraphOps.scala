@@ -122,9 +122,91 @@ object GraphOps {
        |LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // n2 — WEIGHTED PageRank: edges carry transaction revenue (the spend-
+  // weighted link-analysis signal — a heavy trade relationship should pull
+  // more rank than a one-off order). Same float-free fixed-point design as
+  // n1, with per-edge shares floor(r * w / W_src) computed by the split
+  // multiplication (r div W)*w + ((r mod W)*w) div W — exactly floor(r*w/W)
+  // with every intermediate bounded by W*w (< 2^62 here: W ~ 1e8 cents per
+  // node, w ~ 1e7; at larger corpora re-scale weights, the formula is
+  // scale-free). Edge weights are integer CENTS via the DECIMAL(18,2) cast —
+  // no double rounding anywhere, so both engines agree bit-for-bit.
+  private def n2WeightedPageRank(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(expr("CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT)").as("w"))
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .coalesce(8).cache()
+    val nodesDeg = edges.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("wout"))
+      .crossJoin(broadcast(edges.select(col("src")).distinct().agg(count(lit(1)).as("n"))))
+      .cache()
+    var r = nodesDeg.select(col("node"), col("wout"), col("n"),
+      expr(s"$Scale div n").as("r")).localCheckpoint()
+    for (_ <- 1 to Iters) {
+      val shares = r.select(col("node").as("src"), col("r"), col("wout"))
+      val contrib = edges.join(broadcast(shares), "src")
+        .select(col("dst"),
+          expr("(r div wout) * w + ((r % wout) * w) div wout").as("share"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
+      r = nodesDeg
+        .join(broadcast(contrib), nodesDeg("node") === contrib("dst"), "left")
+        .select(col("node"), col("wout"), col("n"),
+          expr(s"(($Scale div n) * 15) div 100 + (85 * coalesce(contrib, 0)) div 100").as("r"))
+        .localCheckpoint()
+    }
+    val label = when(col("node") % 2 === 0, concat(lit("c:"), expr("node div 2").cast("string")))
+      .otherwise(concat(lit("s:"), expr("(node - 1) div 2").cast("string")))
+    r.select(label.as("node"), col("r"))
+      .orderBy(col("r").desc, col("node"))
+      .limit(20)
+      .select(col("node"), col("r").as("rank_fp"),
+        round(col("r").cast("double") / Scale, 8).as("rank_r"))
+  }
+
+  private val n2Sql = {
+    val iters = (1 to Iters).map { i =>
+      val prev = s"wr${i - 1}"
+      s"""ws$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(sum(($prev.r // deg.wout) * e.w + (($prev.r % deg.wout) * e.w) // deg.wout) AS BIGINT) AS contrib
+         |  FROM $prev JOIN deg ON $prev.node = deg.src
+         |  JOIN edges e ON e.src = $prev.node
+         |  GROUP BY e.dst
+         |), wr$i AS (
+         |  SELECT nodes.node,
+         |    (($Scale // n) * 15) // 100 + (85 * coalesce(ws$i.contrib, 0)) // 100 AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN ws$i ON ws$i.node = nodes.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+       |    's:' || CAST(l_suppkey AS VARCHAR) AS dst,
+       |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT src, dst, w FROM pairs UNION ALL SELECT dst, src, w FROM pairs
+       |), deg AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src
+       |), nodes AS (
+       |  SELECT DISTINCT src AS node FROM edges
+       |), nn AS (SELECT count(*) AS n FROM nodes),
+       |wr0 AS (SELECT node, $Scale // n AS r FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT node, r AS rank_fp, round(CAST(r AS DOUBLE) / $Scale, 8) AS rank_r
+       |FROM wr$Iters
+       |ORDER BY r DESC, node
+       |LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "n1_pagerank" -> n1PageRank _)
+    "n1_pagerank" -> n1PageRank _,
+    "n2_weighted_pagerank" -> n2WeightedPageRank _)
 
   val oracles: Map[String, String] = Map(
-    "n1_pagerank" -> n1Sql)
+    "n1_pagerank" -> n1Sql,
+    "n2_weighted_pagerank" -> n2Sql)
 }

@@ -219,6 +219,21 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("n2 weighted ranks are deterministic and weight-sensitive") {
+    val n2 = GraphOps.queries("n2_weighted_pagerank")(spark, sf).collect()
+      .map(r => (r.getAs[String]("node"), r.getAs[Long]("rank_fp")))
+    assert(n2.length === 20)
+    n2.foreach { case (_, fp) => assert(fp > 0 && fp < 1000000000000L) }
+    val again = GraphOps.queries("n2_weighted_pagerank")(spark, sf).collect()
+      .map(r => (r.getAs[String]("node"), r.getAs[Long]("rank_fp")))
+    assert(n2.toSeq === again.toSeq)
+    // revenue weighting must actually change the rank vector vs n1's
+    // uniform-weight fixed point (same damping, same iterations)
+    val n1 = GraphOps.queries("n1_pagerank")(spark, sf).collect()
+      .map(r => (r.getAs[String]("node"), r.getAs[Long]("rank_fp")))
+    assert(n1.toSeq !== n2.toSeq, "weights had no effect on the top-20 ranks")
+  }
+
   test("ArtifactCache memoizes per (session, dir) and invalidate forces a rebuild") {
     var builds = 0
     def build = { builds += 1; spark.range(3).toDF("x") }
