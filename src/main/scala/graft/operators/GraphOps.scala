@@ -40,10 +40,10 @@ object GraphOps {
     // labels only materialize in the final 20-row projection. The mapping is
     // bijective, so pair cardinalities and degrees match the string-keyed
     // oracle exactly.
-    val pairs = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    // derived from the cached weighted-pair frame n2 shares: grouping keys
+    // ARE the distinct pairs, so dropping w is n1's exact input and the
+    // orders x lineitem pass runs once for both graph queries
+    val pairs = weightedPairs(s, d).select("src", "dst")
     // the customer/supplier id spaces are disjoint, so the union of two
     // distinct sets is already distinct — no second dedup shuffle. The
     // cached edge frame coalesces to a few fat partitions: each iteration
@@ -132,11 +132,19 @@ object GraphOps {
   // node, w ~ 1e7; at larger corpora re-scale weights, the formula is
   // scale-free). Edge weights are integer CENTS via the DECIMAL(18,2) cast —
   // no double rounding anywhere, so both engines agree bit-for-bit.
-  private def n2WeightedPageRank(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.orders(s, d)
+  /** (src, dst, w): one weighted edge per trading pair — integer cents via
+    * the DECIMAL(18,2) cast. Cached and shared: n1 projects the keys (the
+    * group keys ARE its distinct pairs), n2 consumes the weights.
+    */
+  private def weightedPairs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .agg(expr("CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT)").as("w"))
+      .cache()
+
+  private def n2WeightedPageRank(s: SparkSession, d: String): DataFrame = {
+    val pairs = weightedPairs(s, d)
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .coalesce(8).cache()
     val nodesDeg = edges.groupBy(col("src").as("node"))
