@@ -35,6 +35,8 @@ object ScaleProbe {
       runEmbed(if (args.length > 1) args(1).toInt else 200000)
     else if (args.headOption.contains("docs"))
       runDocs(if (args.length > 1) args(1).toInt else 50000)
+    else if (args.headOption.contains("graph"))
+      runGraph(if (args.length > 1) args(1).toInt else 1500000)
     else
       runJoinKernel(
         if (args.nonEmpty) args(0).toInt else 10000,
@@ -148,6 +150,52 @@ object ScaleProbe {
       "c2_canonical_keep", "t11_temp_sample").map(time)
     val parts = results.map { case (nm, sec, rows) => s""""$nm":{"sec":$sec,"rows":$rows}""" }
     println(s"""{"probe":"docs_scale","n":$n,"shuffle_total_mb":${shuffleTotal.get() / 1e6},${parts.mkString(",")}}""")
+  }
+
+  // ---------------------------------------------------------------------------
+  // Mode 5 — TRANSACTION GRAPH AT 10x the bench SF: synthesizes nOrders
+  // orders x 4 lineitems (~8x bidirected edges after pair-dedup) over a
+  // sqrt(|edges|)-sized node population — the bipartite shape n1/n2 assume —
+  // and drives the PUBLIC PageRank queries, reporting wall and shuffle bytes.
+  // The claim under test: per-iteration cost is one map-side-combined
+  // shuffle of node-sized frames; edges scan from cache, never reshuffle.
+  private def runGraph(nOrders: Int): Unit = {
+    val spark = session()
+    val dir = s"/tmp/graft_scaleprobe_graph_$nOrders"
+    val marker = Paths.get(dir, "_done")
+    if (!Files.exists(marker)) {
+      val nCust = math.max(64, math.sqrt(nOrders.toDouble).toInt)
+      val nSupp = nCust
+      spark.range(nOrders).select(col("id").as("o_orderkey"),
+          expr(s"1 + pmod(xxhash64(id, 1), $nCust)").as("o_custkey"))
+        .coalesce(8).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      spark.range(nOrders).select(col("id"),
+          explode(expr("sequence(0, 3)")).as("ln"))
+        .select(col("id").as("l_orderkey"),
+          expr(s"1 + pmod(xxhash64(id, ln + 2), $nSupp)").as("l_suppkey"),
+          // revenue weight for n2: deterministic 2-decimal price
+          expr("CAST(pmod(xxhash64(id, ln + 11), 99000) + 1000 AS DOUBLE) / 100.0").as("l_extendedprice"))
+        .coalesce(8).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      Files.createFile(marker)
+    }
+    val shuffleTotal = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleTotal.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def time(name: String): (String, Double, Long) = {
+      val before = shuffleTotal.get()
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = df.count()
+      println(f"""[graph-probe] $name rows=$rows sec=$sec%.1f shuffle_mb=${(shuffleTotal.get() - before) / 1e6}%.1f""")
+      (name, sec, rows)
+    }
+    val results = Seq("n1_pagerank", "n2_weighted_pagerank").map(time)
+    val parts = results.map { case (nm, sec, rows) => s""""$nm":{"sec":$sec,"rows":$rows}""" }
+    println(s"""{"probe":"graph_scale","n_orders":$nOrders,"shuffle_total_mb":${shuffleTotal.get() / 1e6},${parts.mkString(",")}}""")
   }
 
   private def session(): SparkSession = {
