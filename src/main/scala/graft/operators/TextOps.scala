@@ -557,11 +557,59 @@ object TextOps {
        |    FROM documents))
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // t14 — corpus-statistics quality (the CCNet-family signal, log-free):
+  // per-document mean token document-frequency and rare-token fraction.
+  // Gibberish and boilerplate sit at the distribution's edges — a doc of
+  // tokens nobody else uses (low mean df) or of nothing but the corpus's
+  // most common tokens (high mean df, zero rare fraction) both get flagged
+  // by these two numbers, which is the perplexity proxy an LM-free pipeline
+  // uses. Engine-exact by construction: df counts are integers, each output
+  // is ONE double division of integers (no log, whose rounding is not
+  // reproducible across engines). Two passes like t9: the df table is
+  // (vocab)-sized and map-side combinable; the join back to occurrences
+  // shuffles on the token key — the standard inverted-index shape.
+  private def t14RarityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    toks.join(df, "tok")
+      .crossJoin(broadcast(nDocs))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("df")).as("df_sum"),
+        // rare = token present in < 5% of docs, in exact integer form
+        count(when(col("df") * 20 < col("n_docs"), 1)).as("n_rare"),
+        first(col("n_docs")).as("n_docs"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("df_sum").cast(DoubleType) / col("n_tokens") / col("n_docs"), 6)
+          .as("mean_df_frac_r"),
+        round(col("n_rare").cast(DoubleType) / col("n_tokens"), 6).as("rare_frac_r"))
+      .orderBy("doc_id")
+  }
+
+  private val t14Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |), df AS (
+      |  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+      |), nd AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id,
+      |  count(*) AS n_tokens,
+      |  round(CAST(CAST(sum(df) AS BIGINT) AS DOUBLE) / count(*) / any_value(n_docs), 6) AS mean_df_frac_r,
+      |  round(CAST(count(CASE WHEN df * 20 < n_docs THEN 1 END) AS DOUBLE) / count(*), 6) AS rare_frac_r
+      |FROM toks JOIN df USING (tok) CROSS JOIN nd
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_feature_hash" -> t10FeatureHash _,
     "t11_temp_sample"  -> t11TempSample _,
     "t12_seq_chunk"    -> t12SeqChunk _,
     "t13_pack"         -> t13Pack _,
+    "t14_rarity_score" -> t14RarityScore _,
     "t1_text_stats"  -> t1TextStats _,
     "t2_lang_id"     -> t2LangId _,
     "t3_fingerprint" -> t3Fingerprint _,
@@ -577,6 +625,7 @@ object TextOps {
     "t11_temp_sample"  -> t11Sql,
     "t12_seq_chunk"    -> t12Sql,
     "t13_pack"         -> t13Sql,
+    "t14_rarity_score" -> t14Sql,
     "t1_text_stats"  -> t1Sql,
     "t2_lang_id"     -> t2Sql,
     "t3_fingerprint" -> t3Sql,
