@@ -61,7 +61,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val cachedList = cachedTables.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":$calib,"cached_tables":$cachedList}""")
+    // per-artifact fit-once attribution: which query paid each shared
+    // artifact's build (alphabetical first consumer) and what it cost, so a
+    // "slow" first consumer (c2 paying d9's component labeling) is explained
+    // by the JSON itself rather than re-derived from plans each round
+    val artifacts = graft.operators.ArtifactCache.statsSnapshot.toSeq.sortBy(_._1)
+      .map { case (n, a) =>
+        s"\"" + n + s"\":{\"builds\":${a.builds},\"hits\":${a.hits},\"build_ms\":${a.buildMillis}}"
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":$calib,"cached_tables":$cachedList,"artifacts":$artifacts}""")
     spark.stop()
   }
 }

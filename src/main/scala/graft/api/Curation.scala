@@ -31,7 +31,12 @@ object Curation {
       evalModulus: Long = 100, // doc_id % m = 0 marks the held-out eval set
       samplePct: Int = 50,     // deterministic hash-sample keep percentage
       packSize: Int = 256,
-      packShards: Int = 16)
+      packShards: Int = 16,
+      // DoReMi-style domain-mixture targets (t15): source -> target weight.
+      // Empty = no mixing stage. Non-empty: each source subsamples at
+      // min(1, (w/n) * min(n/w)) so the realized mixture matches the
+      // proportions; sources absent from the map are dropped entirely.
+      domainTargets: Map[String, Double] = Map.empty)
 
   final case class Result(ledger: DataFrame, snapshot: DataFrame, packs: DataFrame)
 
@@ -70,7 +75,19 @@ object Curation {
         floor(sqrt(col("min_n").cast(DoubleType) / col("n_docs")) * 1000000L)
           .cast(LongType).as("rate_ppm"))
 
-    val ledger = docs.select("doc_id", "lang")
+    // domain-mixture rates (t15's broadcast-rate-table shape) — identity
+    // gate when no targets are configured
+    val mixed =
+      if (cfg.domainTargets.isEmpty)
+        docs.select("doc_id", "lang").withColumn("mix_kept", lit(true))
+      else
+        docs.select("doc_id", "lang", "source")
+          .join(broadcast(TextOps.domainMixRates(docs, cfg.domainTargets)
+            .select("source", "rate_ppm")), "source")
+          .withColumn("mix_kept", TextOps.domainMixKeep(spark))
+          .select("doc_id", "lang", "mix_kept")
+
+    val ledger = mixed
       .join(quality, "doc_id")
       .join(keepers, "doc_id").join(keeperIds, "fp")
       .join(contaminated, Seq("doc_id"), "left")
@@ -87,9 +104,9 @@ object Curation {
           < col("rate_ppm"))
       .withColumn("kept",
         col("q_pass") && col("is_keeper") && col("clean") && col("canonical") &&
-          col("sampled") && col("temp_kept") && !col("is_eval"))
+          col("sampled") && col("temp_kept") && col("mix_kept") && !col("is_eval"))
       .select("doc_id", "lang", "quality", "q_pass", "is_keeper", "clean",
-        "canonical", "sampled", "temp_kept", "is_eval", "kept")
+        "canonical", "sampled", "temp_kept", "mix_kept", "is_eval", "kept")
 
     val snapshot = docs.join(ledger.where(col("kept")).select("doc_id"), "doc_id")
 

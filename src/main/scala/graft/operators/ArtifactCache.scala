@@ -24,13 +24,53 @@ object ArtifactCache {
   private val caches =
     TrieMap[String, TrieMap[(SparkSession, String), DataFrame]]()
 
+  /** Per-artifact observability: how often the fit ran vs was served from
+    * the memo, and what the build closure cost. Build time covers the
+    * closure only — eager builders (d9's labeled components, the Lloyd
+    * assignment) are fully attributed here, while lazy-cached plans charge
+    * materialization to their first consumer (Bench surfaces both so that
+    * attribution is visible rather than inferred).
+    */
+  final case class ArtifactStats(builds: Long, hits: Long, buildMillis: Long)
+  private val stats = TrieMap[String, ArtifactStats]()
+  private def record(name: String, isBuild: Boolean, millis: Long): Unit = {
+    val _ = stats.updateWith(name) {
+      case Some(a) if isBuild => Some(a.copy(builds = a.builds + 1, buildMillis = a.buildMillis + millis))
+      case Some(a) => Some(a.copy(hits = a.hits + 1))
+      case None if isBuild => Some(ArtifactStats(1, 0, millis))
+      case None => Some(ArtifactStats(0, 1, 0))
+    }
+  }
+
+  /** Snapshot of per-artifact build/hit counters since the last reset. */
+  def statsSnapshot: Map[String, ArtifactStats] = stats.toMap
+  def resetStats(): Unit = stats.clear()
+
   /** Memoize `build` under (`name`, session, dataset dir). `build` runs at
     * most once per live key; the produced frame is expected to be cached by
     * the builder (unpersist happens on invalidation).
     */
   def getOrElseUpdate(name: String, s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
     reapStopped()
-    caches.getOrElseUpdate(name, TrieMap.empty).getOrElseUpdate((s, d), build)
+    val slot = caches.getOrElseUpdate(name, TrieMap.empty)
+    slot.get((s, d)) match {
+      case Some(df) =>
+        record(name, isBuild = false, 0)
+        df
+      case None =>
+        // TrieMap.getOrElseUpdate still runs `build` at most once per key
+        // under a race; the flag tells losers apart so they count as hits
+        var built = false
+        val df = slot.getOrElseUpdate((s, d), {
+          val t0 = System.nanoTime()
+          val b = build
+          built = true
+          record(name, isBuild = true, (System.nanoTime() - t0) / 1000000)
+          b
+        })
+        if (!built) record(name, isBuild = false, 0)
+        df
+    }
   }
 
   /** Drop (and unpersist) every cached artifact for the dataset under `d` in

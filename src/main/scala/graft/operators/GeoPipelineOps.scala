@@ -184,6 +184,42 @@ object GeoPipelineOps {
        |     JOIN rain r ON g.basinID = r.basinID
        |ORDER BY basin_id""".stripMargin
 
+  /** g3 — the cellMap export itself, hash-pinned per (basin, cell): clip
+    * area, full cell area and the normalized weight each cell contributes
+    * to its basin's series (geotools.py:215-219,262 — the per-cell
+    * intersection areas and area-fraction weights). g2 checks per-basin
+    * AGGREGATES of this frame; g3 closes the remaining oracle-free inches
+    * by pinning every exported per-cell value — any drift in the clip
+    * kernel's output now breaks a DuckDB hash, not just a ScalaTest golden.
+    * Same parity rules as g2: the weight denominator sums as
+    * DECIMAL(38,18) so per-cell weights are bit-identical before the final
+    * round; areas round at 6 (they are O(1e6) m^2), weights at 12.
+    */
+  private def g3CellWeights(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ensureExports(s)
+    val cm = s.read.parquet(cellMapExport)
+    val den = cm.groupBy("basinID")
+      .agg(sum(col("clip_area").cast("decimal(38,18)")).cast("double").as("den"))
+    cm.join(den, "basinID")
+      .select(col("basinID").as("basin_id"), col("row"), col("col"),
+        round(col("clip_area"), 6).as("clip_area_r"),
+        round(col("cell_area"), 6).as("cell_area_r"),
+        round(col("clip_area") / col("den"), 12).as("wgt_r"))
+      .orderBy("basin_id", "row", "col")
+  }
+
+  private val g3Sql =
+    s"""WITH cm AS (SELECT * FROM read_parquet('$cellMapExport/*.parquet')),
+       |den AS (SELECT basinID, CAST(sum(CAST(clip_area AS DECIMAL(38,18))) AS DOUBLE) AS den
+       |        FROM cm GROUP BY basinID)
+       |SELECT c.basinID AS basin_id, c.row, c.col,
+       |  round(c.clip_area, 6) AS clip_area_r,
+       |  round(c.cell_area, 6) AS cell_area_r,
+       |  round(c.clip_area / d.den, 12) AS wgt_r
+       |FROM cm c JOIN den d ON c.basinID = d.basinID
+       |ORDER BY basin_id, row, col""".stripMargin
+
   /** qf1 — quirk Q1 (maskNodata=false) as a SQL-checkable per-basin delta:
     * from the SAME exported window, both engines compute the gate-free
     * weighted rain total twice — sane (nodata -> NULL, skipped by sum) and
@@ -260,6 +296,7 @@ object GeoPipelineOps {
     if (Files.exists(Paths.get(s"$examples/einzugsgebiet.shp")))
       Map("g1_radohydro_pipeline" -> g1Radohydro _,
           "g2_pipeline_invariants" -> g2Invariants _,
+          "g3_cell_weights" -> g3CellWeights _,
           "qf1_nodata_delta" -> qf1NodataDelta _,
           "qf2_zfill_width" -> qf2ZfillWidth _)
     else Map.empty
@@ -267,6 +304,7 @@ object GeoPipelineOps {
   val oracles: Map[String, String] =
     if (Files.exists(Paths.get(s"$examples/einzugsgebiet.shp")))
       Map("g2_pipeline_invariants" -> g2Sql, // g1 itself: ScalaTest goldens
+          "g3_cell_weights" -> g3Sql,
           "qf1_nodata_delta" -> qf1Sql,
           "qf2_zfill_width" -> qf2Sql)
     else Map.empty

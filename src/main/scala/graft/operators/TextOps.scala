@@ -604,7 +604,87 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // t15 — domain-mixture weighting (the DoReMi-style knob: Xie et al. 2023
+  // fit per-domain target proportions; this is the serving half that CUTS a
+  // corpus to given proportions): each source s has a target weight w_s,
+  // and the keep rate r_s = min(1, (w_s/n_s) * min_t(n_t/w_t)) subsamples
+  // every source so the realized mixture matches the targets while the
+  // binding (scarcest-relative-to-target) source keeps all its docs — the
+  // maximal corpus achievable by subsampling alone. Targets here derive
+  // deterministically from the source id (1 + digits % 4), standing in for
+  // an externally fitted table; the Curation API takes the real map.
+  // SCALE SHAPE identical to t11: the rate table is source-cardinality
+  // (tiny) and BROADCASTS, the ppm keep-gate runs inside the scan via the
+  // portable hash, the corpus never shuffles. All divisions are IEEE
+  // double ops evaluated in the same order in both engines; the rate lands
+  // as an integer ppm threshold, so the kept set is engine-exact.
+  private val MixPpm = 1000000L
+
+  private def t15DomainMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("target_w",
+        regexp_replace(col("source"), "[^0-9]", "").cast(LongType) % 4 + 1)
+    val m = counts
+      .agg(min(col("n_docs").cast(DoubleType) / col("target_w").cast(DoubleType)).as("m"))
+    val rates = counts.crossJoin(broadcast(m))
+      .withColumn("rate_ppm",
+        floor(least(lit(1.0),
+          col("target_w").cast(DoubleType) / col("n_docs").cast(DoubleType) * col("m"))
+          * MixPpm).cast(LongType))
+    docs.select("doc_id", "source")
+      .join(broadcast(rates.select("source", "n_docs", "target_w", "rate_ppm")), "source")
+      .where(hash60F(s, concat(lit("t15:"), col("doc_id").cast(StringType))) % MixPpm
+        < col("rate_ppm"))
+      .select("doc_id", "source", "n_docs", "target_w", "rate_ppm")
+      .orderBy("doc_id")
+  }
+
+  private val t15Sql =
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 4 + 1 AS target_w
+       |  FROM documents GROUP BY source
+       |), m AS (
+       |  SELECT min(CAST(n_docs AS DOUBLE) / CAST(target_w AS DOUBLE)) AS m FROM counts
+       |), rates AS (
+       |  SELECT source, n_docs, target_w,
+       |    CAST(floor(least(1.0, CAST(target_w AS DOUBLE) / CAST(n_docs AS DOUBLE) * m.m) * $MixPpm) AS BIGINT) AS rate_ppm
+       |  FROM counts CROSS JOIN m
+       |)
+       |SELECT d.doc_id, d.source, r.n_docs, r.target_w, r.rate_ppm
+       |FROM documents d JOIN rates r USING (source)
+       |WHERE ${hash60Sql("'t15:' || CAST(doc_id AS VARCHAR)")} % $MixPpm < r.rate_ppm
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The t15 rate table for an EXPLICIT target-proportion map (the Curation
+    * API's domain-mixture knob): (source, n_docs, target_w, rate_ppm) with
+    * the same min(1, (w/n) * min(n/w)) subsampling-maximal rates. Sources
+    * absent from `targets` get weight 0 → rate 0 (dropped).
+    */
+  def domainMixRates(docs: DataFrame, targets: Map[String, Double]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tw = targets.toSeq.toDF("source", "target_w")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(tw), Seq("source"), "left")
+      .withColumn("target_w", coalesce(col("target_w"), lit(0.0)))
+    val m = counts.where(col("target_w") > 0)
+      .agg(min(col("n_docs").cast(DoubleType) / col("target_w")).as("m"))
+    counts.crossJoin(broadcast(m))
+      .withColumn("rate_ppm",
+        floor(least(lit(1.0), col("target_w") / col("n_docs").cast(DoubleType) * col("m"))
+          * MixPpm).cast(LongType))
+      .select("source", "n_docs", "target_w", "rate_ppm")
+  }
+
+  /** ppm keep-gate twin of the t15 WHERE clause, for API composition. */
+  def domainMixKeep(s: SparkSession): org.apache.spark.sql.Column =
+    hash60F(s, concat(lit("t15:"), col("doc_id").cast(StringType))) % MixPpm < col("rate_ppm")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_domain_mix"   -> t15DomainMix _,
     "t10_feature_hash" -> t10FeatureHash _,
     "t11_temp_sample"  -> t11TempSample _,
     "t12_seq_chunk"    -> t12SeqChunk _,
@@ -621,6 +701,7 @@ object TextOps {
     "t9_tfidf"              -> t9Tfidf _)
 
   val oracles: Map[String, String] = Map(
+    "t15_domain_mix"   -> t15Sql,
     "t10_feature_hash" -> t10Sql,
     "t11_temp_sample"  -> t11Sql,
     "t12_seq_chunk"    -> t12Sql,

@@ -152,6 +152,15 @@ object StreamOps {
       // as in any streaming accumulator)
       val out = rows.toArray.sortBy(_.event_id).map { e =>
         n += 1
+        // BigDecimal.valueOf mirrors Spark's own DOUBLE->DECIMAL cast
+        // (shortest-decimal-string before HALF_UP), which is what makes the
+        // batch twin agree; engines that round the exact binary value
+        // instead (DuckDB's cast) agree only when values are representable
+        // at <= 6 decimals — true of the cents-valued fixtures here. The
+        // bit-for-bit claim below additionally needs per-user |micros| to
+        // stay under 2^53 (~9e9 value units), else micros/1e6 is no longer
+        // a correctly-rounded double. Adversarial distributions outside
+        // those bounds should accumulate from a decimal read of the column.
         micros += java.math.BigDecimal.valueOf(e.value)
           .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
         // micros/1e6 and DECIMAL(_,6)->DOUBLE are both correctly-rounded
@@ -165,6 +174,16 @@ object StreamOps {
 
   /** Running totals via transformWithState; works on a batch OR streaming
     * frame with (user_id, event_id, value) columns.
+    *
+    * SESSION-WIDE SIDE EFFECT: this sets the session's state-store provider
+    * to RocksDB and leaves it set — transformWithState requires it, and the
+    * returned Dataset executes lazily, so a set/restore scope around plan
+    * construction would be gone by execution time. Any later stateful query
+    * in the same session runs on RocksDB too; a query restarting from an
+    * HDFS-backed state checkpoint must restore the provider itself (the two
+    * providers' checkpoint layouts are incompatible). The provider is only
+    * written when it differs, so a session already pinned to RocksDB is
+    * untouched.
     */
   def runningTotals(events: DataFrame): Dataset[RunningTotal] = {
     import org.apache.spark.sql.streaming.TimeMode
@@ -172,8 +191,9 @@ object StreamOps {
     // transformWithState requires the RocksDB provider (the HDFS-backed
     // store lacks the multi-column-family layout its typed state handles
     // use); semantics of the other stateful ops are provider-independent
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocksDb = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    if (!s.conf.getOption(providerKey).contains(rocksDb)) s.conf.set(providerKey, rocksDb)
     // batch-mode state stores still report to the driver's
     // StateStoreCoordinator RPC endpoint, which only the
     // StreamingQueryManager instantiates — touch it so a pure-batch

@@ -45,7 +45,7 @@ object ScaleProbe {
   // ---------------------------------------------------------------------------
   // Mode 3 — EMBEDDING OPERATORS AT 100-400x the verify corpus: synthesizes
   // n 64-dim vectors (xxhash64-mixed, deterministic — a different generator
-  // than SimilaritySpec's splitmix64 docs corpus), writes them as a
+  // than SimilaritySpec's splitmix64 vector fixture), writes them as a
   // standalone embeddings.parquet, and drives the PUBLIC query surface —
   // d8 (corpus-scaled-key LSH dedup + whale cap), s3/e2 (trained sqrt-n IVF
   // quantizer with sampled training, shared ranking cache), s5 (PQ) —

@@ -22,8 +22,10 @@ class CurationApiSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("q_pass") && r.getAs[Boolean]("is_keeper") &&
         r.getAs[Boolean]("clean") && r.getAs[Boolean]("canonical") &&
         r.getAs[Boolean]("sampled") && r.getAs[Boolean]("temp_kept") &&
-        !r.getAs[Boolean]("is_eval"))
+        r.getAs[Boolean]("mix_kept") && !r.getAs[Boolean]("is_eval"))
     }
+    // no domainTargets configured -> the mixing stage is an identity gate
+    assert(rows.forall(_.getAs[Boolean]("mix_kept")))
     val kept = rows.filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("doc_id")).toSet
     assert(kept.nonEmpty, "a snapshot that keeps nothing is a config bug")
     val snapIds = result.snapshot.select("doc_id").collect().map(_.getLong(0)).toSet
@@ -43,6 +45,34 @@ class CurationApiSpec extends AnyFunSuite {
       assert(qPass === t5(id), s"q_pass drift for doc $id")
       assert(canon === c2(id), s"canonical drift for doc $id")
     }
+  }
+
+  test("domain-mixture knob drops unlisted sources and gates listed ones at t15 rates") {
+    val targets = Map("src1" -> 3.0, "src2" -> 1.0)
+    val mixed = Curation.run(spark, sf, Curation.Config(domainTargets = targets))
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val ledger = mixed.ledger.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("mix_kept")).toMap
+    // every unlisted source gets rate 0 -> mix_kept false everywhere
+    ledger.foreach { case (id, kept) =>
+      if (!targets.contains(docs(id))) assert(!kept, s"unlisted-source doc $id kept")
+    }
+    // the listed sources' gates replicate the broadcast rate table exactly
+    val rates = graft.operators.TextOps
+      .domainMixRates(graft.Tables.documents(spark, sf), targets)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("rate_ppm")).toMap
+    // src1 asks for 3x src2's share of equal-sized sources: src1 is binding
+    // (keeps all, rate = 1e6) and src2 subsamples to a third
+    assert(rates("src1") === 1000000L)
+    assert(rates("src2") === 333333L)
+    val keptBySource = ledger.toSeq.filter(_._2).groupBy(kv => docs(kv._1)).map {
+      case (s, kvs) => s -> kvs.size
+    }
+    assert(keptBySource.keySet === Set("src1", "src2"))
+    // realized mixture tracks the 3:1 target on the ppm-gated hash sample
+    assert(keptBySource("src1") > keptBySource("src2"))
   }
 
   test("packs lay the kept snapshot out gapless per shard") {

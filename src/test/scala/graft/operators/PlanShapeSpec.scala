@@ -109,7 +109,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // everything before the first InMemoryRelation — is inspected.)
     assert(plan.contains("BroadcastHashJoin [cell"),
       s"probe set must broadcast-join on cell, plan was:\n$plan")
-    val live = plan.substring(0, plan.indexOf("InMemoryRelation"))
+    val cacheBoundary = plan.indexOf("InMemoryRelation")
+    assert(cacheBoundary >= 0,
+      s"s7 plan no longer reads the memoized ranking as an InMemoryRelation, plan was:\n$plan")
+    val live = plan.substring(0, cacheBoundary)
     assert(!live.contains("SortMergeJoin") && !live.contains("BroadcastNestedLoopJoin") &&
       !live.contains("CartesianProduct"),
       s"ADC must never degenerate to an unbounded pair scan, plan was:\n$plan")
