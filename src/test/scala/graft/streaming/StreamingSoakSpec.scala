@@ -89,7 +89,7 @@ class StreamingSoakSpec extends AnyFunSuite {
         // independent of how many events streamed through
         val usersSoFar = spark.read.parquet(cutPaths(cut): _*)
           .select("user_id").distinct().count()
-        val stateRows = q.lastProgress.stateOperators.asScala.map(_.numRowsTotal).sum
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
         assert(stateRows === usersSoFar,
           s"cut $cut: $stateRows state rows for $usersSoFar users")
       }
@@ -137,7 +137,7 @@ class StreamingSoakSpec extends AnyFunSuite {
         // bounded state: one open-session list per user ever seen
         val usersSoFar = spark.read.parquet(cutPaths(cut): _*)
           .select("user_id").distinct().count()
-        val stateRows = q.lastProgress.stateOperators.asScala.map(_.numRowsTotal).sum
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
         assert(stateRows === usersSoFar,
           s"cut $cut: $stateRows state rows for $usersSoFar users")
       }
