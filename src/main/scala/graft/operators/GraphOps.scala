@@ -35,16 +35,28 @@ object GraphOps {
   private val Iters = 3
 
   /** Edge-frame partition target: follows the edge volume instead of a
-    * fixed ceiling. ~1M edges (two or three BIGINTs each, so ~25 MB) per
-    * partition keeps per-task scheduling overhead negligible at bench SF
-    * (small counts coalesce to a few fat partitions, as before) while a
-    * real edge volume fans out linearly — 1B edges → 1000 partitions, no
-    * 8-partition cap.
+    * fixed ceiling. Two regimes: BELOW ~1M edges/core the binding concern
+    * is keeping every core busy across the per-iteration edge scans, so
+    * the count rises to the core count as soon as there are >=100k edges
+    * per core to justify the task overhead (at bench SF with 32 cores
+    * this lands on the formerly hand-tuned 8); ABOVE it, the count follows
+    * the volume at ~1M edges (~25 MB of BIGINT pairs) per partition — 1B
+    * edges → 1000 partitions, no cap.
     */
-  private val EdgesPerPartition = 1000000L
-  private def edgePartitions(edgeCount: Long): Int =
-    math.max(1L, (edgeCount + EdgesPerPartition - 1) / EdgesPerPartition)
-      .min(Int.MaxValue.toLong).toInt
+  private def edgePartitions(edgeCount: Long, cores: Int): Int = {
+    val byVolume = (edgeCount + 999999L) / 1000000L
+    val coreFloor = math.min(cores.toLong, math.max(1L, edgeCount / 100000L))
+    math.max(byVolume, coreFloor).min(Int.MaxValue.toLong).toInt
+  }
+
+  private def edgePartitions(s: SparkSession, edgeCount: Long): Int =
+    edgePartitions(edgeCount, s.sparkContext.defaultParallelism)
+
+  /** The edge-frame partition count n1/n2 would use on this dataset —
+    * ScaleProbe's graph mode reports it as the no-fixed-ceiling evidence.
+    */
+  private[graft] def probeEdgePartitions(s: SparkSession, d: String): Int =
+    edgePartitions(s, 2 * weightedPairs(s, d).count())
 
   /** Build the cached bidirected edge frame and the node-level
     * degree+graph-size frame n1 and the convergent twin iterate over.
@@ -70,7 +82,7 @@ object GraphOps {
     // iteration re-scans it, and at bench row counts per-task scheduling
     // would otherwise dominate the round.
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .coalesce(edgePartitions(nEdges)).cache()
+      .coalesce(edgePartitions(s, nEdges)).cache()
     // one static node-level frame carries degree AND graph size, so each
     // iteration is exactly two broadcasts (shares out, contributions back)
     // around the round's single map-side-combined shuffle
@@ -220,7 +232,7 @@ object GraphOps {
     val pairs = weightedPairs(s, d)
     val nEdges = 2 * pairs.count()
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .coalesce(edgePartitions(nEdges)).cache()
+      .coalesce(edgePartitions(s, nEdges)).cache()
     val nodesDeg = edges.groupBy(col("src").as("node"))
       .agg(sum(col("w")).as("wout"))
       .crossJoin(broadcast(edges.select(col("src")).distinct().agg(count(lit(1)).as("n"))))

@@ -1,6 +1,7 @@
 package graft.tools
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -37,6 +38,8 @@ object ScaleProbe {
       runDocs(if (args.length > 1) args(1).toInt else 50000)
     else if (args.headOption.contains("graph"))
       runGraph(if (args.length > 1) args(1).toInt else 1500000)
+    else if (args.headOption.contains("skew"))
+      runSkew(if (args.length > 1) args(1).toInt else 6000000)
     else
       runJoinKernel(
         if (args.nonEmpty) args(0).toInt else 10000,
@@ -194,8 +197,106 @@ object ScaleProbe {
       (name, sec, rows)
     }
     val results = Seq("n1_pagerank", "n2_weighted_pagerank").map(time)
+    // the volume-derived partition count (no fixed ceiling: grows past 8
+    // once the bidirected edge list clears 8M rows)
+    val edgeParts = graft.operators.GraphOps.probeEdgePartitions(spark, dir)
     val parts = results.map { case (nm, sec, rows) => s""""$nm":{"sec":$sec,"rows":$rows}""" }
-    println(s"""{"probe":"graph_scale","n_orders":$nOrders,"shuffle_total_mb":${shuffleTotal.get() / 1e6},${parts.mkString(",")}}""")
+    println(s"""{"probe":"graph_scale","n_orders":$nOrders,"edge_partitions":$edgeParts,"shuffle_total_mb":${shuffleTotal.get() / 1e6},${parts.mkString(",")}}""")
+  }
+
+  // ---------------------------------------------------------------------------
+  // Mode 6 — ADVERSARIAL SKEW AT 100x the verify corpus: synthesizes a
+  // lineitem where ONE key ('R') holds 50% of all rows (the verify corpus's
+  // returnflag split is benign ~25/25/50 over three keys; this is the
+  // pathological single-whale case the salting family exists for) and
+  // drives the PUBLIC a8/j8 salted queries. Recorded evidence:
+  //  - per-(flag, salt) bucket row counts: the whale's 16 buckets must be
+  //    even (max/min near 1), i.e. the salt actually shatters the whale;
+  //  - per-task durations of the heaviest shuffle-write stage (phase-1
+  //    partial agg): an even spread means no task is the whale's hostage;
+  //  - bit-equality of the salted results against the UNSALTED plans on
+  //    the same data (the oracle-green property, re-proven under skew).
+  private def runSkew(nRows: Int): Unit = {
+    val spark = session()
+    val dir = s"/tmp/graft_scaleprobe_skew_$nRows"
+    val marker = Paths.get(dir, "_done")
+    if (!Files.exists(marker)) {
+      // id % 2 == 0 -> 'R': exactly half the corpus on one key
+      spark.range(nRows).select(
+          col("id").as("l_orderkey"),
+          (col("id") % 7).cast("int").as("l_linenumber"),
+          expr("CASE WHEN id % 2 = 0 THEN 'R' WHEN id % 4 = 1 THEN 'A' ELSE 'N' END")
+            .as("l_returnflag"),
+          expr("CAST(pmod(xxhash64(id, 3), 50) + 1 AS DOUBLE)").as("l_quantity"),
+          expr("CAST(pmod(xxhash64(id, 5), 99000) + 1000 AS DOUBLE) / 100.0")
+            .as("l_extendedprice"))
+        .coalesce(16)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      Files.createFile(marker)
+    }
+
+    // per-stage shuffle write + task durations (to find the phase-1 stage
+    // and show its tasks are evenly sized)
+    val stageShuffle = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageTasks =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.util.List[Long]]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val _ = stageShuffle.put(sc.stageInfo.stageId,
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        stageTasks
+          .computeIfAbsent(te.stageId,
+            _ => java.util.Collections.synchronizedList(new java.util.ArrayList[Long]()))
+          .add(te.taskInfo.duration)
+        ()
+      }
+    })
+
+    // whale-bucket spread: the salt must shatter 'R' into 16 even buckets
+    val buckets = graft.Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16)))
+      .groupBy("l_returnflag", "salt").count()
+      .where(col("l_returnflag") === "R")
+      .agg(min("count").as("mn"), max("count").as("mx"))
+      .collect()(0)
+    val (bMin, bMax) = (buckets.getLong(0), buckets.getLong(1))
+
+    def run(name: String): (Double, Array[org.apache.spark.sql.Row]) = {
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries(name)(spark, dir).collect()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    stageShuffle.clear(); stageTasks.clear()
+    val (a8Sec, a8Rows) = run("a8_salted_agg")
+    // heaviest shuffle-write stage during a8 = the salted phase-1 partials
+    val p1Stage = stageShuffle.asScala.maxBy(_._2)._1
+    val durs = stageTasks.get(p1Stage).asScala.toSeq.sorted
+    val (dMed, dMax) = (durs(durs.size / 2), durs.last)
+    val (j8Sec, j8Rows) = run("j8_salted_join")
+
+    // oracle-green under skew: salted plans stay bit-equal to unsalted
+    val a8Plain = graft.Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("price_sum"),
+        sum(col("l_quantity")).as("qty_sum"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect()
+    val a8Match = a8Rows.toSeq == a8Plain.toSeq
+    val j8Plain = {
+      import spark.implicits._
+      val dim = Seq(("R", "returned"), ("A", "ack"), ("N", "none")).toDF("flag", "flag_desc")
+      graft.Tables.lineitem(spark, dir)
+        .join(broadcast(dim), col("l_returnflag") === col("flag"))
+        .groupBy(col("flag_desc"))
+        .agg(sum(col("l_quantity")).as("qty_sum"), count(lit(1)).as("n"))
+        .orderBy("flag_desc").collect()
+    }
+    val j8Match = j8Rows.toSeq == j8Plain.toSeq
+
+    println(f"""{"probe":"skew_scale","n_rows":$nRows,"whale_share":0.5,"whale_bucket_min":$bMin,"whale_bucket_max":$bMax,"p1_task_ms_median":$dMed,"p1_task_ms_max":$dMax,"a8_sec":$a8Sec%.1f,"j8_sec":$j8Sec%.1f,"a8_match":$a8Match,"j8_match":$j8Match}""")
+    require(a8Match && j8Match, "salted results diverged from unsalted under skew")
+    spark.stop()
   }
 
   private def session(): SparkSession = {
