@@ -108,10 +108,19 @@ object Clustering {
        |)""".stripMargin
   }
 
-  /** Oracle twin of the centroid update inside [[kmeans]]. */
+  /** Oracle twin of the centroid update inside [[kmeans]].
+    *
+    * `materialized` emits an `AS MATERIALIZED` hint: DuckDB (1.0) inlines a
+    * CTE once PER REFERENCE, so a multiply-referenced trained-centroid CTE
+    * would re-execute its whole Lloyd chain for every consumer — at sf1
+    * (20k vectors, k=142) that re-execution spilled >79 GB in s7's oracle.
+    * The hint makes the oracle's cost linear in the corpus, mirroring how
+    * the Spark side memoizes trained artifacts (cache/ArtifactCache).
+    * Semantics are unchanged.
+    */
   private[operators] def updateCte(assignRel: String, out: String,
-      dims: Int = Dims): String =
-    s"""$out AS (
+      dims: Int = Dims, materialized: Boolean = false): String =
+    s"""$out AS ${if (materialized) "MATERIALIZED " else ""}(
        |  SELECT cid, list(m ORDER BY dim) AS c FROM (
        |    SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
        |    FROM (SELECT cid, r.range AS dim, v[r.range + 1] AS x
@@ -127,11 +136,12 @@ object Clustering {
   private[operators] def kmeansCtes(
       ctes: scala.collection.mutable.ListBuffer[String],
       vecsRel: String, cents0Rel: String, iters: Int, prefix: String,
-      dims: Int = Dims): String = {
+      dims: Int = Dims, materializeFinal: Boolean = false): String = {
     var cur = cents0Rel
     for (it <- 1 to iters) {
       ctes += assignCte(vecsRel, cur, s"${prefix}assign$it", dims)
-      ctes += updateCte(s"${prefix}assign$it", s"${prefix}cents$it", dims)
+      ctes += updateCte(s"${prefix}assign$it", s"${prefix}cents$it", dims,
+        materialized = materializeFinal && it == iters)
       cur = s"${prefix}cents$it"
     }
     cur
@@ -180,7 +190,7 @@ object Clustering {
 
   private val e1Sql = {
     val ctes = new scala.collection.mutable.ListBuffer[String]
-    ctes += s"""vecs AS (
+    ctes += s"""vecs AS MATERIALIZED (
                |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                |  FROM embeddings
                |)""".stripMargin
@@ -196,7 +206,7 @@ object Clustering {
 
   private val e3Sql = {
     val ctes = new scala.collection.mutable.ListBuffer[String]
-    ctes += s"""vecs AS (
+    ctes += s"""vecs AS MATERIALIZED (
                |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                |  FROM embeddings
                |)""".stripMargin

@@ -70,13 +70,13 @@ object CurationOps {
        |     least(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) / 10, 1.0) * 0.3
        |    ) >= 0.5 AS q_pass
        |  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
-       |), fps AS (
+       |), fps AS MATERIALIZED (
        |  SELECT doc_id, md5(${Dedup.duckNorm}) AS fp FROM documents
        |), keep AS (
        |  SELECT fp, min(doc_id) AS keeper_id FROM fps GROUP BY fp
        |), toks AS (
        |  SELECT doc_id, string_split(${Dedup.duckNorm}, ' ') AS toks FROM documents
-       |), sh AS (
+       |), sh AS MATERIALIZED (
        |  SELECT doc_id, unnest(list_transform(
        |    range(1, greatest(len(toks) - ${n - 1}, 1) + 1),
        |    i -> md5(array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')))) AS sh

@@ -175,9 +175,9 @@ object Dedup {
        |  SELECT doc_id, r.range AS k,
        |    min((($aList)[r.range + 1] * base + ($bList)[r.range + 1]) % 2147483647) AS mh
        |  FROM shingle, range(0, $LshNumHashes) r GROUP BY doc_id, r.range
-       |), sig AS (
+       |), sig AS MATERIALIZED (
        |  SELECT doc_id, list(mh ORDER BY k) AS sig FROM mh GROUP BY doc_id
-       |), bands AS (
+       |), bands AS MATERIALIZED (
        |  SELECT doc_id, r.range AS band_idx,
        |    CAST(('0x'||substr(md5(array_to_string(list_transform(sig[r.range * $LshBandSize + 1 : r.range * $LshBandSize + $LshBandSize], x -> CAST(x AS VARCHAR)), ',')),1,15)) AS BIGINT) AS band_hash
        |  FROM sig, range(0, $LshBands) r
@@ -291,9 +291,9 @@ object Dedup {
   private val SimhashBandMask = (1 << SimhashBandBits) - 1
 
   private val d7Sql =
-    s"""WITH sims AS (
+    s"""WITH sims AS MATERIALIZED (
        |  ${d4Sql.replace("ORDER BY doc_id", "")}
-       |), bands AS (
+       |), bands AS MATERIALIZED (
        |  SELECT doc_id, simhash, r.range AS band_idx,
        |    (simhash >> (r.range * $SimhashBandBits)) & $SimhashBandMask AS band_key
        |  FROM sims, range(0, 4) r
@@ -342,7 +342,7 @@ object Dedup {
 
   private val d5Sql =
     s"""WITH $lshCandSqlCtes,
-       |g AS (
+       |g AS MATERIALIZED (
        |  SELECT doc_id,
        |    CASE WHEN len(toks) < 3 THEN [] ELSE
        |      list_distinct(list_transform(range(1, len(toks)-1),
@@ -381,7 +381,7 @@ object Dedup {
   }
 
   private val d6Sql =
-    """WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+    """WITH ev AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_r
       |FROM ev a JOIN ev b ON a.vec_id < b.vec_id
@@ -445,7 +445,7 @@ object Dedup {
     s"""WITH ${Similarity.lshKeysSqlCtes},
       |whales AS (
       |  SELECT tbl, key FROM keyed GROUP BY tbl, key HAVING count(*) > $LshBucketCap
-      |), pruned AS (
+      |), pruned AS MATERIALIZED (
       |  SELECT k.* FROM keyed k LEFT JOIN whales w ON k.tbl = w.tbl AND k.key = w.key
       |  WHERE w.tbl IS NULL
       |), cand AS (
@@ -545,11 +545,11 @@ object Dedup {
     */
   private[operators] val d9CompSqlCtes: String =
     s"""$lshCandSqlCtes,
-       |dup AS (
+       |dup AS MATERIALIZED (
        |  SELECT c.doc_a, c.doc_b
        |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
        |  WHERE CAST(len(list_filter(range(1, ${LshNumHashes + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $LshNumHashes >= 0.7
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM dup
        |  UNION SELECT doc_b, doc_a FROM dup
        |), reach(src, dst) AS (

@@ -186,15 +186,15 @@ object GraphOps {
          |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.node = nodes.node
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
        |    's:' || CAST(l_suppkey AS VARCHAR) AS dst
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
-       |), nodes AS (
+       |), nodes AS MATERIALIZED (
        |  SELECT DISTINCT src AS node FROM edges
        |), nn AS (SELECT count(*) AS n FROM nodes),
        |r0 AS (SELECT node, $Scale // n AS r FROM nodes CROSS JOIN nn),
@@ -275,17 +275,17 @@ object GraphOps {
          |  FROM nodes CROSS JOIN nn LEFT JOIN ws$i ON ws$i.node = nodes.node
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
        |    's:' || CAST(l_suppkey AS VARCHAR) AS dst,
        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT) AS w
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |  GROUP BY 1, 2
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT src, dst, w FROM pairs UNION ALL SELECT dst, src, w FROM pairs
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src
-       |), nodes AS (
+       |), nodes AS MATERIALIZED (
        |  SELECT DISTINCT src AS node FROM edges
        |), nn AS (SELECT count(*) AS n FROM nodes),
        |wr0 AS (SELECT node, $Scale // n AS r FROM nodes CROSS JOIN nn),

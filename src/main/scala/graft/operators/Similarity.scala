@@ -70,7 +70,7 @@ object Similarity {
   }
 
   private val s1Sql =
-    s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+    s"""WITH ev AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
        |SELECT qid, rk, cid, cos_r FROM (
        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
        |    round(list_cosine_similarity(q.v, c.v), 6) AS cos_r,
@@ -118,10 +118,12 @@ object Similarity {
 
   /** Oracle CTE chain mirroring [[lshKeys]]: defines ev/params/planes/keyed.
     * DuckDB `//` floors and Spark `div` truncates, but every operand here is
-    * non-negative, so the arithmetic agrees.
+    * non-negative, so the arithmetic agrees. ev/keyed are multi-referenced
+    * downstream — MATERIALIZED so DuckDB's per-reference CTE inlining doesn't
+    * recompute the key derivation per consumer (see Clustering.updateCte).
     */
   private[operators] val lshKeysSqlCtes: String =
-    s"""ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    s"""ev AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |params AS (
        |  SELECT least($LshMaxBits, greatest($LshMinBits,
        |    length(bin((count(*) + ${LshTargetBucket - 1}) // $LshTargetBucket - 1)))) AS nbits
@@ -130,7 +132,7 @@ object Similarity {
        |  SELECT rn - 1 AS pid, pv, nbits FROM (
        |    SELECT v AS pv, nbits, row_number() OVER (ORDER BY vec_id) AS rn FROM ev, params)
        |  WHERE rn <= $LshTables * nbits
-       |), keyed AS (
+       |), keyed AS MATERIALIZED (
        |  SELECT e.vec_id, p.pid // p.nbits AS tbl,
        |    CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
        |      THEN (1::BIGINT << (p.pid % p.nbits)) ELSE 0 END) AS BIGINT) AS key
@@ -324,13 +326,13 @@ object Similarity {
     */
   /** Returns the final trained-cents relation name (for residual consumers). */
   private def rankedCtes(ctes: scala.collection.mutable.ListBuffer[String]): String = {
-    ctes += "vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    ctes += "vecs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
     ctes += s"""params AS (
                |  SELECT k, (count(*) + $TrainPerCell * k - 1) // ($TrainPerCell * k) AS rate
                |  FROM embeddings, (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k
                |                    FROM embeddings) GROUP BY k
                |)""".stripMargin
-    ctes += s"""train AS (
+    ctes += s"""train AS MATERIALIZED (
                |  SELECT vec_id, v, k FROM vecs, params
                |  WHERE rate <= 1 OR
                |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % rate = 0
@@ -340,9 +342,10 @@ object Similarity {
               |    SELECT vec_id, v, k, row_number() OVER (ORDER BY vec_id) AS rn FROM train)
               |  WHERE rn <= k
               |)""".stripMargin
-    val finalCents = Clustering.kmeansCtes(ctes, "train", "cents0", IvfIters, "ivf_")
+    val finalCents = Clustering.kmeansCtes(ctes, "train", "cents0", IvfIters, "ivf_",
+      materializeFinal = true)
     val dist = s"list_sum(list_transform(range(1, ${Clustering.Dims + 1}), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))"
-    ctes += s"""ranked AS (
+    ctes += s"""ranked AS MATERIALIZED (
                |  SELECT e.vec_id, e.v, c.cid AS cell,
                |    row_number() OVER (PARTITION BY e.vec_id
                |      ORDER BY $dist, c.cid) AS crk
@@ -405,7 +408,7 @@ object Similarity {
   private val e2Sql = {
     val ctes = new scala.collection.mutable.ListBuffer[String]
     rankedCtes(ctes)
-    ctes += "assigned AS (SELECT vec_id, v, cell FROM ranked WHERE crk = 1)"
+    ctes += "assigned AS MATERIALIZED (SELECT vec_id, v, cell FROM ranked WHERE crk = 1)"
     ctes += s"""drops AS (
                |  SELECT DISTINCT b.vec_id
                |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -585,12 +588,12 @@ object Similarity {
 
   private val s5Sql = {
     val ctes = new scala.collection.mutable.ListBuffer[String]
-    ctes += "ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    ctes += "ev AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
     ctes += s"""pq_params AS (
                |  SELECT $PqK AS k, (count(*) + ${TrainPerCell * PqK} - 1) // ${TrainPerCell * PqK} AS rate
                |  FROM embeddings
                |)""".stripMargin
-    ctes += s"""pq_train AS (
+    ctes += s"""pq_train AS MATERIALIZED (
                |  SELECT vec_id, v FROM ev, pq_params
                |  WHERE rate <= 1 OR
                |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % rate = 0
@@ -598,14 +601,14 @@ object Similarity {
     val finals = (0 until PqM).map { m =>
       val lo = m * PqSubDim + 1
       val hi = (m + 1) * PqSubDim
-      ctes += s"pq${m}_vecs AS (SELECT vec_id, v[$lo:$hi] AS v FROM pq_train)"
+      ctes += s"pq${m}_vecs AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM pq_train)"
       ctes += s"""pq${m}_cents0 AS (
                  |  SELECT vec_id AS cid, v AS c FROM (
                  |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM pq${m}_vecs)
                  |  WHERE rn <= $PqK
                  |)""".stripMargin
       val fin = Clustering.kmeansCtes(ctes, s"pq${m}_vecs", s"pq${m}_cents0", IvfIters,
-        s"pq${m}_", PqSubDim)
+        s"pq${m}_", PqSubDim, materializeFinal = true)
       // encode the FULL corpus subspace against the trained codebook
       ctes += s"pq${m}_all AS (SELECT vec_id, v[$lo:$hi] AS v FROM ev)"
       ctes += Clustering.assignCte(s"pq${m}_all", fin, s"pq${m}_enc", PqSubDim)
@@ -614,7 +617,7 @@ object Similarity {
     val joins = (0 until PqM).map(m =>
       s"JOIN pq${m}_enc e$m ON e$m.vec_id = e.vec_id JOIN ${finals(m)} c$m ON c$m.cid = e$m.cid")
       .mkString("\n  ")
-    ctes += s"""recon AS (
+    ctes += s"""recon AS MATERIALIZED (
                |  SELECT e.vec_id, e.v, ${(0 until PqM).map(m => s"c$m.c").mkString(" || ")} AS rv
                |  FROM ev e
                |  $joins
@@ -846,7 +849,7 @@ object Similarity {
   private val s7Sql = {
     val ctes = new scala.collection.mutable.ListBuffer[String]
     val finalCents = rankedCtes(ctes)
-    ctes += s"""resid AS (
+    ctes += s"""resid AS MATERIALIZED (
                |  SELECT h.vec_id, h.cell, h.v,
                |    list_transform(range(1, ${Clustering.Dims + 1}), i -> h.v[i] - c.c[i]) AS r
                |  FROM (SELECT vec_id, v, cell FROM ranked WHERE crk = 1) h
@@ -856,7 +859,7 @@ object Similarity {
                |  SELECT $PqK AS k, (count(*) + ${TrainPerCell * PqK} - 1) // ${TrainPerCell * PqK} AS rate
                |  FROM embeddings
                |)""".stripMargin
-    ctes += s"""rpq_train AS (
+    ctes += s"""rpq_train AS MATERIALIZED (
                |  SELECT vec_id, r AS v FROM resid, rpq_params
                |  WHERE rate <= 1 OR
                |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) % rate = 0
@@ -864,14 +867,14 @@ object Similarity {
     val finals = (0 until PqM).map { m =>
       val lo = m * PqSubDim + 1
       val hi = (m + 1) * PqSubDim
-      ctes += s"rpq${m}_vecs AS (SELECT vec_id, v[$lo:$hi] AS v FROM rpq_train)"
+      ctes += s"rpq${m}_vecs AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM rpq_train)"
       ctes += s"""rpq${m}_cents0 AS (
                  |  SELECT vec_id AS cid, v AS c FROM (
                  |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM rpq${m}_vecs)
                  |  WHERE rn <= $PqK
                  |)""".stripMargin
       val fin = Clustering.kmeansCtes(ctes, s"rpq${m}_vecs", s"rpq${m}_cents0", IvfIters,
-        s"rpq${m}_", PqSubDim)
+        s"rpq${m}_", PqSubDim, materializeFinal = true)
       ctes += s"rpq${m}_all AS (SELECT vec_id, r[$lo:$hi] AS v FROM resid)"
       ctes += Clustering.assignCte(s"rpq${m}_all", fin, s"rpq${m}_enc", PqSubDim)
       fin

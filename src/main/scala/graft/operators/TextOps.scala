@@ -382,7 +382,7 @@ object TextOps {
   }
 
   private val t9Sql =
-    """WITH tf AS (
+    """WITH tf AS MATERIALIZED (
       |  SELECT doc_id, tok, count(*) AS tf
       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
       |        FROM documents)
@@ -590,7 +590,7 @@ object TextOps {
   }
 
   private val t14Sql =
-    """WITH toks AS (
+    """WITH toks AS MATERIALIZED (
       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
       |  FROM documents
       |), df AS (

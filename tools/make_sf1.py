@@ -1,0 +1,153 @@
+#!/usr/bin/env python3
+"""Synthesize an sf1 corpus (10x the sf0.1 bench corpus) for the full-suite
+scale gate: Verify + check.py + Bench at a third operating point.
+
+Driver-side tooling (like check.py) -- NOT part of the shipped library.
+
+Construction: each table is 10 stacked copies of the sf0.1 table with
+per-copy key offsets chosen so the copies' key spaces never collide.
+Copy 0 is the untouched original, so any literal key referenced by a
+query (ANN query vectors, eval-doc ids) still resolves. Foreign keys are
+offset consistently (lineitem.l_orderkey tracks orders.o_orderkey, etc.)
+so join selectivity and referential integrity match the driver corpus.
+
+Deliberate distribution choices:
+ - documents: odd copies append a short ' r<k>' suffix (near-dups for the
+   MinHash/SimHash family), even copies are exact duplicates (exact-dedup
+   groups of 5). n_chars tracks the suffix so n_chars == length(text)
+   stays invariant.
+ - embeddings: copies k>0 get a deterministic per-(vec,copy,dim) jitter of
+   at most 5e-3 so replicated vectors are near- but not exact-duplicates:
+   cosine top-k stays tie-free (exact ties would make rank order an
+   engine coin-flip) while the LSH/SemDeDup family sees real near-dup
+   groups. Jitter is hash-free arithmetic -- no RNG, fully reproducible.
+ - events: ts is copied bit-for-bit (pyarrow preserves the TIMESTAMP(NANOS)
+   physical type the driver writes; Spark reads it via Tables.events'
+   nanosAsLong path, DuckDB truncates to micros -- same as sf0.1);
+   user_id is offset per copy, so the corpus has 10x users each with the
+   sf0.1 per-user event pattern (streaming state scales in keys, not in
+   per-key history).
+
+Usage: python3 tools/make_sf1.py [outDir]   (default /tmp/graft_sf1)
+"""
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+K = 10
+
+STRIDE = {
+    "custkey": 1_000_000,
+    "orderkey": 10_000_000,
+    "partkey": 1_000_000,
+    "suppkey": 100_000,
+    "event_id": 10_000_000,
+    "user_id": 1_000_000,
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+}
+
+
+def read(name):
+    return pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+
+
+def write(out_dir, name, table):
+    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    print(f"  {name}: {table.num_rows} rows")
+
+
+def offset_col(table, col, delta):
+    i = table.column_names.index(col)
+    arr = pa.compute.add(table.column(col), pa.scalar(delta, type=table.column(col).type))
+    return table.set_column(i, col, arr)
+
+
+def replicate(table, offsets):
+    """K stacked copies; offsets = {col: stride} applied as k*stride."""
+    copies = []
+    for k in range(K):
+        t = table
+        for col, stride in offsets.items():
+            if k:
+                t = offset_col(t, col, k * stride)
+        copies.append(t)
+    return pa.concat_tables(copies)
+
+
+def documents_sf1(table):
+    texts = table.column("text").to_pylist()
+    doc_ids = table.column("doc_id").to_pylist()
+    langs = table.column("lang")
+    sources = table.column("source")
+    n_chars = table.column("n_chars").to_pylist()
+    copies = []
+    for k in range(K):
+        if k % 2 == 1:
+            suffix = f" r{k}"
+            t_texts = pa.array([t + suffix for t in texts], type=pa.string())
+            t_chars = pa.array([n + len(suffix) for n in n_chars], type=pa.int64())
+        else:
+            t_texts = pa.array(texts, type=pa.string())
+            t_chars = pa.array(n_chars, type=pa.int64())
+        t_ids = pa.array([d + k * STRIDE["doc_id"] for d in doc_ids], type=pa.int64())
+        copies.append(pa.table(
+            {"doc_id": t_ids, "text": t_texts, "lang": langs,
+             "source": sources, "n_chars": t_chars}))
+    return pa.concat_tables(copies)
+
+
+def embeddings_sf1(table):
+    ids = np.asarray(table.column("vec_id").to_pylist(), dtype=np.int64)
+    labels = table.column("label")
+    emb = np.array(table.column("embedding").to_pylist(), dtype=np.float64)
+    n, dim = emb.shape
+    dims = np.arange(dim, dtype=np.int64)
+    copies = []
+    for k in range(K):
+        if k:
+            jitter = (((ids[:, None] * 31 + k * 7 + dims[None, :] * 13) % 997)
+                      - 498).astype(np.float64) * 1e-5
+            vecs = (emb + jitter).astype(np.float32)
+        else:
+            vecs = emb.astype(np.float32)
+        flat = pa.array(vecs.reshape(-1), type=pa.float32())
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * dim, dim), type=pa.int32()), flat)
+        copies.append(pa.table({
+            "vec_id": pa.array(ids + k * STRIDE["vec_id"], type=pa.int64()),
+            "embedding": lists,
+            "label": labels}))
+    return pa.concat_tables(copies)
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
+    os.makedirs(out_dir, exist_ok=True)
+    print(f"writing sf1 (10x {SRC}) to {out_dir}")
+
+    # dimension tables: unchanged (queries group on the 25 nations / 5 regions)
+    for name in ("region", "nation"):
+        write(out_dir, name, read(name))
+
+    write(out_dir, "customer", replicate(read("customer"), {"c_custkey": STRIDE["custkey"]}))
+    write(out_dir, "supplier", replicate(read("supplier"), {"s_suppkey": STRIDE["suppkey"]}))
+    write(out_dir, "part", replicate(read("part"), {"p_partkey": STRIDE["partkey"]}))
+    write(out_dir, "orders", replicate(read("orders"), {
+        "o_orderkey": STRIDE["orderkey"], "o_custkey": STRIDE["custkey"]}))
+    write(out_dir, "lineitem", replicate(read("lineitem"), {
+        "l_orderkey": STRIDE["orderkey"], "l_partkey": STRIDE["partkey"],
+        "l_suppkey": STRIDE["suppkey"]}))
+    write(out_dir, "events", replicate(read("events"), {
+        "event_id": STRIDE["event_id"], "user_id": STRIDE["user_id"]}))
+    write(out_dir, "documents", documents_sf1(read("documents")))
+    write(out_dir, "embeddings", embeddings_sf1(read("embeddings")))
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
