@@ -362,11 +362,24 @@ object Dedup {
 
   // ---------------------------------------------------------------------------
   // d6 — embedding-cosine near-dup, brute-force baseline (the ANN variant
-  // lives in Similarity.s2).
+  // lives in Similarity.s2). The pair scan runs through the blocked
+  // [[BruteForce.cosinePairs]] kernel — the declarative crossJoin shape
+  // (kept below as the parity reference) paid join row machinery per pair,
+  // ~10x the arithmetic itself at the sf1 gate's 2e8 pairs.
   private def d6EmbedCosine(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    BruteForce.cosinePairs(e, 0.38)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The pre-kernel declarative formulation of d6, retained as the
+    * arithmetic-parity reference: Round5OpsSpec asserts the kernel emits
+    * the bit-identical pair set. Not registered as a query.
+    */
+  private[operators] def d6CrossJoinReference(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    // norms once per vector (cached), codegen'd dot per pair: cos =
-    // dot/(sqrt(aa)*sqrt(bb)) with identical arithmetic to the HOF fold
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))

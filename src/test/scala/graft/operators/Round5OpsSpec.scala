@@ -58,4 +58,33 @@ class Round5OpsSpec extends AnyFunSuite {
     ArtifactCache.invalidateAll()
     ArtifactCache.resetStats()
   }
+
+  test("d6's blocked kernel is bit-identical to the declarative crossJoin plan") {
+    val kernel = Dedup.queries("d6_embed_cosine")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val reference = Dedup.d6CrossJoinReference(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(kernel.length === reference.length)
+    // tuple equality is bitwise for the rounded cosine: both sides must have
+    // summed in the same index order and divided with the same association
+    assert(kernel.toSeq === reference.toSeq)
+    assert(kernel.nonEmpty, "fixture produced no near-dup pairs — vacuous parity")
+  }
+
+  test("kernel keeps Spark's nan-safe threshold: a zero-norm vector's NaN cosine passes") {
+    import spark.implicits._
+    // vec 1 is all-zero: cos(1, j) = 0/0 = NaN, which Spark's >= sorts
+    // GREATER than the threshold (nanSafeCompareDoubles) — the declarative
+    // plan emitted those pairs, so the kernel must too
+    val e = Seq(
+      (1L, Array(0.0, 0.0, 0.0)),
+      (2L, Array(1.0, 0.0, 0.0)),
+      (3L, Array(1.0, 1e-6, 0.0))).toDF("vec_id", "v")
+    val got = BruteForce.cosinePairs(e, 0.38).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(got.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got.take(2).forall(p => p._3.isNaN), s"zero-norm pairs must carry NaN, got $got")
+    assert(got(2)._3 > 0.38)
+  }
 }
