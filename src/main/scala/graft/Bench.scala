@@ -75,7 +75,12 @@ object Bench {
       .map { case (n, a) =>
         s"\"" + n + s"\":{\"builds\":${a.builds},\"hits\":${a.hits},\"build_ms\":${a.buildMillis}}"
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":$calib,"cached_tables":$cachedList,"artifacts":$artifacts}""")
+    // second calibration sample AFTER the suite: round 4's driver bench hit
+    // late-run contention the start-of-run calib couldn't see (s-family 4x
+    // inflated, calib normal) — bracketing the suite makes steal at either
+    // end visible from the JSON alone
+    val calibEnd = calibOnce()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":$calib,"calib_end":$calibEnd,"cached_tables":$cachedList,"artifacts":$artifacts}""")
     spark.stop()
   }
 }
