@@ -629,7 +629,76 @@ object Dedup {
        |WHERE s.doc_id % 100 <> 0
        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // d11 — duplicated-span coverage: the exact-substring (span-level) dedup
+  // measure of Lee et al. 2022, "Deduplicating Training Data Makes Language
+  // Models Better" (arXiv:2107.06499), adapted from suffix arrays to a
+  // shuffle-bounded Spark shape. A 5-token gram that occurs >= 2 times
+  // ANYWHERE in the corpus marks its 5 positions as duplicated; per document
+  // we report the number of duplicated grams and the size of the UNION of
+  // their [pos, pos+4] extents (merged via a lag-window: each gram past the
+  // first contributes min(5, gap to its predecessor)), plus the covered
+  // token fraction. Doc-level dedup (d1-d9) misses exactly this: boilerplate
+  // spans pasted into otherwise-unique documents.
+  //
+  // Scale: tokens T in the corpus -> ~T grams; duplication status via ONE
+  // count-over-gram-hash window (no self-join, no gram dictionary on the
+  // driver), span merge via ONE doc-keyed window the final aggregation
+  // reuses. 3 linear shuffles total, no all-pairs surface anywhere.
+  private[graft] val SpanN = 5
+
+  private def d11DupSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(s, d)
+      .withColumn("toks", split(expr(normExpr), " "))
+      .withColumn("n_toks", size(col("toks")).cast(LongType))
+      .where(col("n_toks") >= SpanN)
+      .select(col("doc_id"), col("n_toks"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${SpanN - 1}), " +
+          s"i -> md5(array_join(slice(toks, i, $SpanN), ' ')))")))
+      .select(col("doc_id"), col("n_toks"), (col("pos") + 1).as("pos"), col("col").as("gh"))
+    val dupPos = grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("gh")))
+      .where(col("occ") >= 2)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .select(col("doc_id"), col("n_toks"), col("pos"))
+      .withColumn("prev", lag("pos", 1).over(w))
+      // first gram covers SpanN tokens; each successor adds min(SpanN, gap)
+      .withColumn("contrib", least(lit(SpanN), col("pos") - coalesce(col("prev"), col("pos") - SpanN)))
+      .groupBy("doc_id", "n_toks")
+      .agg(count(lit(1)).as("dup_grams"), sum("contrib").as("covered_toks"))
+      // single IEEE division of two exact integers — bit-identical in DuckDB
+      .withColumn("dup_frac", col("covered_toks").cast(DoubleType) / col("n_toks"))
+      .select("doc_id", "n_toks", "dup_grams", "covered_toks", "dup_frac")
+      .orderBy("doc_id")
+  }
+
+  private val d11Sql =
+    s"""WITH g AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |         unnest(range(1, len(toks) - ${SpanN - 2})) AS pos,
+       |         unnest(list_transform(range(1, len(toks) - ${SpanN - 2}),
+       |           i -> md5(array_to_string(list_slice(toks, i, i + ${SpanN - 1}), ' ')))) AS gh
+       |  FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM documents)
+       |  WHERE len(toks) >= $SpanN
+       |), dp AS (
+       |  SELECT doc_id, n_toks, pos
+       |  FROM (SELECT doc_id, n_toks, pos, count(*) OVER (PARTITION BY gh) AS occ FROM g)
+       |  WHERE occ >= 2
+       |), c AS (
+       |  SELECT doc_id, n_toks, pos,
+       |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM dp
+       |)
+       |SELECT doc_id, n_toks, count(*) AS dup_grams,
+       |       CAST(sum(least($SpanN, pos - coalesce(prev, pos - $SpanN))) AS BIGINT) AS covered_toks,
+       |       CAST(CAST(sum(least($SpanN, pos - coalesce(prev, pos - $SpanN))) AS BIGINT) AS DOUBLE)
+       |         / n_toks AS dup_frac
+       |FROM c GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_dup_spans"     -> d11DupSpans _,
     "d1_exact_dedup"    -> d1Exact _,
     "d10_decontaminate" -> d10Decontaminate _,
     "d2_minhash_sigs"   -> d2Minhash _,
@@ -644,6 +713,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup"    -> d1Sql,
     "d10_decontaminate" -> d10Sql,
+    "d11_dup_spans"     -> d11Sql,
     "d2_minhash_sigs"   -> d2Sql,
     "d3_minhash_pairs"  -> d3Sql,
     "d4_simhash"        -> d4Sql,

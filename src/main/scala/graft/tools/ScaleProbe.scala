@@ -150,7 +150,7 @@ object ScaleProbe {
     val results = Seq("d3_minhash_pairs", "d7_simhash_pairs", "d9_dedup_groups",
       "t8_gopher_repetition", "t9_tfidf",
       "d10_decontaminate", "t10_feature_hash", "c1_curation_pipeline",
-      "c2_canonical_keep", "t11_temp_sample").map(time)
+      "c2_canonical_keep", "t11_temp_sample", "d11_dup_spans").map(time)
     val parts = results.map { case (nm, sec, rows) => s""""$nm":{"sec":$sec,"rows":$rows}""" }
     println(s"""{"probe":"docs_scale","n":$n,"shuffle_total_mb":${shuffleTotal.get() / 1e6},${parts.mkString(",")}}""")
   }

@@ -186,4 +186,35 @@ class DedupSpec extends AnyFunSuite {
       assert(out(id) == expected, s"simhash mismatch for doc $id")
     }
   }
+
+  /** Hand-computable d11 corpus: disjoint token alphabets per case, so the
+    * ONLY duplicated 5-grams are the engineered ones.
+    *  - doc 1 / doc 2 share one 5-token run (doc 2 repeats it at pos 11);
+    *  - doc 4 / doc 5 share a 6-token run -> two OVERLAPPING dup grams whose
+    *    merged span must count 6 tokens, not 10;
+    *  - doc 6 repeats a run within ITSELF only (occ >= 2 is corpus-total);
+    *  - doc 3 shares nothing and must be absent.
+    */
+  test("d11 merges overlapping duplicated spans and counts within-doc repeats") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-spans").toString
+    val rows = Seq(
+      (1L, "c1 c2 s1 s2 s3 s4 s5 c3 c4"),
+      (2L, "s1 s2 s3 s4 s5 u1 u2 u3 u4 u5 s1 s2 s3 s4 s5"),
+      (3L, "x1 x2 x3 x4 x5 x6"),
+      (4L, "t1 t2 t3 t4 t5 t6"),
+      (5L, "t1 t2 t3 t4 t5 t6 z1"),
+      (6L, "r1 r2 r3 r4 r5 q1 r1 r2 r3 r4 r5"))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.queries("d11_dup_spans")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 5L, 6L))
+    assert(out(1L) == ((9L, 1L, 5L, 5.0 / 9)))   // single shared gram
+    assert(out(2L) == ((15L, 2L, 10L, 10.0 / 15))) // same gram at pos 1 and 11
+    assert(out(4L) == ((6L, 2L, 6L, 1.0)))       // overlap merged: 6, not 10
+    assert(out(5L) == ((7L, 2L, 6L, 6.0 / 7)))
+    assert(out(6L) == ((11L, 2L, 10L, 10.0 / 11))) // within-doc repeat counts
+  }
 }
