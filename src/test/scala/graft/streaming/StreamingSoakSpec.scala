@@ -98,6 +98,61 @@ class StreamingSoakSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** The soak proves state survives 100+ micro-batches in ONE query; this
+    * proves it survives a query RESTART — stop after half the feed, start a
+    * fresh query on the SAME checkpoint (fault-tolerant parquet sink; the
+    * memory sink refuses recovery), feed the rest. If the RocksDB state
+    * were lost, every post-restart emission would restart its per-user
+    * count at 1, so the per-user MAX (count, sum) over the whole output
+    * would freeze at its pre-restart value and the full-history batch-twin
+    * parity below would fail.
+    */
+  test("st6 restart: transformWithState recovers state from the checkpoint") {
+    val feed = Files.createTempDirectory("st6r_feed")
+    val ckpt = Files.createTempDirectory("st6r_ckpt").toString
+    val out = Files.createTempDirectory("st6r_out").toString
+    val schema = spark.read.parquet(staged.head.toString).schema
+    def start() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed.toString)
+      StreamOps.runningTotals(stream).toDF().writeStream
+        .outputMode("append").format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+    }
+    def finals(rows: Array[(Long, Long, Long, Double)]) =
+      rows.groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+        .map { case (u, r) => u -> ((r._3, r._4)) }
+    def emittedFinals() = finals(spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+
+    val half = staged.size / 2
+    val q1 = start()
+    try { feedTranche(feed, 0, half); q1.processAllAvailable() } finally q1.stop()
+    val pre = emittedFinals()
+    assert(pre.nonEmpty, "first run emitted nothing")
+
+    val q2 = start()
+    try {
+      feedTranche(feed, half, staged.size)
+      q2.processAllAvailable()
+      val batch = finals(StreamOps.runningTotals(
+        spark.read.parquet(cutPaths(staged.size): _*)).collect()
+        .map(r => (r.user_id, r.event_id, r.n_so_far, r.value_sum)))
+      // continuation, not reset: per-user max over BOTH runs' emissions
+      // equals the full-history batch twin for every user
+      assert(emittedFinals() === batch, "state lost across restart")
+      // that only bites if some user has post-restart events on top of
+      // pre-restart history — prove the fixture exercises recovery
+      assert(pre.exists { case (u, (n, _)) => batch(u)._1 > n },
+        "no user spanned the restart; fixture no longer exercises recovery")
+      val allUsers = spark.read.parquet(cutPaths(staged.size): _*)
+        .select("user_id").distinct().count()
+      val stateRows = q2.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows === allUsers,
+        s"$stateRows state rows for $allUsers users after restart")
+    } finally q2.stop()
+  }
+
   test("st3 soak: sessionization stream emits exactly the closed sessions at every cut") {
     useRocksDb()
     import spark.implicits._
