@@ -683,7 +683,80 @@ object TextOps {
   def domainMixKeep(s: SparkSession): org.apache.spark.sql.Column =
     hash60F(s, concat(lit("t15:"), col("doc_id").cast(StringType))) % MixPpm < col("rate_ppm")
 
+  // ---------------------------------------------------------------------------
+  // t16 — PII redaction: the scrubbing stage every production curation
+  // pipeline runs before training (emails / phone numbers / internal IPs ->
+  // typed placeholders). The synthetic corpus carries no PII, so the query
+  // SYNTHESIZES a deterministic contact block per document (one email, a
+  // second on doc_id%3=0, a phone on doc_id%2=0, one IP) and then redacts
+  // it — the oracle checks the regexes against real, varying match counts
+  // rather than vacuous zero-match text. Patterns stay in the Java-regex ∩
+  // RE2 subset (character classes and bounded repeats only — no backrefs,
+  // no lookaround) so both engines compile them identically; replacement is
+  // sequential email -> phone -> ip on both sides.
+  //
+  // Scale: pure row-local projection (regex per row, no shuffle beyond the
+  // output sort); redaction cost rides the scan exactly like t1's signals.
+  private[graft] val EmailRe = "[0-9A-Za-z._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+1-555-[0-9]{4}"
+  private[graft] val IpRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Sequential three-pattern redaction of a text column (public API twin
+    * of the t16 query's core).
+    */
+  def redactPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")),
+      lit(IpRe), lit("<IP>"))
+
+  private def t16PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val withPii = Tables.documents(s, d).withColumn("pii_text",
+      concat(col("text"),
+        lit(" contact user"), id.cast(StringType), lit("@mail.example.org"),
+        when(id % 3 === 0,
+          concat(lit(" cc admin"), id.cast(StringType), lit("@corp.example.com")))
+          .otherwise(""),
+        when(id % 2 === 0,
+          concat(lit(" tel +1-555-"), lpad((id % 10000).cast(StringType), 4, "0")))
+          .otherwise(""),
+        lit(" host 10."), (id % 256).cast(StringType),
+        lit("."), (id * 7 % 256).cast(StringType),
+        lit("."), (id * 13 % 256).cast(StringType)))
+    withPii.select(
+      id,
+      regexp_count(col("pii_text"), lit(EmailRe)).cast(LongType).as("n_email"),
+      regexp_count(col("pii_text"), lit(PhoneRe)).cast(LongType).as("n_phone"),
+      regexp_count(col("pii_text"), lit(IpRe)).cast(LongType).as("n_ip"),
+      md5(redactPii(col("pii_text"))).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val t16Sql =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+       |    || CASE WHEN doc_id % 3 = 0
+       |         THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.example.com' ELSE '' END
+       |    || CASE WHEN doc_id % 2 = 0
+       |         THEN ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    || ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |    || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+       |    || '.' || CAST(doc_id * 13 % 256 AS VARCHAR) AS pii_text
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(pii_text, '$EmailRe')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(pii_text, '$PhoneRe')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(pii_text, '$IpRe')) AS BIGINT) AS n_ip,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$IpRe', '<IP>', 'g')) AS red_md5
+       |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_pii_redact"   -> t16PiiRedact _,
     "t15_domain_mix"   -> t15DomainMix _,
     "t10_feature_hash" -> t10FeatureHash _,
     "t11_temp_sample"  -> t11TempSample _,
@@ -701,6 +774,7 @@ object TextOps {
     "t9_tfidf"              -> t9Tfidf _)
 
   val oracles: Map[String, String] = Map(
+    "t16_pii_redact"   -> t16Sql,
     "t15_domain_mix"   -> t15Sql,
     "t10_feature_hash" -> t10Sql,
     "t11_temp_sample"  -> t11Sql,

@@ -114,6 +114,7 @@ class PlanBudgetSpec extends AnyFunSuite {
       "t13_pack" -> Budget(2, 0),
       "t14_rarity_score" -> Budget(5, 1),
       "t15_domain_mix" -> Budget(4, 1),
+      "t16_pii_redact" -> Budget(1, 0),
       "t1_text_stats" -> Budget(1, 0),
       "t2_lang_id" -> Budget(1, 0),
       "t3_fingerprint" -> Budget(1, 0),

@@ -82,4 +82,24 @@ class TextQualitySpec extends AnyFunSuite {
     val rel = math.abs(est - trueN) / trueN.toDouble
     assert(rel < 0.25, s"KMV estimate off by ${rel * 100}%% (est=$est true=$trueN)")
   }
+
+  test("t16 redactPii scrubs crafted PII exactly and leaves clean text alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("write to jane.doe+spam@sub.example.co.uk today",
+        "write to <EMAIL> today"),
+      ("ring +1-555-0199 or +1-555-1234 now", "ring <PHONE> or <PHONE> now"),
+      ("node 10.0.42.7 peered with 10.255.1.200", "node <IP> peered with <IP>"),
+      ("mixed a@b.io +1-555-0000 10.1.2.3", "mixed <EMAIL> <PHONE> <IP>"),
+      // near-misses that must NOT be redacted: bare domain (no @), a
+      // non-555 number, a non-10. address
+      ("see example.com call +1-556-9999 at 192.168.0.1",
+        "see example.com call +1-556-9999 at 192.168.0.1"))
+    val got = cases.map(_._1).toDF("t")
+      .select(TextOps.redactPii(col("t")).as("r")).as[String].collect()
+    cases.zip(got).foreach { case ((in, want), have) =>
+      assert(have == want, s"redaction of '$in'")
+    }
+  }
 }
