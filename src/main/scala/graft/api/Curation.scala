@@ -36,7 +36,13 @@ object Curation {
       // Empty = no mixing stage. Non-empty: each source subsamples at
       // min(1, (w/n) * min(n/w)) so the realized mixture matches the
       // proportions; sources absent from the map are dropped entirely.
-      domainTargets: Map[String, Double] = Map.empty)
+      domainTargets: Map[String, Double] = Map.empty,
+      // Span-level dedup gate (d11): drop docs whose duplicated-5-gram
+      // coverage exceeds this fraction. >= 1.0 disables the stage (and
+      // skips its corpus-wide gram pass entirely).
+      maxDupSpanFrac: Double = 1.0,
+      // PII scrubbing (t16): redact email/phone/IP in the snapshot text.
+      redact: Boolean = false)
 
   final case class Result(ledger: DataFrame, snapshot: DataFrame, packs: DataFrame)
 
@@ -87,8 +93,21 @@ object Curation {
           .withColumn("mix_kept", TextOps.domainMixKeep(spark))
           .select("doc_id", "lang", "mix_kept")
 
+    // span-coverage gate (d11's frame core) — identity when disabled, so
+    // the corpus-wide gram pass only runs when the knob asks for it
+    val spanOk =
+      if (cfg.maxDupSpanFrac >= 1.0)
+        docs.select("doc_id").withColumn("span_ok", lit(true))
+      else
+        docs.select("doc_id")
+          .join(Dedup.dupSpanStats(docs).select("doc_id", "dup_frac"), Seq("doc_id"), "left")
+          .withColumn("span_ok",
+            coalesce(col("dup_frac"), lit(0.0)) <= cfg.maxDupSpanFrac)
+          .select("doc_id", "span_ok")
+
     val ledger = mixed
       .join(quality, "doc_id")
+      .join(spanOk, "doc_id")
       .join(keepers, "doc_id").join(keeperIds, "fp")
       .join(contaminated, Seq("doc_id"), "left")
       .join(canonical, "doc_id")
@@ -104,11 +123,15 @@ object Curation {
           < col("rate_ppm"))
       .withColumn("kept",
         col("q_pass") && col("is_keeper") && col("clean") && col("canonical") &&
-          col("sampled") && col("temp_kept") && col("mix_kept") && !col("is_eval"))
+          col("sampled") && col("temp_kept") && col("mix_kept") && col("span_ok") &&
+          !col("is_eval"))
       .select("doc_id", "lang", "quality", "q_pass", "is_keeper", "clean",
-        "canonical", "sampled", "temp_kept", "mix_kept", "is_eval", "kept")
+        "canonical", "sampled", "temp_kept", "mix_kept", "span_ok", "is_eval", "kept")
 
-    val snapshot = docs.join(ledger.where(col("kept")).select("doc_id"), "doc_id")
+    val keptDocs = docs.join(ledger.where(col("kept")).select("doc_id"), "doc_id")
+    val snapshot =
+      if (cfg.redact) keptDocs.withColumn("text", TextOps.redactPii(col("text")))
+      else keptDocs
 
     // pack the KEPT docs only (t13's sharded concat-then-split layout)
     val wPack = Window.partitionBy(col("shard")).orderBy(col("doc_id"))

@@ -647,14 +647,19 @@ object Dedup {
   // reuses. 3 linear shuffles total, no all-pairs surface anywhere.
   private[graft] val SpanN = 5
 
-  private def d11DupSpans(s: SparkSession, d: String): DataFrame = {
+  /** Frame-level core of d11 (doc_id, n_toks, dup_grams, covered_toks,
+    * dup_frac — unordered; docs without duplicated spans are absent).
+    * [[graft.api.Curation]] composes it as the span-coverage gate.
+    */
+  private[graft] def dupSpanStats(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
     graft.functions.HashRegistry.register(s)
     // gram key = portable 60-bit hash (graft_hash60 == DuckDB's md5-prefix
     // cast): an 8-byte long through the gh shuffle instead of a 32-char md5
     // string — measured 252 -> 107 MB shuffle, 10.7 -> 3.3 s at the 100x
     // docs probe (identical output rows; oracle unchanged)
-    val grams = Tables.documents(s, d)
+    val grams = docs
       .withColumn("toks", split(expr(normExpr), " "))
       .withColumn("n_toks", size(col("toks")).cast(LongType))
       .where(col("n_toks") >= SpanN)
@@ -676,8 +681,10 @@ object Dedup {
       // single IEEE division of two exact integers — bit-identical in DuckDB
       .withColumn("dup_frac", col("covered_toks").cast(DoubleType) / col("n_toks"))
       .select("doc_id", "n_toks", "dup_grams", "covered_toks", "dup_frac")
-      .orderBy("doc_id")
   }
+
+  private def d11DupSpans(s: SparkSession, d: String): DataFrame =
+    dupSpanStats(Tables.documents(s, d)).orderBy("doc_id")
 
   private val d11Sql =
     s"""WITH g AS (

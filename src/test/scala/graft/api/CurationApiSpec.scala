@@ -91,4 +91,31 @@ class CurationApiSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("span-coverage knob excludes exactly the docs d11 reports above threshold") {
+    // default config: stage disabled, span_ok vacuously true everywhere
+    assert(result.ledger.collect().forall(_.getAs[Boolean]("span_ok")))
+    val gated = Curation.run(spark, sf, Curation.Config(maxDupSpanFrac = 0.2))
+    val spanOk = gated.ledger.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("span_ok")).toMap
+    val d11 = graft.operators.Dedup.queries("d11_dup_spans")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_frac")).toMap
+    assert(spanOk.nonEmpty)
+    spanOk.foreach { case (id, ok) =>
+      assert(ok === (d11.getOrElse(id, 0.0) <= 0.2), s"span_ok drift for doc $id")
+    }
+    assert(spanOk.exists(!_._2), "threshold 0.2 excludes nothing at this SF — weak fixture")
+  }
+
+  test("redact knob scrubs snapshot text through the t16 patterns") {
+    val redacted = Curation.run(spark, sf, Curation.Config(redact = true))
+    val plain = result.snapshot.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scrubbed = redacted.snapshot.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scrubbed.keySet === plain.keySet)
+    // the synthetic corpus carries no PII: redaction must be a no-op here
+    // (the pattern battery itself is pinned by TextQualitySpec's t16 cases)
+    scrubbed.foreach { case (id, t) => assert(t === plain(id), s"doc $id") }
+  }
 }
