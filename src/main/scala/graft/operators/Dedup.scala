@@ -641,10 +641,12 @@ object Dedup {
   // token fraction. Doc-level dedup (d1-d9) misses exactly this: boilerplate
   // spans pasted into otherwise-unique documents.
   //
-  // Scale: tokens T in the corpus -> ~T grams; duplication status via ONE
-  // count-over-gram-hash window (no self-join, no gram dictionary on the
-  // driver), span merge via ONE doc-keyed window the final aggregation
-  // reuses. 3 linear shuffles total, no all-pairs surface anywhere.
+  // Scale: tokens T in the corpus -> ~T grams; duplication status via a
+  // partial-aggregated per-gram count + streamed shuffle-hash membership
+  // join (whale-gram-safe: no windowed buffering of a hot key, no sort of
+  // the gram stream, no gram dictionary on the driver), span merge via ONE
+  // doc-keyed window the final aggregation reuses. 4 linear shuffles (one
+  // of them the collapsed partial counts), no all-pairs surface anywhere.
   private[graft] val SpanN = 5
 
   /** Frame-level core of d11 (doc_id, n_toks, dup_grams, covered_toks,
@@ -667,9 +669,17 @@ object Dedup {
         s"transform(sequence(1, size(toks) - ${SpanN - 1}), " +
           s"i -> graft_hash60(array_join(slice(toks, i, $SpanN), ' ')))")))
       .select(col("doc_id"), col("n_toks"), (col("pos") + 1).as("pos"), col("col").as("gh"))
-    val dupPos = grams
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy("gh")))
-      .where(col("occ") >= 2)
+    // duplication status via partial-aggregated groupBy + streamed equi-join,
+    // NOT a count-over-gh window: a whale gram (boilerplate in 10% of a
+    // 100 TB corpus) would land every occurrence in ONE sorted window
+    // partition (straggler + spill), while the aggregate collapses its count
+    // map-side and the join streams the hot key through against a 1-row
+    // build side. Same single big-stream shuffle either way.
+    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select("gh")
+    // shuffle-hash, not sort-merge: SMJ would re-sort the full gram stream;
+    // hashing the (distinct, filtered) dup-gram side streams it instead
+    val dupPos = grams.join(dupGrams.hint("shuffle_hash"), "gh")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     dupPos
       .select(col("doc_id"), col("n_toks"), col("pos"))

@@ -46,7 +46,7 @@ class PlanBudgetSpec extends AnyFunSuite {
       "c1_curation_pipeline" -> Budget(4, 0),
       "c2_canonical_keep" -> Budget(2, 0),
       "d10_decontaminate" -> Budget(4, 0),
-      "d11_dup_spans" -> Budget(3, 0),
+      "d11_dup_spans" -> Budget(4, 0),
       "d1_exact_dedup" -> Budget(2, 0),
       "d2_minhash_sigs" -> Budget(1, 0),
       "d3_minhash_pairs" -> Budget(1, 0),
