@@ -65,12 +65,16 @@ object Curation {
       .select("doc_id").distinct()
       .withColumn("contam", lit(true))
 
-    // near-dup canonical: best-quality member of each minhash component
-    val wCanon = Window.partitionBy(col("component"))
-      .orderBy(col("quality").desc, col("doc_id"))
-    val canonical = Dedup.componentLabels(spark, dir)
+    // near-dup canonical: best-quality member of each minhash component —
+    // max_by + membership join (c2's whale-safe shape: a mega-component
+    // collapses map-side instead of buffering in one window partition)
+    val scored = Dedup.componentLabels(spark, dir)
       .join(quality.select("doc_id", "quality"), "doc_id")
-      .withColumn("canonical", row_number().over(wCanon) === 1)
+    val bestOfComp = scored.groupBy("component")
+      .agg(max_by(col("doc_id"), struct(col("quality"), negate(col("doc_id"))))
+        .as("best_doc"))
+    val canonical = scored.join(bestOfComp.hint("shuffle_hash"), "component")
+      .withColumn("canonical", col("doc_id") === col("best_doc"))
       .select("doc_id", "component", "canonical")
 
     // language temperature rates (alpha = 0.5, rarest keeps all), ppm gate

@@ -44,7 +44,7 @@ class PlanBudgetSpec extends AnyFunSuite {
       "a8_salted_agg" -> Budget(3, 0),
       "a9_kmv_distinct" -> Budget(3, 1),
       "c1_curation_pipeline" -> Budget(4, 0),
-      "c2_canonical_keep" -> Budget(2, 0),
+      "c2_canonical_keep" -> Budget(3, 0),
       "d10_decontaminate" -> Budget(4, 0),
       "d11_dup_spans" -> Budget(4, 0),
       "d1_exact_dedup" -> Budget(2, 0),
@@ -118,7 +118,7 @@ class PlanBudgetSpec extends AnyFunSuite {
       "t1_text_stats" -> Budget(1, 0),
       "t2_lang_id" -> Budget(1, 0),
       "t3_fingerprint" -> Budget(1, 0),
-      "t4_token_freq" -> Budget(3, 0),
+      "t4_token_freq" -> Budget(4, 0),
       "t5_quality_filter" -> Budget(1, 0),
       "t6_stratified_sample" -> Budget(1, 0),
       "t7_countmin" -> Budget(2, 0),
