@@ -40,6 +40,8 @@ object ScaleProbe {
       runGraph(if (args.length > 1) args(1).toInt else 1500000)
     else if (args.headOption.contains("skew"))
       runSkew(if (args.length > 1) args(1).toInt else 6000000)
+    else if (args.headOption.contains("spans"))
+      runSpans(if (args.length > 1) args(1).toInt else 200000)
     else
       runJoinKernel(
         if (args.nonEmpty) args(0).toInt else 10000,
@@ -296,6 +298,68 @@ object ScaleProbe {
 
     println(f"""{"probe":"skew_scale","n_rows":$nRows,"whale_share":0.5,"whale_bucket_min":$bMin,"whale_bucket_max":$bMax,"p1_task_ms_median":$dMed,"p1_task_ms_max":$dMax,"a8_sec":$a8Sec%.1f,"j8_sec":$j8Sec%.1f,"a8_match":$a8Match,"j8_match":$j8Match}""")
     require(a8Match && j8Match, "salted results diverged from unsalted under skew")
+    spark.stop()
+  }
+
+  // ---------------------------------------------------------------------------
+  // Mode 7 — WHALE-GRAM PROBE for d11: half the corpus embeds ONE identical
+  // 5-token boilerplate run (a single gram hash with nDocs/2 occurrences —
+  // the adversarial input for which the original count-over-gh window would
+  // buffer and sort half the gram stream in ONE task). The aggregate+join
+  // shape must keep the per-gram count stage's tasks even; recorded as
+  // median-vs-max task time of the heaviest shuffle stage, plus exact
+  // output invariants (every even doc: 1 dup gram, 5 covered tokens).
+  private def runSpans(nDocs: Int): Unit = {
+    val spark = session()
+    val dir = s"/tmp/graft_scaleprobe_spans_$nDocs"
+    val marker = Paths.get(dir, "_done")
+    if (!Files.exists(marker)) {
+      // even ids: 5-token boilerplate at position (id%7)+1 inside 40 unique
+      // tokens; odd ids: 40 strictly-unique tokens (u<id>x<w> cannot form a
+      // duplicated gram across docs)
+      spark.range(nDocs).select(col("id").as("doc_id"),
+          expr("""array_join(transform(sequence(0, 39), w ->
+            CASE WHEN id % 2 = 0 AND w >= CAST(id % 7 AS INT) AND w < CAST(id % 7 AS INT) + 5
+                 THEN concat('boiler', CAST(w - CAST(id % 7 AS INT) AS STRING))
+                 ELSE concat('u', CAST(id AS STRING), 'x', CAST(w AS STRING)) END), ' ')""")
+            .as("text"),
+          lit("en").as("lang"), lit("synth").as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Files.createFile(marker)
+    }
+    val stageShuffle = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageTasks =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.util.List[Long]]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val _ = stageShuffle.put(sc.stageInfo.stageId,
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        stageTasks
+          .computeIfAbsent(te.stageId,
+            _ => java.util.Collections.synchronizedList(new java.util.ArrayList[Long]()))
+          .add(te.taskInfo.duration)
+        ()
+      }
+    })
+    val t0 = System.nanoTime()
+    val rows = graft.SparkEntry.queries("d11_dup_spans")(spark, dir).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    import scala.jdk.CollectionConverters._
+    val heaviest = stageShuffle.asScala.maxBy(_._2)._1
+    val durs = stageTasks.get(heaviest).asScala.toSeq.sorted
+    val (dMed, dMax) = (durs(durs.size / 2), durs.last)
+    // exact invariants: every even doc (and only those) carries exactly the
+    // one boilerplate gram -> 1 dup gram, 5 covered of 40 tokens
+    val ok = rows.length == nDocs / 2 &&
+      rows.forall { r =>
+        r.getLong(0) % 2 == 0 && r.getLong(1) == 40L && r.getLong(2) == 1L &&
+          r.getLong(3) == 5L && r.getDouble(4) == 0.125
+      }
+    println(f"""{"probe":"span_whale","n_docs":$nDocs,"whale_occurrences":${nDocs / 2},"sec":$sec%.1f,"heavy_stage_task_ms_median":$dMed,"heavy_stage_task_ms_max":$dMax,"invariants_ok":$ok}""")
+    require(ok, "d11 whale-probe invariants failed")
     spark.stop()
   }
 
