@@ -217,4 +217,46 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L) == ((7L, 2L, 6L, 6.0 / 7)))
     assert(out(6L) == ((11L, 2L, 10L, 10.0 / 11))) // within-doc repeat counts
   }
+
+  /** Property fuzz: d11 vs a from-scratch O(n^2) reference on random small
+    * corpora (tiny vocabulary -> dense gram collisions, the regime where
+    * the window/aggregate reshapes could have drifted).
+    */
+  test("d11 matches a brute-force span reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xd11)
+    for (trial <- 0 until 8) {
+      val vocab = (0 until 3 + rnd.nextInt(5)).map(i => s"w$i")
+      val docs = (0 until 8 + rnd.nextInt(8)).map { id =>
+        val n = 3 + rnd.nextInt(18)
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // reference: count every 5-gram corpus-wide, mark extents, merge
+      val grams = docs.flatMap { case (id, t) =>
+        val toks = t.split(" ")
+        toks.sliding(5).zipWithIndex.collect {
+          case (g, i) if g.length == 5 => (g.mkString(" "), id, i)
+        }
+      }
+      val occ = grams.groupBy(_._1).view.mapValues(_.size).toMap
+      val expected = grams.filter(g => occ(g._1) >= 2).groupBy(_._2).map {
+        case (id, gs) =>
+          val starts = gs.map(_._3).sorted
+          val covered = starts.foldLeft((0, -10)) { case ((acc, prevEnd), s) =>
+            (acc + math.min(5, s + 5 - math.max(prevEnd, s)), s + 5)
+          }._1
+          val nToks = docs.find(_._1 == id).get._2.split(" ").length
+          id -> ((nToks.toLong, gs.size.toLong, covered.toLong,
+            covered.toDouble / nToks))
+      }
+      val dir = Files.createTempDirectory(s"graft-d11-fuzz$trial").toString
+      docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Dedup.queries("d11_dup_spans")(spark, dir).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      assert(got == expected, s"trial $trial: got $got\nexpected $expected")
+    }
+  }
 }
