@@ -21,18 +21,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects. Read nanos as long (legacy conf) and truncate to a
-    * micros TimestampType — DuckDB's native TIMESTAMP is micros and
-    * truncates the same way, so oracles agree exactly.
+  /** events.ts has shipped as TIMESTAMP(NANOS) (earlier harness corpora)
+    * and as plain timestamp[us] (current corpora); normalize either to a
+    * session-TZ micros TimestampType so downstream queries and the DuckDB
+    * oracles (native micros TIMESTAMP) agree exactly regardless of which
+    * generation of testdata is on disk.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    // integer `div`, NOT floor(x/1000): ns epoch values (~1.7e18) exceed
-    // double's 53-bit mantissa, so float division is off by up to ~256 ns
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // nanos-as-long: integer `div`, NOT floor(x/1000) — ns epochs
+        // (~1.7e18) exceed double's 53-bit mantissa, so float division
+        // is off by up to ~256 ns
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        // session TZ is pinned to UTC everywhere, so NTZ→LTZ keeps the
+        // same micros value DuckDB sees
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

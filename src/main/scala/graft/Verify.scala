@@ -20,13 +20,6 @@ object Verify {
     // the full surface
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     def selected(name: String) = only.forall(_.findFirstIn(name).isDefined)
-    SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -39,9 +32,25 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Oracle json goes FIRST: if the harness wall-clock-kills a long dump,
+    // every query parquet already on disk stays comparable instead of the
+    // whole round silently shrinking (round-5 lesson).
     val json = SparkEntry.oracleSql.filter(e => selected(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Alphabetical order so a partial dump is a deterministic prefix and the
+    // stderr timing log pinpoints where a kill landed.
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(e => selected(e._1))
+      .foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }
     spark.stop()
   }
 }
