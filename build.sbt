@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout passes through UNTAGGED: sbt's default logger prefixes
+// every line with "[info] ", which breaks any consumer that json-parses the
+// Bench/Verify output lines (the harness's bench parse failed on it every
+// round — BENCH_r*.json all show "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -63,7 +63,11 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms-granular) seconds keep the one-line record compact; the
+    // harness stores only the last ~2000 chars of output, so every byte of
+    // the line competes for survival in that window
+    def sec(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val cachedList = cachedTables.map("\"" + _._1 + "\"").mkString("[", ",", "]")
@@ -80,7 +84,23 @@ object Bench {
     // inflated, calib normal) — bracketing the suite makes steal at either
     // end visible from the JSON alone
     val calibEnd = calibOnce()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":$calib,"calib_end":$calibEnd,"cached_tables":$cachedList,"artifacts":$artifacts}""")
+    // summary fields LAST: the harness keeps only the final ~2000 chars of
+    // output, so tail truncation eats the line's head — put the per-query
+    // map there and let value/calib survive at the end (json.loads is
+    // order-blind; the line still starts with {"metric" for any
+    // prefix-based detection)
+    val line =
+      s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","calib":${sec(calib)},"calib_end":${sec(calibEnd)},"value":${sec(total)}}"""
+    // Full-fidelity record (plus cache/artifact detail) goes to a sidecar in
+    // the repo: the stdout line is size-constrained and historically got
+    // truncated/prefixed beyond parseability, so the file is the durable
+    // artifact a later reader can trust.
+    val full =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calib":${sec(calib)},"calib_end":${sec(calibEnd)},"cached_tables":$cachedList,"artifacts":$artifacts}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")), full + "\n")
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -29,9 +29,14 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventsTs(table(s, d, "events"))
+  }
+
+  /** Normalize whichever on-disk encoding of `ts` we were handed to a
+    * session-TZ micros TimestampType (exposed for the schema-drift spec). */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         // nanos-as-long: integer `div`, NOT floor(x/1000) — ns epochs

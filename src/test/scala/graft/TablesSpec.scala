@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TestSpark
+
+/** The harness regenerates its testdata between rounds and events.ts has
+  * already shipped in two encodings (TIMESTAMP(NANOS) → nanos-as-long, and
+  * plain timestamp[us] → TIMESTAMP_NTZ). Round 5 lost 17 queries to that
+  * drift; this spec pins the normalization so the next drift fails here,
+  * not silently in the driver gate.
+  */
+class TablesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // one instant, expressed in each on-disk shape: 2024-03-01T12:34:56.789123456Z
+  private val nanos = 1709296496789123456L
+  private val micros = nanos / 1000L // 1709296496789123
+
+  test("normalizeEventsTs maps every shipped ts encoding to the same micros") {
+    import spark.implicits._
+    val s = spark
+    import org.apache.spark.sql.types._
+
+    val fromNanosLong = Tables.normalizeEventsTs(
+      Seq(nanos).toDF("ts"))
+    val fromNtz = Tables.normalizeEventsTs(
+      Seq(micros).toDF("us").select(timestamp_micros($"us").cast(TimestampNTZType).as("ts")))
+    val fromLtz = Tables.normalizeEventsTs(
+      Seq(micros).toDF("us").select(timestamp_micros($"us").as("ts")))
+
+    for (df <- Seq(fromNanosLong, fromNtz, fromLtz)) {
+      assert(df.schema("ts").dataType == TimestampType)
+      val got = df.select(unix_micros($"ts")).as[Long].head()
+      assert(got == micros, s"expected $micros got $got")
+    }
+  }
+
+  test("Tables.events round-trips an NTZ-encoded parquet (current corpora)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-events-ntz").toFile
+    try {
+      Seq((1L, micros, 7L, "click", 1.5, "{}"))
+        .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .select($"event_id", timestamp_micros($"us").cast(TimestampNTZType).as("ts"),
+          $"user_id", $"event_type", $"value", $"props")
+        .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+      val ev = Tables.events(spark, dir.getAbsolutePath)
+      assert(ev.schema("ts").dataType == TimestampType)
+      assert(ev.select(unix_micros($"ts")).as[Long].head() == micros)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+}
