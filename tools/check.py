@@ -9,8 +9,13 @@ parquet tables, and compares row sets (columns sorted by name, rows sorted,
 values stringified). Mirrors what we understand of the driver's t2 check so
 oracle-SQL mistakes surface before the round boundary.
 """
-import sys, json, glob, os
+import sys, json, glob, os, threading
 import duckdb
+
+# Optional per-oracle wall cap (seconds) for out-of-band scale gates
+# (sf10's DuckDB side can run minutes per query); unset = no cap, the
+# driver-replica default.
+TIMEOUT_S = float(os.environ.get("GRAFT_CHECK_TIMEOUT", "0") or 0)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -46,6 +51,10 @@ def main():
             print(f"FAIL {name}: no spark output at {spark_dir}")
             n_fail += 1
             continue
+        timer = None
+        if TIMEOUT_S > 0:
+            timer = threading.Timer(TIMEOUT_S, con.interrupt)
+            timer.start()
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchall()
@@ -56,6 +65,9 @@ def main():
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         gc, gr = norm_rows(got_cols, got)
         ec, er = norm_rows(exp_cols, exp)
         if gc != ec:

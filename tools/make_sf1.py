@@ -29,6 +29,10 @@ Deliberate distribution choices:
    per-key history).
 
 Usage: python3 tools/make_sf1.py [outDir]   (default /tmp/graft_sf1)
+Env:   GRAFT_SFX_K (copies, default 10), GRAFT_SFX_SRC (default sf0.1) --
+       GRAFT_SFX_K=100 yields the sf10 (100x bench) corpus; strides keep
+       key spaces disjoint up to K=100 without overflowing int64-derived
+       oracle arithmetic.
 """
 import os
 import sys
@@ -37,8 +41,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = "/root/testdata/sf0.1"
-K = 10
+SRC = os.environ.get("GRAFT_SFX_SRC", "/root/testdata/sf0.1")
+K = int(os.environ.get("GRAFT_SFX_K", "10"))
 
 STRIDE = {
     "custkey": 1_000_000,
