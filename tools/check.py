@@ -26,6 +26,10 @@ TIMEOUT_S = float(os.environ.get("GRAFT_CHECK_TIMEOUT", "0") or 0)
 # by the same DuckDB session).
 INENGINE = os.environ.get("GRAFT_CHECK_INENGINE", "") not in ("", "0")
 
+# Optional name filter (regex, matched anywhere) for resuming partial scale
+# gates; unset = all queries (driver-replica default).
+ONLY = os.environ.get("GRAFT_CHECK_ONLY", "")
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -47,13 +51,23 @@ def norm_rows(cols, rows):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # In-memory connections have no temp_directory, so big oracle CTE chains
+    # cannot spill and die with bad-allocation OOMs; point spilling at disk.
+    spill = os.environ.get("GRAFT_CHECK_SPILL", "/tmp/graft_duck_spill")
+    if spill:
+        os.makedirs(spill, exist_ok=True)
+        con.execute(f"SET temp_directory='{spill}'")
+        con.execute("SET max_temp_directory_size='60GiB'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    import re as _re
     for name, sql in sorted(oracles.items()):
+        if ONLY and not _re.search(ONLY, name):
+            continue
         spark_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(spark_dir, "*.parquet"))
         if not files:
