@@ -122,22 +122,30 @@ object Similarity {
     * downstream — MATERIALIZED so DuckDB's per-reference CTE inlining doesn't
     * recompute the key derivation per consumer (see Clustering.updateCte).
     */
-  private[operators] val lshKeysSqlCtes: String =
-    s"""ev AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |params AS (
+  /** The params/planes/keyed chain with parameterizable relation names:
+    * `ev` is the ((vec_id, v)) source relation, `pfx` prefixes the three
+    * CTE names so the chain can coexist with the IVF chain (which also
+    * defines a `params`) inside one oracle (s8's recall measurement).
+    */
+  private[operators] def lshCtesNamed(ev: String, pfx: String): String =
+    s"""${pfx}params AS (
        |  SELECT least($LshMaxBits, greatest($LshMinBits,
        |    length(bin((count(*) + ${LshTargetBucket - 1}) // $LshTargetBucket - 1)))) AS nbits
        |  FROM embeddings
-       |), planes AS (
+       |), ${pfx}planes AS (
        |  SELECT rn - 1 AS pid, pv, nbits FROM (
-       |    SELECT v AS pv, nbits, row_number() OVER (ORDER BY vec_id) AS rn FROM ev, params)
+       |    SELECT v AS pv, nbits, row_number() OVER (ORDER BY vec_id) AS rn FROM $ev, ${pfx}params)
        |  WHERE rn <= $LshTables * nbits
-       |), keyed AS MATERIALIZED (
+       |), ${pfx}keyed AS MATERIALIZED (
        |  SELECT e.vec_id, p.pid // p.nbits AS tbl,
        |    CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
        |      THEN (1::BIGINT << (p.pid % p.nbits)) ELSE 0 END) AS BIGINT) AS key
-       |  FROM ev e, planes p GROUP BY e.vec_id, tbl
+       |  FROM $ev e, ${pfx}planes p GROUP BY e.vec_id, tbl
        |)""".stripMargin
+
+  private[operators] val lshKeysSqlCtes: String =
+    s"""ev AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |${lshCtesNamed("ev", "")}""".stripMargin
 
   // ---------------------------------------------------------------------------
   // s2 — MULTI-TABLE LSH ANN: LshTables independent hash tables, each keyed
@@ -911,6 +919,110 @@ object Similarity {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // s8 — ANN RECALL, measured rather than asserted: for the s2 LSH batch
+  // (qids 100..104) and the s3 IVF batch (qids 200..204), rebuild each
+  // method's candidate set exactly as its ANN query does (same lshKeys /
+  // rankedCells machinery and artifacts), intersect with the exact cosine
+  // top-RecallK ground truth, and emit per-(method, query) recall plus the
+  // candidate-set size — the work the method paid for that recall. The
+  // accuracy/cost trade the ANN family claims becomes a hash-checked number
+  // at every scale factor: a retuning that silently collapsed recall (or
+  // exploded candidate counts) now fails the oracle gate instead of hiding
+  // behind a still-plausible top-k. Ground truth is the "tiny query batch x
+  // one corpus scan" brute shape (s1); candidates ride the same one-shuffle
+  // plans as s2/s3, so the measurement itself stays 100 TB-shaped.
+  private val RecallK = 10
+
+  private def s8AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val e = vecsD(s, d).cache()
+    val q = e.where((col("vec_id") >= 100 && col("vec_id") < 105) ||
+        (col("vec_id") >= 200 && col("vec_id") < 205))
+      .select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"))
+    val c = e.select(col("vec_id").as("cid"), col("v").as("bd"), col("nrm").as("nb"))
+    val truth = broadcast(q).join(c, col("qid") =!= col("cid"))
+      .withColumn("cos", cosCol)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
+      .where(col("rk") <= RecallK)
+      .select(col("qid"), col("cid"))
+    val keyed = lshKeys(e)
+    val qk = keyed.where(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("qid"), col("tbl"), col("key"))
+    val lshCand = broadcast(qk)
+      .join(keyed.select(col("vec_id").as("cid"), col("tbl"), col("key")), Seq("tbl", "key"))
+      .where(col("qid") =!= col("cid"))
+      .select(lit("lsh").as("method"), col("qid"), col("cid")).distinct()
+    val ranked = rankedCells(s, d)
+    val probes = ranked.where(col("crk") <= NProbe &&
+        col("vec_id") >= 200 && col("vec_id") < 205)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val assigned = ranked.where(col("crk") === 1)
+      .select(col("vec_id").as("aid"), col("cid").as("cell"))
+    val ivfCand = broadcast(probes).join(assigned, Seq("cell"))
+      .where(col("qid") =!= col("aid"))
+      .select(lit("ivf").as("method"), col("qid"), col("aid").as("cid")).distinct()
+    val cand = lshCand.unionByName(ivfCand)
+    val universe = e.where(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(lit("lsh").as("method"), col("vec_id").as("qid"))
+      .unionByName(e.where(col("vec_id") >= 200 && col("vec_id") < 205)
+        .select(lit("ivf").as("method"), col("vec_id").as("qid")))
+    val sizes = cand.groupBy("method", "qid").agg(count(lit(1)).as("cand_n"))
+    val hits = cand.join(truth, Seq("qid", "cid"))
+      .groupBy("method", "qid").agg(count(lit(1)).as("hit_n"))
+    universe.join(sizes, Seq("method", "qid"), "left")
+      .join(hits, Seq("method", "qid"), "left")
+      .select(col("method"), col("qid"),
+        coalesce(col("cand_n"), lit(0L)).as("cand_n"),
+        coalesce(col("hit_n"), lit(0L)).as("hit_n"),
+        round(coalesce(col("hit_n"), lit(0L)) / lit(RecallK.toDouble), 4).as("recall_r"))
+      .orderBy("method", "qid")
+  }
+
+  private val s8Sql = {
+    val ctes = new scala.collection.mutable.ListBuffer[String]
+    rankedCtes(ctes) // vecs / params / train / cents0 / ivf_* / ranked
+    ctes += lshCtesNamed("vecs", "l") // lparams / lplanes / lkeyed
+    ctes += s"""truth AS MATERIALIZED (
+               |  SELECT qid, cid FROM (
+               |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+               |      row_number() OVER (PARTITION BY q.vec_id
+               |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rk
+               |    FROM vecs q JOIN vecs c ON q.vec_id <> c.vec_id
+               |    WHERE (q.vec_id >= 100 AND q.vec_id < 105)
+               |       OR (q.vec_id >= 200 AND q.vec_id < 205))
+               |  WHERE rk <= $RecallK
+               |)""".stripMargin
+    ctes += s"""cand AS MATERIALIZED (
+               |  SELECT 'lsh' AS method, q.vec_id AS qid, c.vec_id AS cid
+               |  FROM lkeyed q JOIN lkeyed c
+               |    ON q.tbl = c.tbl AND q.key = c.key AND q.vec_id <> c.vec_id
+               |  WHERE q.vec_id >= 100 AND q.vec_id < 105
+               |  UNION
+               |  SELECT 'ivf', p.qid, a.cid
+               |  FROM (SELECT vec_id AS qid, cell FROM ranked
+               |        WHERE crk <= $NProbe AND vec_id >= 200 AND vec_id < 205) p
+               |  JOIN (SELECT vec_id AS cid, cell FROM ranked WHERE crk = 1) a USING (cell)
+               |  WHERE p.qid <> a.cid
+               |)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT u.method, u.qid,
+       |  coalesce(s.cand_n, 0) AS cand_n,
+       |  coalesce(h.hit_n, 0) AS hit_n,
+       |  round(coalesce(h.hit_n, 0) / ${RecallK}.0, 4) AS recall_r
+       |FROM (SELECT 'lsh' AS method, vec_id AS qid FROM embeddings
+       |      WHERE vec_id >= 100 AND vec_id < 105
+       |      UNION ALL
+       |      SELECT 'ivf', vec_id FROM embeddings
+       |      WHERE vec_id >= 200 AND vec_id < 205) u
+       |LEFT JOIN (SELECT method, qid, count(*) AS cand_n FROM cand GROUP BY 1, 2) s
+       |  USING (method, qid)
+       |LEFT JOIN (SELECT c.method, c.qid, count(*) AS hit_n FROM cand c
+       |           JOIN truth t ON t.qid = c.qid AND t.cid = c.cid GROUP BY 1, 2) h
+       |  USING (method, qid)
+       |ORDER BY method, qid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> s1CosineTopK _,
     "s6_mmr_rerank"  -> s6MmrRerank _,
@@ -919,6 +1031,7 @@ object Similarity {
     "s3_ivf_ann"     -> s3IvfAnn _,
     "s4_scalar_quant" -> s4ScalarQuant _,
     "s5_pq_adc"      -> s5PqAdc _,
+    "s8_ann_recall"  -> s8AnnRecall _,
     "e2_semdedup"    -> e2SemDedup _)
 
   val oracles: Map[String, String] = Map(
@@ -929,5 +1042,6 @@ object Similarity {
     "s3_ivf_ann"     -> s3Sql,
     "s4_scalar_quant" -> s4Sql,
     "s5_pq_adc"      -> s5Sql,
+    "s8_ann_recall"  -> s8Sql,
     "e2_semdedup"    -> e2Sql)
 }

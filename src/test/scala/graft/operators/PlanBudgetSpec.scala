@@ -102,6 +102,7 @@ class PlanBudgetSpec extends AnyFunSuite {
       "s5_pq_adc" -> Budget(2, 1),
       "s6_mmr_rerank" -> Budget(1, 0),
       "s7_ivfpq_ann" -> Budget(2, 0),
+      "s8_ann_recall" -> Budget(21, 9),
       "st1_tumbling_window" -> Budget(2, 0),
       "st2_sliding_window" -> Budget(2, 0),
       "st3_session_window" -> Budget(2, 0),

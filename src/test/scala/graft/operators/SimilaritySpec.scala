@@ -85,6 +85,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall(got("s1_cosine_topk"), truth) == 1.0)
   }
 
+  test("s8 recall measurement matches an independent driver-side re-derivation (lsh)") {
+    // same independent sig re-derivation as the key-coverage test (n=500 →
+    // nbits=4 hardcoded): the LSH rows of s8 must report EXACTLY the
+    // candidate-set size and top-10 intersection that the re-derived tables
+    // imply — the measurement itself is being measured here, not just its
+    // oracle parity
+    val planes = (0 until 16).map(i => corpus(i.toLong))
+    def sig(v: Array[Double]): Int =
+      planes.zipWithIndex.map { case (p, i) =>
+        val dot = (p, v).zipped.map(_ * _).sum
+        if (dot > 0) 1 << i else 0
+      }.sum
+    val sigs = corpus.view.mapValues(sig).toMap
+    def shareTable(a: Long, b: Long): Boolean =
+      (0 until 4).exists(t => ((sigs(a) >> (t * 4)) & 15) == ((sigs(b) >> (t * 4)) & 15))
+    val truth = bruteTop(Seq(100L, 101L, 102L, 103L, 104L), 10)
+    val rows = Similarity.queries("s8_ann_recall")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Number]("qid").longValue(),
+        r.getAs[Number]("cand_n").longValue(), r.getAs[Number]("hit_n").longValue(),
+        r.getAs[Number]("recall_r").doubleValue()))
+    assert(rows.length == 10 && rows.count(_._1 == "lsh") == 5)
+    rows.foreach { case (_, _, candN, hitN, recallR) =>
+      assert(hitN <= candN && hitN <= 10)
+      assert(math.abs(recallR - hitN / 10.0) < 1e-9)
+    }
+    rows.filter(_._1 == "lsh").foreach { case (_, qid, candN, hitN, _) =>
+      val cand = corpus.keySet.filter(c => c != qid && shareTable(qid, c))
+      assert(candN == cand.size, s"qid=$qid cand_n $candN != rederived ${cand.size}")
+      assert(hitN == (cand intersect truth(qid)).size, s"qid=$qid hit_n mismatch")
+    }
+  }
+
   test("e2 SemDeDup keep/drop flags are consistent with the drop rule") {
     // independent driver-side re-check: given the query's cluster
     // assignment, a vector must be dropped IFF some smaller-id vector in
