@@ -10,7 +10,8 @@ import graft.operators.{Dedup, TextOps}
 /** One-call curation snapshot over a documents dataset directory — the
   * training-data counterpart of [[RadoHydro.run]]: the individual operator
   * queries (t5 quality, d1 exact keeper, d10 decontamination, d9/c2 near-dup
-  * canonical, t11 temperature sample, t13 packing) composed the way a corpus
+  * canonical, t11 temperature sample, t17 per-source cap, t13 packing)
+  * composed the way a corpus
   * snapshot is actually cut, returning a per-document audit LEDGER (every
   * verdict attributable), the kept snapshot, and its packed training layout.
   *
@@ -42,7 +43,11 @@ object Curation {
       // skips its corpus-wide gram pass entirely).
       maxDupSpanFrac: Double = 1.0,
       // PII scrubbing (t16): redact email/phone/IP in the snapshot text.
-      redact: Boolean = false)
+      redact: Boolean = false,
+      // Hard per-source document cap (t17): keep at most this many docs per
+      // source, best-first by (n_chars desc, doc_id). <= 0 disables the
+      // stage (and skips its two-stage rank entirely).
+      maxPerSource: Int = 0)
 
   final case class Result(ledger: DataFrame, snapshot: DataFrame, packs: DataFrame)
 
@@ -109,8 +114,20 @@ object Curation {
             coalesce(col("dup_frac"), lit(0.0)) <= cfg.maxDupSpanFrac)
           .select("doc_id", "span_ok")
 
+    // per-source cap (t17's salted two-stage selection) — identity when
+    // disabled, so the rank only runs when the knob asks for it
+    val capOk =
+      if (cfg.maxPerSource <= 0)
+        docs.select("doc_id").withColumn("cap_kept", lit(true))
+      else
+        docs.select("doc_id")
+          .join(TextOps.sourceCapFrame(docs, cfg.maxPerSource)
+            .select("doc_id").withColumn("cap_kept", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("cap_kept"), lit(false)).as("cap_kept"))
+
     val ledger = mixed
       .join(quality, "doc_id")
+      .join(capOk, "doc_id")
       .join(spanOk, "doc_id")
       .join(keepers, "doc_id").join(keeperIds, "fp")
       .join(contaminated, Seq("doc_id"), "left")
@@ -128,9 +145,10 @@ object Curation {
       .withColumn("kept",
         col("q_pass") && col("is_keeper") && col("clean") && col("canonical") &&
           col("sampled") && col("temp_kept") && col("mix_kept") && col("span_ok") &&
-          !col("is_eval"))
+          col("cap_kept") && !col("is_eval"))
       .select("doc_id", "lang", "quality", "q_pass", "is_keeper", "clean",
-        "canonical", "sampled", "temp_kept", "mix_kept", "span_ok", "is_eval", "kept")
+        "canonical", "sampled", "temp_kept", "mix_kept", "span_ok", "cap_kept",
+        "is_eval", "kept")
 
     val keptDocs = docs.join(ledger.where(col("kept")).select("doc_id"), "doc_id")
     val snapshot =

@@ -740,7 +740,77 @@ object Dedup {
        |         / n_toks AS dup_frac
        |FROM c GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // d12 — incremental-ingest dedup: the production shape where a NEW crawl
+  // batch (here: doc_id % 5 = 4, a deterministic 20% slice) is deduped
+  // against the EXISTING corpus before admission — new-vs-new and
+  // old-vs-old pairs are out of scope (the standing corpus was already
+  // deduped by d9; intra-batch dups fall to the next snapshot's d9). Rides
+  // the memoized lshSigs/lshPairs artifacts: candidate pairs are the shared
+  // banded-LSH buckets filtered to mixed (new, old) membership, est_jaccard
+  // is d3's signature agreement (k/64 — exactly representable, so the
+  // best-match equality join is engine-exact), and the verdict applies d9's
+  // 0.7 edge threshold. Per new doc: candidate count, best-est match
+  // (ties -> min old doc_id via a max-then-min two-step, identical in both
+  // engines), and the admit/reject flag; batch docs with no collision
+  // surface via the left join with zero candidates. At scale only
+  // (doc_new, doc_old, est) scalars move after the shared band join, keyed
+  // by doc_new — and in steady production the old side's signatures are a
+  // precomputed snapshot artifact, exactly how the ArtifactCache serves
+  // them here.
+  private def d12Incremental(s: SparkSession, d: String): DataFrame = {
+    val sigs = lshSigs(s, d)
+    val pairs = lshPairsFor(s, d)
+      .where((col("doc_a") % 5 === 4) =!= (col("doc_b") % 5 === 4))
+    val oriented = pairs.select(
+      when(col("doc_a") % 5 === 4, col("doc_a")).otherwise(col("doc_b")).as("doc_new"),
+      when(col("doc_a") % 5 === 4, col("doc_b")).otherwise(col("doc_a")).as("doc_old"))
+    val sa = sigs.select(col("doc_id").as("doc_new"), col("sig").as("siga"))
+    val sb = sigs.select(col("doc_id").as("doc_old"), col("sig").as("sigb"))
+    val est = oriented.join(sa, "doc_new").join(sb, "doc_old")
+      .select(col("doc_new"), col("doc_old"),
+        (expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))").cast(DoubleType)
+          / LshNumHashes).as("est"))
+      .cache() // scanned twice: best-est aggregate + tie-break re-join
+    val best = est.groupBy("doc_new")
+      .agg(count(lit(1)).as("n_cand"), max(col("est")).as("best_est"))
+    val pick = est.join(best.select(col("doc_new"), col("best_est")), "doc_new")
+      .where(col("est") === col("best_est"))
+      .groupBy("doc_new").agg(min(col("doc_old")).as("best_old"))
+    Tables.documents(s, d).where(col("doc_id") % 5 === 4)
+      .select(col("doc_id").as("doc_new"))
+      .join(best, Seq("doc_new"), "left")
+      .join(pick, Seq("doc_new"), "left")
+      .select(col("doc_new"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("best_old"), col("best_est"),
+        when(col("best_est") >= 0.7, 1).otherwise(0).as("is_dup"))
+      .orderBy("doc_new")
+  }
+
+  private val d12Sql =
+    s"""WITH $lshCandSqlCtes,
+       |est AS MATERIALIZED (
+       |  SELECT CASE WHEN c.doc_a % 5 = 4 THEN c.doc_a ELSE c.doc_b END AS doc_new,
+       |    CASE WHEN c.doc_a % 5 = 4 THEN c.doc_b ELSE c.doc_a END AS doc_old,
+       |    CAST(len(list_filter(range(1, ${LshNumHashes + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $LshNumHashes AS est
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+       |  WHERE (c.doc_a % 5 = 4) <> (c.doc_b % 5 = 4)
+       |), best AS (
+       |  SELECT doc_new, count(*) AS n_cand, max(est) AS best_est FROM est GROUP BY doc_new
+       |), pick AS (
+       |  SELECT e.doc_new, min(e.doc_old) AS best_old
+       |  FROM est e JOIN best b ON e.doc_new = b.doc_new AND e.est = b.best_est
+       |  GROUP BY e.doc_new
+       |)
+       |SELECT n.doc_id AS doc_new, coalesce(b.n_cand, 0) AS n_cand, p.best_old, b.best_est,
+       |  CASE WHEN b.best_est >= 0.7 THEN 1 ELSE 0 END AS is_dup
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) n
+       |LEFT JOIN best b ON b.doc_new = n.doc_id
+       |LEFT JOIN pick p ON p.doc_new = n.doc_id
+       |ORDER BY doc_new""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_incremental"   -> d12Incremental _,
     "d11_dup_spans"     -> d11DupSpans _,
     "d1_exact_dedup"    -> d1Exact _,
     "d10_decontaminate" -> d10Decontaminate _,
@@ -754,6 +824,7 @@ object Dedup {
     "d9_dedup_groups"   -> d9DedupGroups _)
 
   val oracles: Map[String, String] = Map(
+    "d12_incremental"   -> d12Sql,
     "d1_exact_dedup"    -> d1Sql,
     "d10_decontaminate" -> d10Sql,
     "d11_dup_spans"     -> d11Sql,

@@ -765,7 +765,128 @@ object TextOps {
        |    '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$IpRe', '<IP>', 'g')) AS red_md5
        |FROM p ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // t17 — per-source document cap: keep at most CapPerSource docs per source,
+  // best-first by (n_chars DESC, doc_id ASC). The boilerplate guard every
+  // web-crawl curation pipeline runs: a handful of domains contribute an
+  // outsized share of a crawl, and a hard per-domain cap bounds their
+  // influence regardless of corpus growth. Sources number far fewer than
+  // docs at 100 TB (exactly the whale-group shape), so the rank is the
+  // salted two-stage selection from t4: rank within TopKSalts doc-hash
+  // buckets first (the global top-N per source is necessarily inside its own
+  // bucket's top-N — exact), then a final rank over <= TopKSalts * N
+  // survivors per source. The salt never reaches the result, so the oracle
+  // is the plain one-window SQL.
+  private val CapPerSource = 10
+
+  /** (source, rk, doc_id, n_chars) — the per-source top-`cap` selection
+    * behind t17, shared with [[graft.api.Curation]]'s `maxPerSource` stage
+    * so the API cap cannot drift from the oracle-checked query.
+    */
+  private[graft] def sourceCapFrame(docs: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(TopKSalts)))
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy("source", "salt").orderBy(col("n_chars").desc, col("doc_id"))))
+      .where(col("lrk") <= cap)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))))
+      .where(col("rk") <= cap)
+      .select("source", "rk", "doc_id", "n_chars")
+  }
+
+  private def t17SourceCap(s: SparkSession, d: String): DataFrame =
+    sourceCapFrame(Tables.documents(s, d), CapPerSource)
+      .orderBy("source", "rk")
+
+  private val t17Sql =
+    s"""SELECT source, rk, doc_id, n_chars FROM (
+       |  SELECT source, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $CapPerSource
+       |ORDER BY source, rk""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // t18 — BM25 retrieval (Robertson/Spärck Jones k1=1.2, b=0.75): top-5 docs
+  // per query term. The inverted-index build is t9's two map-side-combinable
+  // aggregations (tf per (doc, term), df per term); the corpus-wide scalars
+  // (n_docs, total token count for avgdl) ride one broadcast row and the
+  // <= |terms| df rows broadcast into the scoring join — nothing but the tf
+  // frame ever shuffles, keyed by doc. A common term matches an unbounded
+  // share of the corpus, so the per-term top-5 uses the same salted
+  // two-stage rank as t4/t17 rather than one window partition per term.
+  // idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the non-negative BM25+ form);
+  // both engines evaluate the structurally identical double expression and
+  // round(6) absorbs sub-ulp libm divergence (t9 precedent).
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Terms = Seq("spark", "merge", "customer", "hash")
+  private def t18Bm25(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val score = idf * (col("tf") * lit(Bm25K1 + 1)) /
+      (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / avgdl))
+    tf.join(broadcast(df), "term").crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(TopKSalts)))
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy("term", "salt").orderBy(col("score").desc, col("doc_id"))))
+      .where(col("lrk") <= 5)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rk") <= 5)
+      .select(col("term"), col("rk"), col("doc_id"), col("tf"), col("dl").cast(LongType).as("dl"),
+        round(col("score"), 6).as("bm25_r"))
+      .orderBy("term", "rk")
+  }
+
+  private val t18Sql = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+       |  FROM documents
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d
+       |), tf AS (
+       |  SELECT doc_id, dl, tok AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+       |  WHERE tok IN ($termList)
+       |  GROUP BY doc_id, dl, tok
+       |), df AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, tf.dl,
+       |    ln(1.0 + (CAST(n_docs AS BIGINT) - df.df + 0.5) / (df.df + 0.5)) *
+       |      (tf.tf * ${Bm25K1 + 1}) /
+       |      (tf.tf + $Bm25K1 * (${1 - Bm25B} + $Bm25B * tf.dl
+       |        / (CAST(sum_dl AS DOUBLE) / n_docs))) AS score
+       |  FROM tf JOIN df USING (term), stats
+       |)
+       |SELECT term, rk, doc_id, CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl,
+       |  round(score, 6) AS bm25_r
+       |FROM (SELECT *, row_number() OVER (PARTITION BY term
+       |        ORDER BY score DESC, doc_id) AS rk FROM scored)
+       |WHERE rk <= 5
+       |ORDER BY term, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_source_cap"   -> t17SourceCap _,
+    "t18_bm25"         -> t18Bm25 _,
     "t16_pii_redact"   -> t16PiiRedact _,
     "t15_domain_mix"   -> t15DomainMix _,
     "t10_feature_hash" -> t10FeatureHash _,
@@ -784,6 +905,8 @@ object TextOps {
     "t9_tfidf"              -> t9Tfidf _)
 
   val oracles: Map[String, String] = Map(
+    "t17_source_cap"   -> t17Sql,
+    "t18_bm25"         -> t18Sql,
     "t16_pii_redact"   -> t16Sql,
     "t15_domain_mix"   -> t15Sql,
     "t10_feature_hash" -> t10Sql,

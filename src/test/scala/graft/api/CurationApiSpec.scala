@@ -107,6 +107,25 @@ class CurationApiSpec extends AnyFunSuite {
     assert(spanOk.exists(!_._2), "threshold 0.2 excludes nothing at this SF — weak fixture")
   }
 
+  test("maxPerSource knob equals the oracle-checked t17 selection") {
+    // default config: stage disabled, cap_kept vacuously true everywhere
+    assert(result.ledger.collect().forall(_.getAs[Boolean]("cap_kept")))
+    val cap = 2
+    val capped = Curation.run(spark, sf, Curation.Config(maxPerSource = cap))
+    val capKept = capped.ledger.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("cap_kept")).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expectedKeep = docs.groupBy(_._1).values.flatMap(
+      _.sortBy(r => (-r._3, r._2)).take(cap).map(_._2)).toSet
+    assert(capKept.keySet === docs.map(_._2).toSet)
+    capKept.foreach { case (id, ok) =>
+      assert(ok === expectedKeep.contains(id), s"cap_kept drift for doc $id")
+    }
+    assert(capKept.exists(!_._2), "cap 2 excludes nothing at this SF — weak fixture")
+  }
+
   test("redact knob scrubs snapshot text through the t16 patterns") {
     val redacted = Curation.run(spark, sf, Curation.Config(redact = true))
     val plain = result.snapshot.select("doc_id", "text").collect()

@@ -47,6 +47,7 @@ class PlanBudgetSpec extends AnyFunSuite {
       "c2_canonical_keep" -> Budget(3, 0),
       "d10_decontaminate" -> Budget(4, 0),
       "d11_dup_spans" -> Budget(4, 0),
+      "d12_incremental" -> Budget(4, 0),
       "d1_exact_dedup" -> Budget(2, 0),
       "d2_minhash_sigs" -> Budget(1, 0),
       "d3_minhash_pairs" -> Budget(1, 0),
@@ -116,6 +117,8 @@ class PlanBudgetSpec extends AnyFunSuite {
       "t14_rarity_score" -> Budget(5, 1),
       "t15_domain_mix" -> Budget(4, 1),
       "t16_pii_redact" -> Budget(1, 0),
+      "t17_source_cap" -> Budget(3, 0),
+      "t18_bm25" -> Budget(7, 1),
       "t1_text_stats" -> Budget(1, 0),
       "t2_lang_id" -> Budget(1, 0),
       "t3_fingerprint" -> Budget(1, 0),
