@@ -57,7 +57,19 @@ def main():
     if spill:
         os.makedirs(spill, exist_ok=True)
         con.execute(f"SET temp_directory='{spill}'")
-        con.execute("SET max_temp_directory_size='60GiB'")
+        con.execute(f"SET max_temp_directory_size="
+                    f"'{os.environ.get('GRAFT_CHECK_SPILL_MAX', '60GiB')}'")
+    # Out-of-band scale gates: a hard memory_limit makes DuckDB spill instead
+    # of growing into the kernel OOM-killer (default 80% of RAM is fatal on a
+    # box whose Spark dumps it also reads); fewer threads = less concurrent
+    # operator state for the non-spillable chains. Unset = driver-replica
+    # defaults.
+    mem = os.environ.get("GRAFT_CHECK_MEM", "")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    thr = os.environ.get("GRAFT_CHECK_THREADS", "")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
