@@ -278,32 +278,44 @@ object AnalyticOps {
   // ---------------------------------------------------------------------------
   // o6 — ranking-function battery per priority class: rank, dense_rank,
   // ntile(4) quartiles, percent_rank and cume_dist over o_totalprice with a
-  // deterministic orderkey tie-break. percent_rank = (rank-1)/(n-1) and
-  // cume_dist = rank_from_end/n are single IEEE divisions of integers —
-  // identical in both engines; rounding is display-only. One shuffle on the
-  // partition key, sort within.
+  // deterministic orderkey tie-break. The relative ranks are emitted as
+  // EXACT integer ppm ((rank-1)*1e6 div (n-1), rank*1e6 div n — the
+  // orderkey tie-break leaves no peers, so these ARE percent_rank/cume_dist
+  // at ppm precision): the earlier round(double, 6) form hit the
+  // half-at-the-6th-digit boundary ~90 times among sf10's 15M rows, where
+  // Spark rounds the shortest decimal string (BigDecimal.valueOf) and
+  // DuckDB rounds the binary value — integer div has no such boundary at
+  // ANY scale. One shuffle on the partition key; the partition-count
+  // window rides the same exchange/sort.
   private def o6RankBattery(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wp = Window.partitionBy(col("o_orderpriority"))
     Tables.orders(s, d)
       .select(col("o_orderpriority"), col("o_orderkey"),
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank_r"),
-        round(cume_dist().over(w), 6).as("cume_dist_r"))
+        count(lit(1)).over(wp).as("n"))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("rnk"), col("drnk"),
+        col("quartile"),
+        expr("CAST(rnk - 1 AS BIGINT) * 1000000 div (n - 1)").as("pct_rank_ppm"),
+        expr("CAST(rnk AS BIGINT) * 1000000 div n").as("cume_dist_ppm"))
       .orderBy("o_orderpriority", "rnk")
   }
 
   private val o6Sql =
-    """SELECT o_orderpriority, o_orderkey,
-      |  rank() OVER w AS rnk,
-      |  dense_rank() OVER w AS drnk,
-      |  ntile(4) OVER w AS quartile,
-      |  round(percent_rank() OVER w, 6) AS pct_rank_r,
-      |  round(cume_dist() OVER w, 6) AS cume_dist_r
-      |FROM orders
-      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """SELECT o_orderpriority, o_orderkey, rnk, drnk, quartile,
+      |  (rnk - 1) * 1000000 // (n - 1) AS pct_rank_ppm,
+      |  rnk * 1000000 // n AS cume_dist_ppm
+      |FROM (SELECT o_orderpriority, o_orderkey,
+      |        rank() OVER w AS rnk,
+      |        dense_rank() OVER w AS drnk,
+      |        ntile(4) OVER w AS quartile,
+      |        count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |      FROM orders
+      |      WINDOW w AS (PARTITION BY o_orderpriority
+      |                   ORDER BY o_totalprice DESC, o_orderkey))
       |ORDER BY o_orderpriority, rnk""".stripMargin
 
   // ---------------------------------------------------------------------------
