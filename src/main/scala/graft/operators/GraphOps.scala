@@ -191,7 +191,11 @@ object GraphOps {
        |    's:' || CAST(l_suppkey AS VARCHAR) AS dst
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |), edges AS MATERIALIZED (
-       |  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+       |  -- UNION ALL, not UNION: pairs is already DISTINCT and the c:/s:
+       |  -- namespaces are disjoint, so no duplicate can arise — the dedup
+       |  -- sort over 2x the pair volume was the oracle's biggest spiller
+       |  -- at the sf10 gate (Spark's union is bag semantics already)
+       |  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
        |), deg AS MATERIALIZED (
        |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
        |), nodes AS MATERIALIZED (
