@@ -11,8 +11,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * with predicate pushdown + column pruning handled by Catalyst).
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Per-session memo of resolved table frames. A fresh `spark.read.parquet`
+    * re-lists the directory and re-reads footers for schema on every call —
+    * ~0.1–0.25 s per query at bench SF, and at cluster scale an object-store
+    * LIST per query. The testdata is immutable within a session, so the
+    * resolved DataFrame (immutable logical plan) is shared. Weak session
+    * keys: stopped test sessions don't pin their plans.
+    */
+  private val frames =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = frames.synchronized {
+      var m = frames.get(spark)
+      if (m == null) { m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame](); frames.put(spark, m) }
+      m
+    }
+    perSession.computeIfAbsent(s"$sfDir/$name",
+      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -28,7 +45,12 @@ object Tables {
     * generation of testdata is on disk.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Sessions built by Verify/Bench/tools/TestSpark pre-set nanosAsLong at
+    // construction; only fall back to a one-time set for ad-hoc sessions, so
+    // a pre-configured session is never conf-mutated mid-query (a mixed
+    // workload session could otherwise race the setting).
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeEventsTs(table(s, d, "events"))
   }
 

@@ -39,6 +39,22 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("events on a pre-configured session never mutates conf; table frames memoize") {
+    // TestSpark pre-sets nanosAsLong at construction (like Verify/Bench);
+    // events() must not call conf.set on such a session (a mixed-workload
+    // session could otherwise race a mid-query conf mutation).
+    val before = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    assert(before == "true", "TestSpark must pre-set nanosAsLong at construction")
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/events.parquet").exists())
+    val e1 = Tables.events(spark, sf)
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    // the resolved frame is memoized per (session, path): a second read
+    // returns the same plan instead of re-listing + re-reading footers
+    assert(Tables.table(spark, sf, "events") eq Tables.table(spark, sf, "events"))
+    assert(e1.schema.fieldNames.contains("ts"))
+  }
+
   test("Tables.events round-trips an NTZ-encoded parquet (current corpora)") {
     import spark.implicits._
     import org.apache.spark.sql.types._
