@@ -16,6 +16,11 @@ run / fork := true
 // Bench/Verify output lines (the harness's bench parse failed on it every
 // round — BENCH_r*.json all show "parsed": null).
 run / outputStrategy := Some(StdoutOutput)
+// ...and the "[success] Total time: ..." trailer sbt prints AFTER the forked
+// main exits is suppressed too, so the Bench JSON line is the LAST line of
+// stdout (round-6 still recorded "parsed": null with the trailer in the
+// stored tail).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -110,10 +110,7 @@ object GraphOps {
     * mix) — the loop body n1 unrolls three times and the convergent twin
     * repeats until quiescence.
     */
-  private def prRound(edges: DataFrame, nodesDeg: DataFrame, r: DataFrame): DataFrame =
-    prRoundPlan(edges, nodesDeg, r).localCheckpoint()
-
-  private def prRoundPlan(edges: DataFrame, nodesDeg: DataFrame, r: DataFrame): DataFrame = {
+  private def prRound(edges: DataFrame, nodesDeg: DataFrame, r: DataFrame): DataFrame = {
     val shares = r.select(col("node").as("src"), expr("r div outdeg").as("share"))
     val contrib = edges.join(broadcast(shares), "src")
       .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
@@ -121,6 +118,7 @@ object GraphOps {
       .join(broadcast(contrib), nodesDeg("node") === contrib("dst"), "left")
       .select(col("node"), col("outdeg"), col("n"),
         expr(s"(($Scale div n) * 15) div 100 + (85 * coalesce(contrib, 0)) div 100").as("r"))
+      .localCheckpoint()
   }
 
   /** Final 20-row labeled projection shared by every PageRank variant. */
@@ -135,21 +133,13 @@ object GraphOps {
   }
 
   private def n1PageRank(s: SparkSession, d: String): DataFrame = {
-    val mode = sys.env.getOrElse("SPARK_GRAFT_PR_MODE", "checkpoint")
+    // Per-round localCheckpoint measured AGAIN in round 7 against a fully
+    // nested 3-round plan and a checkpoint-every-2nd variant (sf0.1, idle):
+    // 5.98 s vs 7.16 s vs 7.02 s — the flat identical-shape rounds (codegen
+    // compiled once, later rounds hit the source cache) keep winning.
     val (edges, nodesDeg) = unweightedGraph(s, d)
-    var r = mode match {
-      case "nested" => nodesDeg.select(col("node"), col("outdeg"), col("n"),
-        expr(s"$Scale div n").as("r"))
-      case _ => prInit(nodesDeg)
-    }
-    for (i <- 1 to Iters) {
-      val next = prRoundPlan(edges, nodesDeg, r)
-      r = mode match {
-        case "nested" => next
-        case "chk2" => if (i % 2 == 0 || i == Iters) next.localCheckpoint() else next
-        case _ => next.localCheckpoint()
-      }
-    }
+    var r = prInit(nodesDeg)
+    for (_ <- 1 to Iters) r = prRound(edges, nodesDeg, r)
     prTop20(r)
   }
 
@@ -173,14 +163,30 @@ object GraphOps {
     var r = prInit(nodesDeg)
     var iters = 0
     var delta = Long.MaxValue
+    var cached: DataFrame = null // persisted frame backing `r`, for unpersist
     while (delta > epsFp && iters < maxIters) {
-      val next = prRound(edges, nodesDeg, r)
-      delta = next.select(col("node"), col("r"))
-        .join(r.select(col("node"), col("r").as("r_prev")), "node")
-        .agg(max(abs(col("r") - col("r_prev"))).as("delta"))
-        .first().getLong(0)
-      r = next
       iters += 1
+      // delta check FUSED into the round (round-6 verdict #8): the update
+      // joins contributions back onto the RANK frame itself (same content
+      // as nodesDeg plus r), so the old rank rides along as r_prev and one
+      // aggregate over the freshly-persisted frame yields both the new
+      // ranks and the convergence delta — no next-vs-prev rejoin, one
+      // materializing job per round instead of two. cache() + agg replaces
+      // the per-round localCheckpoint; a checkpoint every 5 rounds still
+      // truncates the growing lineage (the 200-round worst case would
+      // otherwise accumulate a 200-deep plan).
+      val shares = r.select(col("node").as("src"), expr("r div outdeg").as("share"))
+      val contrib = edges.join(broadcast(shares), "src")
+        .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
+      val nextPlan = r.join(broadcast(contrib), r("node") === contrib("dst"), "left")
+        .select(r("node").as("node"), col("outdeg"), col("n"),
+          expr(s"(($Scale div n) * 15) div 100 + (85 * coalesce(contrib, 0)) div 100").as("r"),
+          r("r").as("r_prev"))
+      val next = if (iters % 5 == 0) nextPlan.localCheckpoint() else nextPlan.cache()
+      delta = next.agg(max(abs(col("r") - col("r_prev")))).first().getLong(0)
+      if (cached != null) cached.unpersist()
+      cached = next
+      r = next.select("node", "outdeg", "n", "r")
     }
     (prTop20(r), iters)
   }

@@ -849,19 +849,25 @@ object TextOps {
         Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))))
       .where(col("rk") <= 5)
       .select(col("term"), col("rk"), col("doc_id"), col("tf"), col("dl").cast(LongType).as("dl"),
+        // round(double, 6) retains the half-at-the-6th-digit cross-engine
+        // boundary o6 eliminated (Spark rounds the shortest decimal string,
+        // DuckDB the binary value) plus sub-ulp libm ln() divergence in idf;
+        // acceptable at ~20 output rows (t9 precedent) — if the term list or
+        // corpus ever widens this output, switch to a scaled-DECIMAL score
+        // like o6's integer-exact ranks
         round(col("score"), 6).as("bm25_r"))
       .orderBy("term", "rk")
   }
 
   private val t18Sql = {
     val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH d AS (
+    s"""WITH d AS MATERIALIZED (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
        |    len(regexp_split_to_array(trim(text), '\\s+')) AS dl
        |  FROM documents
        |), stats AS (
        |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d
-       |), tf AS (
+       |), tf AS MATERIALIZED (
        |  SELECT doc_id, dl, tok AS term, count(*) AS tf
        |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
        |  WHERE tok IN ($termList)

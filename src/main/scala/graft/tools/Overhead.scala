@@ -27,6 +27,15 @@ object Overhead {
         jobs.incrementAndGet()
     })
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // SPARK_GRAFT_WARM_SF=<dir>: run each query once against that (tiny) SF
+    // first, so the measured run shows what codegen-cache warmth is worth
+    val warmSf = sys.env.get("SPARK_GRAFT_WARM_SF")
+    for (sf <- warmSf; name <- args) {
+      val t0 = System.nanoTime()
+      try graft.SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      println(f"[warm] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
     def t[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }

@@ -37,8 +37,14 @@ class Round6OpsSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
         r.getDouble(5)))
+    // replicate Spark's SPACE-only trim (String.trim also strips tabs/CR/LF,
+    // which Spark's trim keeps — a doc with leading non-space whitespace
+    // would otherwise give this re-derivation a different dl)
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+      .collect().map { r =>
+        val sparkTrimmed = r.getString(1).dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        (r.getLong(0), sparkTrimmed.split("\\s+").toSeq)
+      }
     val n = docs.length.toLong
     val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
     val expected = terms.sorted.flatMap { term =>
@@ -48,11 +54,15 @@ class Round6OpsSpec extends AnyFunSuite {
       }
       val df = hits.length.toLong
       val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      // rank by the RAW score (then doc_id), exactly as the query does —
+      // sorting by the rounded score could flip two docs whose raw scores
+      // differ but round equal; round only for the final comparison
       hits.map { case (id, tf, dl) =>
         val score = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
-        (term, id, tf, dl, BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        (term, id, tf, dl, score)
       }.sortBy(h => (-h._5, h._2)).take(5).zipWithIndex
-        .map { case (h, i) => (h._1, i + 1, h._2, h._3, h._4, h._5.toDouble) }
+        .map { case (h, i) => (h._1, i + 1, h._2, h._3, h._4,
+          BigDecimal(h._5).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
     }
     assert(got.toSeq === expected)
   }
