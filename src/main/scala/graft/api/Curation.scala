@@ -10,8 +10,8 @@ import graft.operators.{Dedup, TextOps}
 /** One-call curation snapshot over a documents dataset directory — the
   * training-data counterpart of [[RadoHydro.run]]: the individual operator
   * queries (t5 quality, d1 exact keeper, d10 decontamination, d9/c2 near-dup
-  * canonical, t11 temperature sample, t17 per-source cap, t13 packing)
-  * composed the way a corpus
+  * canonical, d12 incremental-batch admission, t11 temperature sample, t17
+  * per-source cap, t13 packing) composed the way a corpus
   * snapshot is actually cut, returning a per-document audit LEDGER (every
   * verdict attributable), the kept snapshot, and its packed training layout.
   *
@@ -47,7 +47,12 @@ object Curation {
       // Hard per-source document cap (t17): keep at most this many docs per
       // source, best-first by (n_chars desc, doc_id). <= 0 disables the
       // stage (and skips its two-stage rank entirely).
-      maxPerSource: Int = 0)
+      maxPerSource: Int = 0,
+      // Incremental-ingest admission (d12): Some((m, r)) marks doc_id % m = r
+      // as the NEW batch and rejects its members that near-dup (est >= 0.7)
+      // the standing corpus — the production snapshot-admission stage, riding
+      // the same memoized scored-pair artifact as d9/d12. None disables.
+      admitBatch: Option[(Long, Long)] = None)
 
   final case class Result(ledger: DataFrame, snapshot: DataFrame, packs: DataFrame)
 
@@ -125,10 +130,25 @@ object Curation {
             .select("doc_id").withColumn("cap_kept", lit(true)), Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("cap_kept"), lit(false)).as("cap_kept"))
 
+    // incremental-batch admission (d12's verdict core) — identity when
+    // disabled; standing-corpus docs are vacuously admitted
+    val admitOk = cfg.admitBatch match {
+      case None =>
+        docs.select("doc_id")
+          .withColumn("is_new", lit(false)).withColumn("admitted", lit(true))
+      case Some((m, r)) =>
+        docs.select("doc_id")
+          .join(Dedup.incrementalVerdicts(spark, dir, m, r)
+            .select(col("doc_new").as("doc_id"), col("is_dup")), Seq("doc_id"), "left")
+          .select(col("doc_id"), (col("doc_id") % m === r).as("is_new"),
+            (coalesce(col("is_dup"), lit(0)) === 0).as("admitted"))
+    }
+
     val ledger = mixed
       .join(quality, "doc_id")
       .join(capOk, "doc_id")
       .join(spanOk, "doc_id")
+      .join(admitOk, "doc_id")
       .join(keepers, "doc_id").join(keeperIds, "fp")
       .join(contaminated, Seq("doc_id"), "left")
       .join(canonical, "doc_id")
@@ -145,10 +165,10 @@ object Curation {
       .withColumn("kept",
         col("q_pass") && col("is_keeper") && col("clean") && col("canonical") &&
           col("sampled") && col("temp_kept") && col("mix_kept") && col("span_ok") &&
-          col("cap_kept") && !col("is_eval"))
+          col("cap_kept") && col("admitted") && !col("is_eval"))
       .select("doc_id", "lang", "quality", "q_pass", "is_keeper", "clean",
         "canonical", "sampled", "temp_kept", "mix_kept", "span_ok", "cap_kept",
-        "is_eval", "kept")
+        "is_new", "admitted", "is_eval", "kept")
 
     val keptDocs = docs.join(ledger.where(col("kept")).select("doc_id"), "doc_id")
     val snapshot =

@@ -759,31 +759,40 @@ object Dedup {
   // by doc_new — and in steady production the old side's signatures are a
   // precomputed snapshot artifact, exactly how the ArtifactCache serves
   // them here.
-  private def d12Incremental(s: SparkSession, d: String): DataFrame = {
+  /** Frame core of d12 (unordered): admission verdicts for the new batch
+    * `doc_id % modulus = residue` against the standing corpus. Shared with
+    * [[graft.api.Curation]]'s `admitBatch` stage so the API verdicts cannot
+    * drift from the oracled query surface.
+    */
+  private[graft] def incrementalVerdicts(s: SparkSession, d: String,
+      modulus: Long, residue: Long): DataFrame = {
+    def isNew(c: org.apache.spark.sql.Column) = c % modulus === residue
     // mixed-membership filter + orientation over the shared scored-pair
     // artifact — the signature agreement is already materialized there, so
     // both scans below (best-est aggregate + tie-break re-join) are
     // in-memory scans of the cached artifact
     val est = scoredPairs(s, d)
-      .where((col("doc_a") % 5 === 4) =!= (col("doc_b") % 5 === 4))
+      .where(isNew(col("doc_a")) =!= isNew(col("doc_b")))
       .select(
-        when(col("doc_a") % 5 === 4, col("doc_a")).otherwise(col("doc_b")).as("doc_new"),
-        when(col("doc_a") % 5 === 4, col("doc_b")).otherwise(col("doc_a")).as("doc_old"),
+        when(isNew(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("doc_new"),
+        when(isNew(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("doc_old"),
         col("est_jaccard").as("est"))
     val best = est.groupBy("doc_new")
       .agg(count(lit(1)).as("n_cand"), max(col("est")).as("best_est"))
     val pick = est.join(best.select(col("doc_new"), col("best_est")), "doc_new")
       .where(col("est") === col("best_est"))
       .groupBy("doc_new").agg(min(col("doc_old")).as("best_old"))
-    Tables.documents(s, d).where(col("doc_id") % 5 === 4)
+    Tables.documents(s, d).where(isNew(col("doc_id")))
       .select(col("doc_id").as("doc_new"))
       .join(best, Seq("doc_new"), "left")
       .join(pick, Seq("doc_new"), "left")
       .select(col("doc_new"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         col("best_old"), col("best_est"),
         when(col("best_est") >= 0.7, 1).otherwise(0).as("is_dup"))
-      .orderBy("doc_new")
   }
+
+  private def d12Incremental(s: SparkSession, d: String): DataFrame =
+    incrementalVerdicts(s, d, 5L, 4L).orderBy("doc_new")
 
   private val d12Sql =
     s"""WITH $lshCandSqlCtes,

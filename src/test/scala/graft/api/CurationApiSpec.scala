@@ -126,6 +126,27 @@ class CurationApiSpec extends AnyFunSuite {
     assert(capKept.exists(!_._2), "cap 2 excludes nothing at this SF — weak fixture")
   }
 
+  test("admitBatch knob equals the oracle-checked d12 verdicts") {
+    // default config: stage disabled — nothing is "new", everything admitted
+    result.ledger.collect().foreach { r =>
+      assert(!r.getAs[Boolean]("is_new") && r.getAs[Boolean]("admitted"))
+    }
+    val admitted = Curation.run(spark, sf, Curation.Config(admitBatch = Some((5L, 4L))))
+    val ledger = admitted.ledger.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_new"), r.getAs[Boolean]("admitted"))).toMap
+    val d12 = graft.operators.Dedup.queries("d12_incremental")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_new") -> r.getAs[Int]("is_dup")).toMap
+    assert(ledger.nonEmpty)
+    ledger.foreach { case (id, (isNew, adm)) =>
+      assert(isNew === (id % 5 == 4), s"is_new drift for doc $id")
+      if (isNew) assert(adm === (d12(id) == 0), s"admitted drift for doc $id")
+      else assert(adm, s"standing-corpus doc $id must be vacuously admitted")
+    }
+    assert(ledger.exists { case (_, (isNew, adm)) => isNew && !adm },
+      "batch (5,4) rejects nothing at this SF — weak fixture")
+  }
+
   test("redact knob scrubs snapshot text through the t16 patterns") {
     val redacted = Curation.run(spark, sf, Curation.Config(redact = true))
     val plain = result.snapshot.select("doc_id", "text").collect()
