@@ -202,8 +202,17 @@ object ScaleProbe {
     // the volume-derived partition count (no fixed ceiling: grows past 8
     // once the bidirected edge list clears 8M rows)
     val edgeParts = graft.operators.GraphOps.probeEdgePartitions(spark, dir)
+    // convergence-driven twin at the same 10x edges: rounds-to-eps and
+    // per-round wall (round-6 advisory #8 — the fused delta check makes each
+    // round ONE materializing job; this records what 10^-9 relative
+    // convergence actually costs at scale)
+    val ct0 = System.nanoTime()
+    val (conv, iters) = graft.operators.GraphOps.pageRankConverged(spark, dir)
+    conv.write.format("noop").mode("overwrite").save()
+    val convSec = (System.nanoTime() - ct0) / 1e9
+    println(f"[graph-probe] pageRankConverged iters=$iters sec=$convSec%.1f per_round=${convSec / math.max(1, iters)}%.3f")
     val parts = results.map { case (nm, sec, rows) => s""""$nm":{"sec":$sec,"rows":$rows}""" }
-    println(s"""{"probe":"graph_scale","n_orders":$nOrders,"edge_partitions":$edgeParts,"shuffle_total_mb":${shuffleTotal.get() / 1e6},${parts.mkString(",")}}""")
+    println(s"""{"probe":"graph_scale","n_orders":$nOrders,"edge_partitions":$edgeParts,"converged":{"iters":$iters,"sec":$convSec,"per_round_sec":${convSec / math.max(1, iters)}},"shuffle_total_mb":${shuffleTotal.get() / 1e6},${parts.mkString(",")}}""")
   }
 
   // ---------------------------------------------------------------------------
