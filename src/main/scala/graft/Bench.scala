@@ -108,9 +108,13 @@ object Bench {
     // artifact's build (alphabetical first consumer) and what it cost, so a
     // "slow" first consumer (c2 paying d9's component labeling) is explained
     // by the JSON itself rather than re-derived from plans each round
+    // stats key carries the corpus-dir basename (warm-pass builds at
+    // sf0.001 report separately from measured-SF builds) and self_ms is the
+    // build EXCLUSIVE of nested artifact builds (d9_components -> scoredPairs
+    // -> lshSigs would otherwise triple-count up the chain)
     val artifacts = graft.operators.ArtifactCache.statsSnapshot.toSeq.sortBy(_._1)
       .map { case (n, a) =>
-        s"\"" + n + s"\":{\"builds\":${a.builds},\"hits\":${a.hits},\"build_ms\":${a.buildMillis}}"
+        s"\"" + n + s"\":{\"builds\":${a.builds},\"hits\":${a.hits},\"build_ms\":${a.buildMillis},\"self_ms\":${a.selfMillis}}"
       }.mkString("{", ",", "}")
     // second calibration sample AFTER the suite: round 4's driver bench hit
     // late-run contention the start-of-run calib couldn't see (s-family 4x

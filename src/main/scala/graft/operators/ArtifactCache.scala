@@ -30,14 +30,26 @@ object ArtifactCache {
     * assignment) are fully attributed here, while lazy-cached plans charge
     * materialization to their first consumer (Bench surfaces both so that
     * attribution is visible rather than inferred).
+    *
+    * Stats are keyed per (artifact, corpus-dir basename) so the bench's
+    * sf0.001 warm-pass builds report separately from the measured-SF builds,
+    * and `selfMillis` subtracts NESTED artifact builds (d9_components calls
+    * scoredPairs calls lshSigs) so each artifact's own cost is visible
+    * instead of triple-counted up the chain.
     */
-  final case class ArtifactStats(builds: Long, hits: Long, buildMillis: Long)
+  final case class ArtifactStats(builds: Long, hits: Long, buildMillis: Long,
+      selfMillis: Long = 0L)
   private val stats = TrieMap[String, ArtifactStats]()
-  private def record(name: String, isBuild: Boolean, millis: Long): Unit = {
+  // per-thread stack of child-build-time accumulators for exclusive timing
+  private val childTime = new ThreadLocal[java.util.ArrayDeque[java.util.concurrent.atomic.AtomicLong]] {
+    override def initialValue() = new java.util.ArrayDeque()
+  }
+  private def record(name: String, isBuild: Boolean, millis: Long, selfMillis: Long = 0L): Unit = {
     val _ = stats.updateWith(name) {
-      case Some(a) if isBuild => Some(a.copy(builds = a.builds + 1, buildMillis = a.buildMillis + millis))
+      case Some(a) if isBuild => Some(a.copy(builds = a.builds + 1,
+        buildMillis = a.buildMillis + millis, selfMillis = a.selfMillis + selfMillis))
       case Some(a) => Some(a.copy(hits = a.hits + 1))
-      case None if isBuild => Some(ArtifactStats(1, 0, millis))
+      case None if isBuild => Some(ArtifactStats(1, 0, millis, selfMillis))
       case None => Some(ArtifactStats(0, 1, 0))
     }
   }
@@ -52,23 +64,31 @@ object ArtifactCache {
     */
   def getOrElseUpdate(name: String, s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
     reapStopped()
+    val statKey = s"$name@${new java.io.File(d).getName}"
     val slot = caches.getOrElseUpdate(name, TrieMap.empty)
     slot.get((s, d)) match {
       case Some(df) =>
-        record(name, isBuild = false, 0)
+        record(statKey, isBuild = false, 0)
         df
       case None =>
         // TrieMap.getOrElseUpdate still runs `build` at most once per key
         // under a race; the flag tells losers apart so they count as hits
         var built = false
         val df = slot.getOrElseUpdate((s, d), {
+          val stack = childTime.get()
+          stack.push(new java.util.concurrent.atomic.AtomicLong())
           val t0 = System.nanoTime()
           val b = build
+          val total = (System.nanoTime() - t0) / 1000000
+          val child = stack.pop().get()
           built = true
-          record(name, isBuild = true, (System.nanoTime() - t0) / 1000000)
+          record(statKey, isBuild = true, total, total - child)
+          // charge this build's FULL wall to the enclosing build (if any)
+          // so the parent's selfMillis excludes it
+          if (!stack.isEmpty) { stack.peek().addAndGet(total); () }
           b
         })
-        if (!built) record(name, isBuild = false, 0)
+        if (!built) record(statKey, isBuild = false, 0)
         df
     }
   }

@@ -51,10 +51,12 @@ class Round5OpsSpec extends AnyFunSuite {
     }
     make(); make(); make()
     assert(built === 1)
-    val s = ArtifactCache.statsSnapshot("spec.probe")
+    val s = ArtifactCache.statsSnapshot(s"spec.probe@${new java.io.File(sf).getName}")
     assert(s.builds === 1)
     assert(s.hits === 2)
     assert(s.buildMillis >= 5, s"build time ${s.buildMillis}ms lost")
+    // no nested artifact builds inside the probe closure -> self == total
+    assert(s.selfMillis === s.buildMillis)
     ArtifactCache.invalidateAll()
     ArtifactCache.resetStats()
   }
