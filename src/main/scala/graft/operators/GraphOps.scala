@@ -58,10 +58,23 @@ object GraphOps {
   private[graft] def probeEdgePartitions(s: SparkSession, d: String): Int =
     edgePartitions(s, 2 * weightedPairs(s, d).count())
 
-  /** Build the cached bidirected edge frame and the node-level
-    * degree+graph-size frame n1 and the convergent twin iterate over.
+  /** Cached graph state for the unweighted iterations: bidirected edges
+    * carrying the DESTINATION's out-degree, the node-level degree frame
+    * (init + converged twin), and the node count.
+    *
+    * Two round-7 constant-cost cuts, both semantics-preserving:
+    *  - |nodes| is a graph-level CONSTANT, so it (and the teleport term
+    *    derived from it) folds into driver-side literals instead of a
+    *    crossJoined broadcast column riding every frame;
+    *  - the edge frame carries dst_outdeg, so a round's output comes
+    *    straight out of the contribution aggregate — no nodesDeg rejoin,
+    *    ONE broadcast per round instead of two. Sound because the graph is
+    *    BIDIRECTED: every node has in-edges, so the groupBy(dst) covers the
+    *    whole node set (the left join's null-contrib branch was dead).
     */
-  private def unweightedGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private final case class Graph(edges: DataFrame, deg: DataFrame, nNodes: Long)
+
+  private def unweightedGraph(s: SparkSession, d: String): Graph = {
     // Integer node ids (custkey*2 / suppkey*2+1) keep every iteration's
     // hashing, shuffling and codegen on one BIGINT column; the c:/s: string
     // labels only materialize in the final 20-row projection. The mapping is
@@ -81,16 +94,14 @@ object GraphOps {
     // cached edge frame coalesces to edge-volume-many fat partitions: each
     // iteration re-scans it, and at bench row counts per-task scheduling
     // would otherwise dominate the round.
-    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .coalesce(edgePartitions(s, nEdges)).cache()
-    // one static node-level frame carries degree AND graph size, so each
-    // iteration is exactly two broadcasts (shares out, contributions back)
-    // around the round's single map-side-combined shuffle
-    val nodesDeg = edges.groupBy(col("src").as("node"))
+    val bidir = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = bidir.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
-      .crossJoin(broadcast(edges.select(col("src")).distinct().agg(count(lit(1)).as("n"))))
       .cache()
-    (edges, nodesDeg)
+    val edges = bidir.join(broadcast(deg), bidir("dst") === deg("node"))
+      .select(bidir("src"), bidir("dst"), col("outdeg").as("dst_outdeg"))
+      .coalesce(edgePartitions(s, nEdges)).cache()
+    Graph(edges, deg, deg.count())
   }
 
   /** Initial uniform rank frame. localCheckpoint flattens the node-sized
@@ -99,25 +110,30 @@ object GraphOps {
     * unrolled-lineage variant spent most of its wall time in driver
     * planning + Janino on the final plan. With r0 checkpointed too, all
     * rounds present the exact same physical shape (checkpoint scan ->
-    * cached-edge join -> agg -> cached-node join), so the generated code
-    * compiles once and later rounds hit the codegen source cache.
+    * cached-edge join -> agg), so the generated code compiles once and
+    * later rounds hit the codegen source cache.
     */
-  private def prInit(nodesDeg: DataFrame): DataFrame =
-    nodesDeg.select(col("node"), col("outdeg"), col("n"),
-      expr(s"$Scale div n").as("r")).localCheckpoint()
+  private def prInit(g: Graph): DataFrame =
+    g.deg.select(col("node"), col("outdeg"),
+      lit(Scale / g.nNodes).as("r")).localCheckpoint()
 
-  /** One damped fixed-point round (shares out, contributions back, teleport
-    * mix) — the loop body n1 unrolls three times and the convergent twin
-    * repeats until quiescence.
+  /** The damped teleport term (($Scale div n) * 15) div 100 as a literal —
+    * Scala Long division on non-negatives is the same truncation as SQL
+    * div, so this is bit-identical to the oracle's in-query arithmetic.
     */
-  private def prRound(edges: DataFrame, nodesDeg: DataFrame, r: DataFrame): DataFrame = {
+  private def teleport(nNodes: Long): Long = (Scale / nNodes * 15L) / 100L
+
+  /** One damped fixed-point round (shares out, contributions straight into
+    * the next rank frame) — the loop body n1 unrolls three times and the
+    * convergent twin repeats until quiescence.
+    */
+  private def prRound(g: Graph, r: DataFrame): DataFrame = {
     val shares = r.select(col("node").as("src"), expr("r div outdeg").as("share"))
-    val contrib = edges.join(broadcast(shares), "src")
-      .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
-    nodesDeg
-      .join(broadcast(contrib), nodesDeg("node") === contrib("dst"), "left")
-      .select(col("node"), col("outdeg"), col("n"),
-        expr(s"(($Scale div n) * 15) div 100 + (85 * coalesce(contrib, 0)) div 100").as("r"))
+    g.edges.join(broadcast(shares), "src")
+      .groupBy(col("dst").as("node"), col("dst_outdeg").as("outdeg"))
+      .agg(sum(col("share")).as("contrib"))
+      .select(col("node"), col("outdeg"),
+        (lit(teleport(g.nNodes)) + expr("(85 * contrib) div 100")).as("r"))
       .localCheckpoint()
   }
 
@@ -137,9 +153,9 @@ object GraphOps {
     // nested 3-round plan and a checkpoint-every-2nd variant (sf0.1, idle):
     // 5.98 s vs 7.16 s vs 7.02 s — the flat identical-shape rounds (codegen
     // compiled once, later rounds hit the source cache) keep winning.
-    val (edges, nodesDeg) = unweightedGraph(s, d)
-    var r = prInit(nodesDeg)
-    for (_ <- 1 to Iters) r = prRound(edges, nodesDeg, r)
+    val g = unweightedGraph(s, d)
+    var r = prInit(g)
+    for (_ <- 1 to Iters) r = prRound(g, r)
     prTop20(r)
   }
 
@@ -159,34 +175,33 @@ object GraphOps {
     */
   def pageRankConverged(s: SparkSession, d: String, epsFp: Long = 1000L,
       maxIters: Int = 200): (DataFrame, Int) = {
-    val (edges, nodesDeg) = unweightedGraph(s, d)
-    var r = prInit(nodesDeg)
+    val g = unweightedGraph(s, d)
+    var r = prInit(g)
     var iters = 0
     var delta = Long.MaxValue
     var cached: DataFrame = null // persisted frame backing `r`, for unpersist
     while (delta > epsFp && iters < maxIters) {
       iters += 1
-      // delta check FUSED into the round (round-6 verdict #8): the update
-      // joins contributions back onto the RANK frame itself (same content
-      // as nodesDeg plus r), so the old rank rides along as r_prev and one
-      // aggregate over the freshly-persisted frame yields both the new
-      // ranks and the convergence delta — no next-vs-prev rejoin, one
-      // materializing job per round instead of two. cache() + agg replaces
-      // the per-round localCheckpoint; a checkpoint every 5 rounds still
-      // truncates the growing lineage (the 200-round worst case would
+      // delta check FUSED into the round (round-6 verdict #8): the old rank
+      // re-enters as a node-sized broadcast joined onto the aggregate's
+      // output, so ONE cached frame yields both the new ranks and the
+      // convergence delta — no separate next-vs-prev job. cache() + agg
+      // replaces the per-round localCheckpoint; a checkpoint every 5 rounds
+      // still truncates the growing lineage (the 200-round worst case would
       // otherwise accumulate a 200-deep plan).
+      val prev = r.select(col("node"), col("r").as("r_prev"))
       val shares = r.select(col("node").as("src"), expr("r div outdeg").as("share"))
-      val contrib = edges.join(broadcast(shares), "src")
-        .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
-      val nextPlan = r.join(broadcast(contrib), r("node") === contrib("dst"), "left")
-        .select(r("node").as("node"), col("outdeg"), col("n"),
-          expr(s"(($Scale div n) * 15) div 100 + (85 * coalesce(contrib, 0)) div 100").as("r"),
-          r("r").as("r_prev"))
+      val nextPlan = g.edges.join(broadcast(shares), "src")
+        .groupBy(col("dst").as("node"), col("dst_outdeg").as("outdeg"))
+        .agg(sum(col("share")).as("contrib"))
+        .select(col("node"), col("outdeg"),
+          (lit(teleport(g.nNodes)) + expr("(85 * contrib) div 100")).as("r"))
+        .join(broadcast(prev), "node")
       val next = if (iters % 5 == 0) nextPlan.localCheckpoint() else nextPlan.cache()
       delta = next.agg(max(abs(col("r") - col("r_prev")))).first().getLong(0)
       if (cached != null) cached.unpersist()
       cached = next
-      r = next.select("node", "outdeg", "n", "r")
+      r = next.select("node", "outdeg", "r")
     }
     (prTop20(r), iters)
   }
@@ -253,26 +268,30 @@ object GraphOps {
     }
 
   private def n2WeightedPageRank(s: SparkSession, d: String): DataFrame = {
+    // same round-7 shape as n1: dst's weight-out rides the edge frame, the
+    // graph size folds into driver literals, each round is one broadcast +
+    // one map-side-combined aggregate
     val pairs = weightedPairs(s, d)
     val nEdges = 2 * pairs.count()
-    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .coalesce(edgePartitions(s, nEdges)).cache()
-    val nodesDeg = edges.groupBy(col("src").as("node"))
+    val bidir = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val deg = bidir.groupBy(col("src").as("node"))
       .agg(sum(col("w")).as("wout"))
-      .crossJoin(broadcast(edges.select(col("src")).distinct().agg(count(lit(1)).as("n"))))
       .cache()
-    var r = nodesDeg.select(col("node"), col("wout"), col("n"),
-      expr(s"$Scale div n").as("r")).localCheckpoint()
+    val edges = bidir.join(broadcast(deg), bidir("dst") === deg("node"))
+      .select(bidir("src"), bidir("dst"), bidir("w"), col("wout").as("dst_wout"))
+      .coalesce(edgePartitions(s, nEdges)).cache()
+    val nNodes = deg.count()
+    var r = deg.select(col("node"), col("wout"),
+      lit(Scale / nNodes).as("r")).localCheckpoint()
     for (_ <- 1 to Iters) {
       val shares = r.select(col("node").as("src"), col("r"), col("wout"))
-      val contrib = edges.join(broadcast(shares), "src")
-        .select(col("dst"),
+      r = edges.join(broadcast(shares), "src")
+        .select(col("dst"), col("dst_wout"),
           expr("(r div wout) * w + ((r % wout) * w) div wout").as("share"))
-        .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
-      r = nodesDeg
-        .join(broadcast(contrib), nodesDeg("node") === contrib("dst"), "left")
-        .select(col("node"), col("wout"), col("n"),
-          expr(s"(($Scale div n) * 15) div 100 + (85 * coalesce(contrib, 0)) div 100").as("r"))
+        .groupBy(col("dst").as("node"), col("dst_wout").as("wout"))
+        .agg(sum(col("share")).as("contrib"))
+        .select(col("node"), col("wout"),
+          (lit(teleport(nNodes)) + expr("(85 * contrib) div 100")).as("r"))
         .localCheckpoint()
     }
     val label = when(col("node") % 2 === 0, concat(lit("c:"), expr("node div 2").cast("string")))
