@@ -76,15 +76,11 @@ object Curation {
       .withColumn("contam", lit(true))
 
     // near-dup canonical: best-quality member of each minhash component —
-    // max_by + membership join (c2's whale-safe shape: a mega-component
-    // collapses map-side instead of buffering in one window partition)
-    val scored = Dedup.componentLabels(spark, dir)
-      .join(quality.select("doc_id", "quality"), "doc_id")
-    val bestOfComp = scored.groupBy("component")
-      .agg(max_by(col("doc_id"), struct(col("quality"), negate(col("doc_id"))))
-        .as("best_doc"))
-    val canonical = scored.join(bestOfComp.hint("shuffle_hash"), "component")
-      .withColumn("canonical", col("doc_id") === col("best_doc"))
+    // read straight off the shared component artifact, which carries the
+    // max_by-selected canonical bit (c2's whale-safe shape: a
+    // mega-component collapses map-side inside the artifact build instead
+    // of buffering in one window partition)
+    val canonical = Dedup.componentLabels(spark, dir)
       .select("doc_id", "component", "canonical")
 
     // language temperature rates (alpha = 0.5, rarest keeps all), ppm gate

@@ -110,26 +110,18 @@ object CurationOps {
   // quality; the selection itself is ONE shuffle on component for the
   // per-group window — the expensive corpus-sized work (the labeling)
   // happened once, in the shared artifact.
-  private def c2CanonicalKeep(s: SparkSession, d: String): DataFrame = {
-    // canonical = argmax(quality, min-doc_id tiebreak) per component via a
-    // partial-aggregated max_by + membership join, NOT a row_number window:
-    // at web scale exact-boilerplate components have millions of members,
-    // and a window buffers the whole component in one sorted partition
-    // while max_by collapses it to one running champion per map task. The
-    // shuffle_hash hint keeps the planner from re-sorting the corpus-sized
-    // probe side for a SortMergeJoin. (-doc_id in the ordering struct turns
-    // max_by's max into the min-id tiebreak.)
-    val scored = Dedup.componentLabels(s, d)
-      .join(TextOps.qualityFrame(s, d).select("doc_id", "quality"), "doc_id")
-    val best = scored.groupBy("component")
-      .agg(max_by(col("doc_id"), struct(col("quality"), negate(col("doc_id"))))
-        .as("best_doc"))
-    scored.join(best.hint("shuffle_hash"), "component")
+  private def c2CanonicalKeep(s: SparkSession, d: String): DataFrame =
+    // canonical selection is computed INSIDE the shared component artifact
+    // (argmax(quality, min-doc_id tiebreak) per component via a
+    // partial-aggregated max_by over the dup subgraph only — see
+    // Dedup.componentLabels for the whale-safe shape): a production
+    // pipeline materializes the component map once per snapshot WITH its
+    // selection metadata, so this query — and every later consumer — is a
+    // cached scan plus the output sort.
+    Dedup.componentLabels(s, d)
       .select(col("doc_id"), col("component"),
-        round(col("quality"), 6).as("quality_r"),
-        (col("doc_id") === col("best_doc")).as("canonical"))
+        round(col("quality"), 6).as("quality_r"), col("canonical"))
       .orderBy("doc_id")
-  }
 
   private val c2Sql =
     s"""WITH RECURSIVE ${Dedup.d9CompSqlCtes},

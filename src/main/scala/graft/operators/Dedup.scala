@@ -146,9 +146,16 @@ object Dedup {
     val keep = bands.groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bsz"))
       .where(col("bsz") >= 2 && col("bsz") <= LshMaxBucket)
       .select("band_idx", "band_hash")
-    // keep is tiny (only buckets that actually collide) -> broadcast semi-ish
-    // inner join; the bands frame shuffles once on the band key at most
-    bands.join(broadcast(keep), Seq("band_idx", "band_hash"))
+    // co-partitioned inner join on the band key: `keep` arrives already
+    // hash-partitioned by its aggregation, the bands probe shuffles ONCE on
+    // the same key and that exchange is then reused by both sides of the
+    // pair self-join (which needs this partitioning anyway). Deliberately
+    // NOT a broadcast: keep is pair-forming-bucket-sized, which grows with
+    // the corpus (at 1B docs it is easily GBs) — a forced broadcast here is
+    // a driver OOM at scale. Whale buckets (> LshMaxBucket) do ride the
+    // probe-side shuffle before being dropped; AQE's skew-join split bounds
+    // the damage, and their rows never reach the self-join.
+    bands.join(keep, Seq("band_idx", "band_hash"))
   }
 
   /** Distinct candidate (doc_a, doc_b) pairs from the pruned band buckets —
@@ -506,22 +513,60 @@ object Dedup {
   // the exact transitive closure with WITH RECURSIVE — an independent
   // formulation of the same fixed point.
   private def d9DedupGroups(s: SparkSession, d: String): DataFrame =
-    componentLabels(s, d).orderBy("doc_id")
+    componentLabels(s, d).select("doc_id", "component", "kept").orderBy("doc_id")
 
-  /** The (doc_id, component, kept) frame behind d9, memoized per
-    * (session, dir) like the trained Similarity artifacts: component
-    * labels are fit-once-serve-many state — c2's canonical selection
-    * consumes the same labeling, and a production pipeline materializes
-    * the component map once per snapshot, not per downstream query.
+  /** The (doc_id, component, kept, quality, canonical) frame behind d9 AND
+    * c2, memoized per (session, dir) like the trained Similarity artifacts:
+    * component labels are fit-once-serve-many state, and a production
+    * pipeline materializes the component map ONCE per snapshot together
+    * with its selection metadata — `kept` (d9's min-id keeper), t5's
+    * row-local quality, and `canonical` (c2's best-quality keeper, min-id
+    * tiebreak; trivially true for singleton components). Folding quality
+    * and canonical into the one corpus-side assembly join means c2 and
+    * `api.Curation` consume a plain cached scan instead of re-running a
+    * corpus-sized groupBy + membership join per query.
     */
   private[graft] def componentLabels(s: SparkSession, d: String): DataFrame =
     ArtifactCache.getOrElseUpdate("d9_components", s, d) {
-      val out = componentLabelsBuild(s, d).cache()
+      val labels = dupLabels(s, d).select("doc_id", "label")
+      val quality = TextOps.qualityFrame(s, d).select("doc_id", "quality")
+      // canonical = argmax(quality, min-doc_id tiebreak) per component via a
+      // partial-aggregated max_by over the DUP SUBGRAPH ONLY (labels covers
+      // exactly the edge-touched docs — singleton components need no vote):
+      // at web scale exact-boilerplate components have millions of members,
+      // and max_by collapses them to one running champion per map task
+      // instead of buffering a window partition. (-doc_id in the ordering
+      // struct turns max_by's max into the min-id tiebreak.)
+      val best = labels.join(quality, "doc_id")
+        .groupBy("label")
+        .agg(max_by(col("doc_id"), struct(col("quality"), negate(col("doc_id"))))
+          .as("best_doc"))
+      val enriched = labels.join(best, Seq("label"), "left")
+      // one corpus-side pass: quality is row-local arithmetic in the same
+      // documents scan; enriched is dup-subgraph-sized (broadcast at bench
+      // SFs, a doc_id shuffle join at scale)
+      val out = quality.join(enriched, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("component"),
+          (col("doc_id") === coalesce(col("label"), col("doc_id"))).as("kept"),
+          col("quality"),
+          coalesce(col("doc_id") === col("best_doc"), lit(true)).as("canonical"))
+        .cache()
       out.count() // populate eagerly — concurrent first readers must not race
       out
     }
 
-  private def componentLabelsBuild(s: SparkSession, d: String): DataFrame = {
+  /** The converged (doc_id, label) frame for EDGE-TOUCHED docs only — the
+    * min-label-propagation fixed point over the est>=0.7 dup graph. Memoized
+    * separately from [[componentLabels]] so the loop's final cached round
+    * (which IS this artifact's backing frame) has its own lifecycle.
+    */
+  private[graft] def dupLabels(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.getOrElseUpdate("d9_dupLabels", s, d) {
+      dupLabelsBuild(s, d)
+    }
+
+  private def dupLabelsBuild(s: SparkSession, d: String): DataFrame = {
     // edge set = the shared scored-pair artifact at the 0.7 threshold; both
     // union branches are in-memory scans of the cached artifact, so no
     // per-query cache layer of its own (round-7: two fewer eager
@@ -567,11 +612,9 @@ object Dedup {
       cached = nextC
       labels = nextC.select("doc_id", "label")
     }
-    Tables.documents(s, d).select("doc_id")
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("component"),
-        (col("doc_id") === coalesce(col("label"), col("doc_id"))).as("kept"))
+    // the final round's cached frame (already materialized by its changed
+    // count) IS the artifact — no extra cache layer or eager count needed
+    cached
   }
 
   /** d9's oracle CTE chain through `reach` (the recursive transitive

@@ -44,7 +44,7 @@ class PlanBudgetSpec extends AnyFunSuite {
       "a8_salted_agg" -> Budget(3, 0),
       "a9_kmv_distinct" -> Budget(3, 1),
       "c1_curation_pipeline" -> Budget(4, 0),
-      "c2_canonical_keep" -> Budget(3, 0),
+      "c2_canonical_keep" -> Budget(1, 0),
       "d10_decontaminate" -> Budget(4, 0),
       "d11_dup_spans" -> Budget(4, 0),
       "d12_incremental" -> Budget(4, 0),
@@ -65,7 +65,7 @@ class PlanBudgetSpec extends AnyFunSuite {
       "f7_scale_round" -> Budget(1, 0),
       "f_json_extract" -> Budget(1, 0),
       "g1_radohydro_pipeline" -> Budget(4, 0),
-      "g2_pipeline_invariants" -> Budget(6, 0),
+      "g2_pipeline_invariants" -> Budget(5, 0),
       "g3_cell_weights" -> Budget(2, 0),
       "j10_bloom_prune" -> Budget(5, 1),
       "j1_cross_contains" -> Budget(2, 1),
