@@ -128,9 +128,40 @@ object Dedup {
       // stage-jobs that each recompute the full MinHash pass (measured at
       // sf1: four parallel 5.4 s jobs splitting the cores). One blocking
       // materialization serves every subsequent scan from memory.
-      out.count()
+      docCounts((s, d)) = out.count()
       out
     }
+
+  /** Corpus row count as observed by the [[lshSigs]] eager materialization —
+    * the data-derived input for [[withSmallBuildPlanner]]. */
+  private val docCounts =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Long]()
+
+  /** Below this corpus size the LSH-family artifact builds run with AQE
+    * disabled. AQE's value — post-shuffle coalescing, skew-join splitting —
+    * applies to multi-GB shuffle stages; on the KB-sized stages of a
+    * small-corpus build its per-stage re-planning IS the dominant cost
+    * (measured at sf0.1: ~0.6 s across the d9 chain). 1M docs ≈ hundreds of
+    * MB of text — well below where AQE starts paying for itself here. */
+  private val AqeFloorDocs = 1000000L
+
+  /** Data-derived planner mode for artifact builds, same spirit as
+    * GraphOps.edgePartitions: below [[AqeFloorDocs]] the build's actions run
+    * AQE-off; at scale the conf never flips. The caller's value is restored
+    * in finally — builds are synchronous and the drivers (Verify/Bench/
+    * tests) issue queries sequentially, so the temporary session-conf scope
+    * cannot leak into a concurrently-planned query in practice; the frames a
+    * build RETURNS re-plan under the consumer's own conf.
+    */
+  private def withSmallBuildPlanner[T](s: SparkSession, d: String)(f: => T): T = {
+    if (!docCounts.get((s, d)).exists(_ < AqeFloorDocs)) f
+    else {
+      val k = "spark.sql.adaptive.enabled"
+      val prev = s.conf.get(k)
+      s.conf.set(k, "false")
+      try f finally s.conf.set(k, prev)
+    }
+  }
 
   /** Exploded (doc_id, band_idx, band_hash) with degenerate buckets pruned:
     * only buckets of 2..LshMaxBucket members enter the self-join (singletons
@@ -183,17 +214,19 @@ object Dedup {
     */
   private[graft] def scoredPairs(s: SparkSession, d: String): DataFrame =
     ArtifactCache.getOrElseUpdate("dedup.scoredPairs", s, d) {
-      val sigs = lshSigs(s, d)
-      val cand = lshCandidatePairs(lshBands(sigs))
-      val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga"))
-      val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb"))
-      val out = cand.join(sa, "doc_a").join(sb, "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))").cast(DoubleType)
-            / LshNumHashes).as("est_jaccard"))
-        .cache()
-      out.count()
-      out
+      val sigs = lshSigs(s, d) // populates docCounts before the planner gate
+      withSmallBuildPlanner(s, d) {
+        val cand = lshCandidatePairs(lshBands(sigs))
+        val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga"))
+        val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb"))
+        val out = cand.join(sa, "doc_a").join(sb, "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))").cast(DoubleType)
+              / LshNumHashes).as("est_jaccard"))
+          .cache()
+        out.count()
+        out
+      }
     }
 
   /** Blocking view of [[scoredPairs]] (candidate keys only) for consumers
@@ -529,6 +562,7 @@ object Dedup {
   private[graft] def componentLabels(s: SparkSession, d: String): DataFrame =
     ArtifactCache.getOrElseUpdate("d9_components", s, d) {
       val labels = dupLabels(s, d).select("doc_id", "label")
+      withSmallBuildPlanner(s, d) {
       val quality = TextOps.qualityFrame(s, d).select("doc_id", "quality")
       // canonical = argmax(quality, min-doc_id tiebreak) per component via a
       // partial-aggregated max_by over the DUP SUBGRAPH ONLY (labels covers
@@ -554,6 +588,7 @@ object Dedup {
         .cache()
       out.count() // populate eagerly — concurrent first readers must not race
       out
+      }
     }
 
   /** The converged (doc_id, label) frame for EDGE-TOUCHED docs only — the
@@ -563,15 +598,18 @@ object Dedup {
     */
   private[graft] def dupLabels(s: SparkSession, d: String): DataFrame =
     ArtifactCache.getOrElseUpdate("d9_dupLabels", s, d) {
-      dupLabelsBuild(s, d)
+      // scoredPairs (built first, inside the loop's edge set) populates
+      // docCounts, so the planner gate sees the corpus size
+      val pairs = scoredPairs(s, d)
+      withSmallBuildPlanner(s, d) { dupLabelsBuild(pairs) }
     }
 
-  private def dupLabelsBuild(s: SparkSession, d: String): DataFrame = {
+  private def dupLabelsBuild(pairs: DataFrame): DataFrame = {
     // edge set = the shared scored-pair artifact at the 0.7 threshold; both
     // union branches are in-memory scans of the cached artifact, so no
     // per-query cache layer of its own (round-7: two fewer eager
     // materializations in the c2-first artifact build)
-    val dupPairs = scoredPairs(s, d)
+    val dupPairs = pairs
       .where(col("est_jaccard") >= 0.7)
       .select("doc_a", "doc_b")
     val edges = dupPairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
