@@ -134,11 +134,47 @@ object CurationOps {
        |FROM comp c JOIN quality q USING (doc_id)
        |ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // c3 — leakage-safe train/val/test split: the assignment hashes the
+  // near-dup COMPONENT id, not the doc id, so two near-duplicate documents
+  // can never straddle train and eval — the split-leakage failure mode every
+  // published-benchmark pipeline has to rule out (near-dups of eval docs in
+  // train inflate scores exactly like d10's direct contamination). Riding
+  // the shared component artifact makes this a cached scan plus row-local
+  // hash arithmetic: ZERO additional shuffles beyond the output sort at any
+  // corpus size, because the expensive global structure (the component map)
+  // is the fit-once snapshot artifact. Portable hash (md5 prefix, < 2^62)
+  // so both engines derive identical assignments; 5% test / 10% val by the
+  // component hash.
+  private def c3LeakageSafeSplit(s: SparkSession, d: String): DataFrame =
+    Dedup.componentLabels(s, d)
+      .withColumn("h",
+        expr("cast(conv(substr(md5(concat('c3:', cast(component as string))), 1, 15), 16, 10) as bigint) % 100"))
+      .select(col("doc_id"), col("component"),
+        when(col("h") < 5, lit("test"))
+          .when(col("h") < 15, lit("val"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy("doc_id")
+
+  private val c3Sql =
+    s"""WITH RECURSIVE ${Dedup.d9CompSqlCtes},
+       |comp AS (
+       |  SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+       |)
+       |SELECT doc_id, component,
+       |  CASE WHEN h < 5 THEN 'test' WHEN h < 15 THEN 'val' ELSE 'train' END AS split
+       |FROM (SELECT doc_id, component,
+       |        CAST(('0x' || substr(md5('c3:' || CAST(component AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h
+       |      FROM comp)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curation_pipeline" -> c1Curate _,
-    "c2_canonical_keep"    -> c2CanonicalKeep _)
+    "c2_canonical_keep"    -> c2CanonicalKeep _,
+    "c3_leakage_safe_split" -> c3LeakageSafeSplit _)
 
   val oracles: Map[String, String] = Map(
     "c1_curation_pipeline" -> c1Sql,
-    "c2_canonical_keep"    -> c2Sql)
+    "c2_canonical_keep"    -> c2Sql,
+    "c3_leakage_safe_split" -> c3Sql)
 }

