@@ -154,14 +154,16 @@ object Clustering {
     */
   private def finalAssign(s: SparkSession, d: String): DataFrame =
     ArtifactCache.getOrElseUpdate("clustering.assign", s, d) {
-      graft.functions.VectorFunctions.register(s)
-      val vecs = Tables.embeddings(s, d)
-        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .cache()
-      // seeded init: the K lowest vec_ids are the starting centroids
-      val cents0 = vecs.orderBy("vec_id").limit(K)
-        .select(col("vec_id").as("cid"), col("v").as("c"))
-      assignStep(vecs, kmeans(vecs, cents0, Iters)).cache()
+      Similarity.withSmallBuild(s, d) {
+        graft.functions.VectorFunctions.register(s)
+        val vecs = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .cache()
+        // seeded init: the K lowest vec_ids are the starting centroids
+        val cents0 = vecs.orderBy("vec_id").limit(K)
+          .select(col("vec_id").as("cid"), col("v").as("c"))
+        assignStep(vecs, kmeans(vecs, cents0, Iters)).cache()
+      }
     }
 
   private def e1Kmeans(s: SparkSession, d: String): DataFrame =

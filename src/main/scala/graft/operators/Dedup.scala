@@ -145,23 +145,12 @@ object Dedup {
     * MB of text — well below where AQE starts paying for itself here. */
   private val AqeFloorDocs = 1000000L
 
-  /** Data-derived planner mode for artifact builds, same spirit as
-    * GraphOps.edgePartitions: below [[AqeFloorDocs]] the build's actions run
-    * AQE-off; at scale the conf never flips. The caller's value is restored
-    * in finally — builds are synchronous and the drivers (Verify/Bench/
-    * tests) issue queries sequentially, so the temporary session-conf scope
-    * cannot leak into a concurrently-planned query in practice; the frames a
-    * build RETURNS re-plan under the consumer's own conf.
+  /** Data-derived planner mode for artifact builds — see [[BuildPlanner]]
+    * for the rationale and safety notes; the floor input here is the corpus
+    * row count the lshSigs materialization observed.
     */
-  private def withSmallBuildPlanner[T](s: SparkSession, d: String)(f: => T): T = {
-    if (!docCounts.get((s, d)).exists(_ < AqeFloorDocs)) f
-    else {
-      val k = "spark.sql.adaptive.enabled"
-      val prev = s.conf.get(k)
-      s.conf.set(k, "false")
-      try f finally s.conf.set(k, prev)
-    }
-  }
+  private def withSmallBuildPlanner[T](s: SparkSession, d: String)(f: => T): T =
+    BuildPlanner.withAqeOffWhen(s, docCounts.get((s, d)).exists(_ < AqeFloorDocs))(f)
 
   /** Exploded (doc_id, band_idx, band_hash) with degenerate buckets pruned:
     * only buckets of 2..LshMaxBucket members enter the self-join (singletons

@@ -72,7 +72,14 @@ object GraphOps {
     *    BIDIRECTED: every node has in-edges, so the groupBy(dst) covers the
     *    whole node set (the left join's null-contrib branch was dead).
     */
-  private final case class Graph(edges: DataFrame, deg: DataFrame, nNodes: Long)
+  private final case class Graph(edges: DataFrame, deg: DataFrame, nNodes: Long,
+      nEdges: Long)
+
+  /** Below this edge count the fixed-point loops run AQE-off (see
+    * BuildPlanner): each round is a broadcast + one aggregate over KB-sized
+    * frames, and per-round re-planning dominates; at scale (where a round
+    * shuffles real volume) the conf never flips. */
+  private val AqeFloorEdges = 10000000L
 
   private def unweightedGraph(s: SparkSession, d: String): Graph = {
     // Integer node ids (custkey*2 / suppkey*2+1) keep every iteration's
@@ -101,7 +108,7 @@ object GraphOps {
     val edges = bidir.join(broadcast(deg), bidir("dst") === deg("node"))
       .select(bidir("src"), bidir("dst"), col("outdeg").as("dst_outdeg"))
       .coalesce(edgePartitions(s, nEdges)).cache()
-    Graph(edges, deg, deg.count())
+    Graph(edges, deg, deg.count(), nEdges)
   }
 
   /** Initial uniform rank frame. localCheckpoint flattens the node-sized
@@ -154,9 +161,11 @@ object GraphOps {
     // 5.98 s vs 7.16 s vs 7.02 s — the flat identical-shape rounds (codegen
     // compiled once, later rounds hit the source cache) keep winning.
     val g = unweightedGraph(s, d)
-    var r = prInit(g)
-    for (_ <- 1 to Iters) r = prRound(g, r)
-    prTop20(r)
+    BuildPlanner.withAqeOffWhen(s, g.nEdges < AqeFloorEdges) {
+      var r = prInit(g)
+      for (_ <- 1 to Iters) r = prRound(g, r)
+      prTop20(r)
+    }
   }
 
   /** Convergence-driven twin of n1: the same float-free fixed-point round,
@@ -176,6 +185,7 @@ object GraphOps {
   def pageRankConverged(s: SparkSession, d: String, epsFp: Long = 1000L,
       maxIters: Int = 200): (DataFrame, Int) = {
     val g = unweightedGraph(s, d)
+    BuildPlanner.withAqeOffWhen(s, g.nEdges < AqeFloorEdges) {
     var r = prInit(g)
     var iters = 0
     var delta = Long.MaxValue
@@ -204,6 +214,7 @@ object GraphOps {
       r = next.select("node", "outdeg", "r")
     }
     (prTop20(r), iters)
+    }
   }
 
   private val n1Sql = {
@@ -273,6 +284,7 @@ object GraphOps {
     // one map-side-combined aggregate
     val pairs = weightedPairs(s, d)
     val nEdges = 2 * pairs.count()
+    BuildPlanner.withAqeOffWhen(s, nEdges < AqeFloorEdges) {
     val bidir = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     val deg = bidir.groupBy(col("src").as("node"))
       .agg(sum(col("w")).as("wout"))
@@ -301,6 +313,7 @@ object GraphOps {
       .limit(20)
       .select(col("node"), col("r").as("rank_fp"),
         round(col("r").cast("double") / Scale, 8).as("rank_r"))
+    }
   }
 
   private val n2Sql = {

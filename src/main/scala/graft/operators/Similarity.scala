@@ -40,6 +40,21 @@ object Similarity {
   private[operators] val LshMaxBits = 24
   private[operators] val LshTargetBucket = 32
 
+  /** Corpus size memo for [[withSmallBuild]] — one count per (session,
+    * dir); the embeddings frame is session-cached in Bench, so this is a
+    * cached-scan count there and a single cheap parquet count elsewhere. */
+  private val vecCounts =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Long]()
+  private val AqeFloorVecs = 1000000L
+
+  /** Data-derived AQE gate for the trained-artifact builds (see
+    * [[BuildPlanner]]): below [[AqeFloorVecs]] vectors the quantizer /
+    * ranking builds run AQE-off — their stages are KB-sized and per-stage
+    * re-planning dominates; at scale the conf never flips. */
+  private[operators] def withSmallBuild[T](s: SparkSession, d: String)(f: => T): T =
+    BuildPlanner.withAqeOffWhen(s,
+      vecCounts.getOrElseUpdate((s, d), Tables.embeddings(s, d).count()) < AqeFloorVecs)(f)
+
   private def vecsD(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     Tables.embeddings(s, d)
@@ -264,7 +279,7 @@ object Similarity {
     * read the cell centers without re-deriving the full per-vector ranking.
     */
   private[operators] def trainedCents(s: SparkSession, d: String): DataFrame =
-    ArtifactCache.getOrElseUpdate("similarity.cents", s, d) {
+    ArtifactCache.getOrElseUpdate("similarity.cents", s, d) { withSmallBuild(s, d) {
       val e = vecsD(s, d).cache()
       val vecs = e.select(col("vec_id"), col("v"))
       // k = max(8, ceil(sqrt(n))): sqrt is correctly rounded in IEEE, so ceil
@@ -279,10 +294,10 @@ object Similarity {
       val out = Clustering.kmeans(train.select("vec_id", "v"), cents0, IvfIters).cache()
       out.count()
       out
-    }
+    } }
 
   private[operators] def rankedCells(s: SparkSession, d: String): DataFrame =
-    ArtifactCache.getOrElseUpdate("similarity.ranked", s, d) {
+    ArtifactCache.getOrElseUpdate("similarity.ranked", s, d) { withSmallBuild(s, d) {
       val e = vecsD(s, d).cache()
       val cents = trainedCents(s, d)
       // rank trained cells per vector by euclid distance; rank 1 = home cell,
@@ -307,7 +322,7 @@ object Similarity {
       // an unpopulated cache would each recompute the full n x k ranking
       ranked.count()
       ranked
-    }
+    } }
 
   private def s3IvfAnn(s: SparkSession, d: String): DataFrame = {
     val ranked = rankedCells(s, d)
@@ -526,7 +541,7 @@ object Similarity {
 
   private def s4ScalarQuant(s: SparkSession, d: String): DataFrame =
     // int8 index, memoized via ArtifactCache like every trained artifact
-    quantTop3(ArtifactCache.getOrElseUpdate("similarity.sq", s, d)(sqRecon(s, d)),
+    quantTop3(ArtifactCache.getOrElseUpdate("similarity.sq", s, d)(withSmallBuild(s, d)(sqRecon(s, d))),
       qUseRecon = true, "qcos_r")
 
   private def sqRecon(s: SparkSession, d: String): DataFrame = {
@@ -603,7 +618,7 @@ object Similarity {
     // Codebooks + reconstructions memoized via ArtifactCache: trained once
     // per dataset like the IVF ranking — every s5 evaluation reuses the same
     // cached quantized index.
-    quantTop3(ArtifactCache.getOrElseUpdate("similarity.pq", s, d)(pqRecon(s, d)),
+    quantTop3(ArtifactCache.getOrElseUpdate("similarity.pq", s, d)(withSmallBuild(s, d)(pqRecon(s, d))),
       qUseRecon = false, "pqcos_r")
 
   private def pqRecon(s: SparkSession, d: String): DataFrame = {
@@ -841,7 +856,7 @@ object Similarity {
   // cell-bounded exactly like s3. Training cost is codebook-sized (bounded
   // hash-sample), never corpus-sized.
   private def s7IvfPq(s: SparkSession, d: String): DataFrame = {
-    val recon = ArtifactCache.getOrElseUpdate("similarity.ivfpq", s, d)(ivfpqRecon(s, d))
+    val recon = ArtifactCache.getOrElseUpdate("similarity.ivfpq", s, d)(withSmallBuild(s, d)(ivfpqRecon(s, d)))
     val ranked = rankedCells(s, d)
     val assigned = recon.select(col("vec_id").as("cid"), col("cell"),
       col("v").as("bd"), col("nrm").as("nb"), col("rv").as("qb"), col("rnrm").as("qnb"))
