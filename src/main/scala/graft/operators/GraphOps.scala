@@ -81,34 +81,66 @@ object GraphOps {
     * shuffles real volume) the conf never flips. */
   private val AqeFloorEdges = 10000000L
 
+  /** (nNodes, nEdges) observed while materializing the joint graph state. */
+  private val graphMeta =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), (Long, Long)]()
+
+  /** ONE joint degree frame (node, outdeg, wout) serving BOTH PageRank
+    * variants: the bidirected frame's rows are exactly the distinct pairs
+    * (they are weightedPairs' grouping keys), so count(*) is n1's unweighted
+    * out-degree and sum(w) is n2's weight-out — same single shuffle either
+    * way, built once per (session, dir).
+    */
+  private def jointDeg(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.getOrElseUpdate("graph.deg", s, d) {
+      val pairs = weightedPairs(s, d)
+      val bidir = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      bidir.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("outdeg"), sum(col("w")).as("wout"))
+        .cache()
+    }
+
+  /** ONE joint bidirected edge frame (src, dst, w, dst_outdeg, dst_wout)
+    * serving both variants — n1 projects the counts, n2 the weights; the
+    * InMemoryTableScan prunes the untouched columns, so neither query pays
+    * for the other's data. Coalesced to edge-volume-many partitions (no
+    * fixed ceiling) and memoized: the second graph query's build cost drops
+    * to a cache hit.
+    */
+  private def jointEdges(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.getOrElseUpdate("graph.edges", s, d) {
+      val pairs = weightedPairs(s, d)
+      // count() materializes the memoized pair artifact (the iterations
+      // need it cached anyway) and sizes the edge frame's parallelism from
+      // the actual edge volume
+      val nEdges = 2 * pairs.count()
+      // the customer/supplier id spaces are disjoint, so the union of two
+      // distinct sets is already distinct — no second dedup shuffle. The
+      // cached edge frame coalesces to edge-volume-many fat partitions:
+      // each iteration re-scans it, and at bench row counts per-task
+      // scheduling would otherwise dominate the round.
+      val bidir = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val deg = jointDeg(s, d)
+      val edges = bidir.join(broadcast(deg), bidir("dst") === deg("node"))
+        .select(bidir("src"), bidir("dst"), bidir("w"),
+          col("outdeg").as("dst_outdeg"), col("wout").as("dst_wout"))
+        .coalesce(edgePartitions(s, nEdges)).cache()
+      graphMeta((s, d)) = (deg.count(), nEdges)
+      edges
+    }
+
   private def unweightedGraph(s: SparkSession, d: String): Graph = {
     // Integer node ids (custkey*2 / suppkey*2+1) keep every iteration's
     // hashing, shuffling and codegen on one BIGINT column; the c:/s: string
     // labels only materialize in the final 20-row projection. The mapping is
     // bijective, so pair cardinalities and degrees match the string-keyed
-    // oracle exactly.
-    // derived from the cached weighted-pair frame n2 shares: grouping keys
-    // ARE the distinct pairs, so dropping w is n1's exact input and the
-    // orders x lineitem pass runs once for both graph queries
-    val allPairs = weightedPairs(s, d)
-    // count() materializes the memoized pair artifact (the iterations need
-    // it cached anyway) and sizes the edge frame's parallelism from the
-    // actual edge volume — no fixed partition ceiling
-    val nEdges = 2 * allPairs.count()
-    val pairs = allPairs.select("src", "dst")
-    // the customer/supplier id spaces are disjoint, so the union of two
-    // distinct sets is already distinct — no second dedup shuffle. The
-    // cached edge frame coalesces to edge-volume-many fat partitions: each
-    // iteration re-scans it, and at bench row counts per-task scheduling
-    // would otherwise dominate the round.
-    val bidir = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = bidir.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg"))
-      .cache()
-    val edges = bidir.join(broadcast(deg), bidir("dst") === deg("node"))
-      .select(bidir("src"), bidir("dst"), col("outdeg").as("dst_outdeg"))
-      .coalesce(edgePartitions(s, nEdges)).cache()
-    Graph(edges, deg, deg.count(), nEdges)
+    // oracle exactly. Both graph queries ride the joint edge/degree
+    // artifacts; this view projects the unweighted columns.
+    val edges = jointEdges(s, d).select("src", "dst", "dst_outdeg")
+    val (nNodes, nEdges) = graphMeta((s, d))
+    Graph(edges, jointDeg(s, d).select("node", "outdeg"), nNodes, nEdges)
   }
 
   /** Initial uniform rank frame. localCheckpoint flattens the node-sized
@@ -282,17 +314,10 @@ object GraphOps {
     // same round-7 shape as n1: dst's weight-out rides the edge frame, the
     // graph size folds into driver literals, each round is one broadcast +
     // one map-side-combined aggregate
-    val pairs = weightedPairs(s, d)
-    val nEdges = 2 * pairs.count()
+    val edges = jointEdges(s, d).select("src", "dst", "w", "dst_wout")
+    val deg = jointDeg(s, d).select("node", "wout")
+    val (nNodes, nEdges) = graphMeta((s, d))
     BuildPlanner.withAqeOffWhen(s, nEdges < AqeFloorEdges) {
-    val bidir = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-    val deg = bidir.groupBy(col("src").as("node"))
-      .agg(sum(col("w")).as("wout"))
-      .cache()
-    val edges = bidir.join(broadcast(deg), bidir("dst") === deg("node"))
-      .select(bidir("src"), bidir("dst"), bidir("w"), col("wout").as("dst_wout"))
-      .coalesce(edgePartitions(s, nEdges)).cache()
-    val nNodes = deg.count()
     var r = deg.select(col("node"), col("wout"),
       lit(Scale / nNodes).as("r")).localCheckpoint()
     for (_ <- 1 to Iters) {
