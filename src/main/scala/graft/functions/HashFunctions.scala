@@ -436,5 +436,7 @@ object HashRegistry {
       exprs => SimHashAgg(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_kmin",
       exprs => KMinAgg(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_top_bigram",
+      exprs => TopBigramRun(exprs.head), "built-in")
   }
 }

@@ -298,15 +298,18 @@ object TextOps {
   // the lexicographically-lowest bigram, same as the oracle's ORDER BY n
   // DESC, bg. The synthetic-corpus thresholds (0.18 top-bigram, 0.78
   // dup-word) mark the repetitive tail as dropped.
-  // Spark side is fully row-local (ZERO shuffle): bigrams are built with
-  // transform, sorted, and the most-frequent one found by a single run-length
-  // fold over the sorted array — per-doc signals never need cross-row state,
-  // so at 100 TB this runs inside the scan with no data movement at all.
-  // Strict `>` on the run-length update makes ties resolve to the FIRST
-  // (lexicographically smallest) bigram in the sorted order — the same rule
-  // as the oracle's ORDER BY n DESC, bg (the oracle keeps the explode +
-  // window form; values are identical).
-  private def t8GopherRepetition(s: SparkSession, d: String): DataFrame =
+  // Spark side is fully row-local (ZERO shuffle): the most-frequent bigram
+  // comes from the compiled `graft_top_bigram` expression (one hash-count
+  // pass per document — see functions.TopBigramRun; the previous
+  // array_sort + run-length aggregate chain evaluated interpreted per
+  // BIGRAM and was the slowest line of the sf10 gate) — per-doc signals
+  // never need cross-row state, so at 100 TB this runs inside the scan
+  // with no data movement at all. Ties resolve to the byte-wise smallest
+  // bigram at the max count — the same rule as the oracle's
+  // ORDER BY n DESC, bg (the oracle keeps the explode + window form;
+  // values are identical, pinned by Round7OpsSpec against the HOF form).
+  private def t8GopherRepetition(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashRegistry.register(s)
     Tables.documents(s, d)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .where(size(col("toks")) >= 2)
@@ -314,24 +317,7 @@ object TextOps {
       .withColumn("dup_word_frac",
         (col("n_tokens") - size(array_distinct(col("toks")))).cast(DoubleType)
           / col("n_tokens"))
-      .withColumn("sorted_bg", expr("array_sort(transform(sequence(1, size(toks) - 1), " +
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"))
-      .withColumn("top", expr(
-        """aggregate(
-          |  sorted_bg,
-          |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
-          |               'best_bg', CAST(NULL AS STRING), 'best_n', CAST(0 AS BIGINT)),
-          |  (a, x) -> CASE WHEN a.prev IS NOT NULL AND x = a.prev THEN
-          |      CASE WHEN a.run + 1 > a.best_n
-          |        THEN named_struct('prev', x, 'run', a.run + 1, 'best_bg', x, 'best_n', a.run + 1)
-          |        ELSE named_struct('prev', x, 'run', a.run + 1, 'best_bg', a.best_bg, 'best_n', a.best_n)
-          |      END
-          |    ELSE
-          |      CASE WHEN CAST(1 AS BIGINT) > a.best_n
-          |        THEN named_struct('prev', x, 'run', CAST(1 AS BIGINT), 'best_bg', x, 'best_n', CAST(1 AS BIGINT))
-          |        ELSE named_struct('prev', x, 'run', CAST(1 AS BIGINT), 'best_bg', a.best_bg, 'best_n', a.best_n)
-          |      END
-          |    END)""".stripMargin))
+      .withColumn("top", expr("graft_top_bigram(toks)"))
       .withColumn("top_frac", col("top.best_n").cast(DoubleType) / (col("n_tokens") - 1))
       .select(col("doc_id"), col("n_tokens"),
         round(col("dup_word_frac"), 6).as("dup_word_frac_r"),
@@ -339,6 +325,7 @@ object TextOps {
         round(col("top_frac"), 6).as("top_bigram_frac_r"),
         (col("top_frac") <= 0.18 && col("dup_word_frac") <= 0.78).as("kept"))
       .orderBy("doc_id")
+  }
 
   private val t8Sql =
     """WITH base AS (

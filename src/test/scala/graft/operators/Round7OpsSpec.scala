@@ -73,6 +73,76 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(qids.forall(q => labels.contains(q)))
   }
 
+  test("graft_top_bigram matches the interpreted sort+run-length fold exactly") {
+    graft.functions.HashRegistry.register(spark)
+    // the retained HOF form — t8's previous implementation, kept here as the
+    // independent reference: array_sort + strict-`>` run-length fold (first
+    // max run in sorted order == (count desc, bytes asc) argmin)
+    val hofTop =
+      """aggregate(
+        |  array_sort(transform(sequence(1, size(toks) - 1),
+        |    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
+        |               'best_bg', CAST(NULL AS STRING), 'best_n', CAST(0 AS BIGINT)),
+        |  (a, x) -> CASE WHEN a.prev IS NOT NULL AND x = a.prev THEN
+        |      CASE WHEN a.run + 1 > a.best_n
+        |        THEN named_struct('prev', x, 'run', a.run + 1, 'best_bg', x, 'best_n', a.run + 1)
+        |        ELSE named_struct('prev', x, 'run', a.run + 1, 'best_bg', a.best_bg, 'best_n', a.best_n)
+        |      END
+        |    ELSE
+        |      CASE WHEN CAST(1 AS BIGINT) > a.best_n
+        |        THEN named_struct('prev', x, 'run', CAST(1 AS BIGINT), 'best_bg', x, 'best_n', CAST(1 AS BIGINT))
+        |        ELSE named_struct('prev', x, 'run', CAST(1 AS BIGINT), 'best_bg', a.best_bg, 'best_n', a.best_n)
+        |      END
+        |    END)""".stripMargin
+    // 1) the whole corpus at sf0.001
+    val docs = graft.Tables.documents(spark, sf)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .where(size(col("toks")) >= 2)
+    val both = docs
+      .withColumn("fast", expr("graft_top_bigram(toks)"))
+      .withColumn("ref", expr(hofTop))
+      .select(col("doc_id"), col("fast.best_bg"), col("fast.best_n"),
+        col("ref.best_bg").as("ref_bg"), col("ref.best_n").as("ref_n"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getString(1) === r.getString(3), s"doc ${r.getLong(0)} bigram")
+      assert(r.getLong(2) === r.getLong(4), s"doc ${r.getLong(0)} count")
+    }
+    // 2) adversarial hand cases: every-bigram-distinct (tie on count 1 ->
+    // byte-smallest), repeated runs, a tie between two count-2 bigrams,
+    // multi-byte utf8, single token, empty-string tokens
+    val cases = Seq(
+      Seq("b", "a", "c"),                         // distinct: tie at 1
+      Seq("x", "x", "x", "x"),                    // "x x" run of 3
+      Seq("b", "b", "a", "a", "b", "b", "a", "a"),// "a a" vs "b b" tie at 2
+      Seq("é", "z", "é", "z", "é"),// multi-byte tokens
+      Seq("", "", "a", "", ""),                   // empty tokens are tokens
+      Seq("lone", "pair")
+    )
+    import scala.jdk.CollectionConverters._
+    val caseDf = spark.createDataFrame(
+      cases.zipWithIndex.map { case (t, i) => org.apache.spark.sql.Row(i.toLong, t) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("toks",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))))
+    val got = caseDf
+      .withColumn("fast", expr("graft_top_bigram(toks)"))
+      .withColumn("ref", expr(hofTop))
+      .orderBy("id")
+      .select("fast.best_bg", "fast.best_n", "ref.best_bg", "ref.best_n")
+      .collect()
+    got.zip(cases).foreach { case (r, c) =>
+      assert(r.getString(0) === r.getString(2), s"case $c bigram")
+      assert(r.getLong(1) === r.getLong(3), s"case $c count")
+    }
+    assert(got(0).getString(0) === "a c") // byte-smallest at the count-1 tie
+    assert(got(1).getString(0) === "x x" && got(1).getLong(1) === 3L)
+    assert(got(2).getString(0) === "a a" && got(2).getLong(1) === 2L)
+  }
+
   test("BuildPlanner restores the session's AQE conf after a gated build") {
     val k = "spark.sql.adaptive.enabled"
     val before = spark.conf.get(k)
