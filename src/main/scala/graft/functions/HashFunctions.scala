@@ -272,6 +272,34 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `graft_sig_agree(array<long>, array<long>) -> int`: positions where two
+  * equal-length MinHash signatures agree, in one primitive loop. Replaces
+  * `size(filter(zip_with(a, b, (x,y) -> x = y), v -> v))` on the scoredPairs
+  * hot path — that chain evaluates INTERPRETED per signature position (a
+  * lambda bind + boxed boolean per element, 64 per candidate pair; millions
+  * of pairs at the sf10 gate). Identical semantics for the equal-length
+  * arrays the LSH family produces; for defensively-unequal lengths the
+  * zip_with form null-pads (null never counts), so min-length is the same.
+  */
+case class SigAgreeCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = Math.min(x.numElements(), y.numElements())
+    var i = 0; var c = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `graft_simhash_agg(hash: long) -> long`: 60-bit SimHash over a group's
   * token hashes in ONE aggregate pass — per-bit majority votes accumulate in a
   * 60-int buffer (update: +-1 per bit, merge: elementwise add, eval: pack bits
@@ -438,5 +466,7 @@ object HashRegistry {
       exprs => KMinAgg(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("graft_top_bigram",
       exprs => TopBigramRun(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_sig_agree",
+      exprs => SigAgreeCount(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -208,9 +208,13 @@ object Dedup {
         val cand = lshCandidatePairs(lshBands(sigs))
         val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga"))
         val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb"))
+        graft.functions.HashRegistry.register(s)
         val out = cand.join(sa, "doc_a").join(sb, "doc_b")
           .select(col("doc_a"), col("doc_b"),
-            (expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))").cast(DoubleType)
+            // compiled position-agreement count (functions.SigAgreeCount) —
+            // the zip_with+filter chain it replaces evaluated interpreted
+            // per signature position
+            (expr("graft_sig_agree(siga, sigb)").cast(DoubleType)
               / LshNumHashes).as("est_jaccard"))
           .cache()
         out.count()

@@ -143,6 +143,27 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got(2).getString(0) === "a a" && got(2).getLong(1) === 2L)
   }
 
+  test("graft_sig_agree matches the zip_with equality-count form exactly") {
+    graft.functions.HashRegistry.register(spark)
+    // all signature pairs of the corpus's first 40 docs (includes full-agree
+    // self-pairs, partial agreements between near-dups, and zero-agreement
+    // unrelated pairs), both measures side by side
+    val sigs = graft.Tables.documents(spark, sf).limit(40)
+      .select(col("doc_id"), expr("graft_minhash_text(text, 64)").as("sig"))
+    val a = sigs.select(col("doc_id").as("ida"), col("sig").as("siga"))
+    val b = sigs.select(col("doc_id").as("idb"), col("sig").as("sigb"))
+    val rows = a.crossJoin(b)
+      .select(
+        expr("graft_sig_agree(siga, sigb)").as("fast"),
+        expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))").as("ref"),
+        col("ida"), col("idb"))
+      .collect()
+    assert(rows.length === 1600)
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1), s"pair ${r.get(2)},${r.get(3)}"))
+    // self-pairs agree on every position
+    rows.filter(r => r.get(2) == r.get(3)).foreach(r => assert(r.getInt(0) === 64))
+  }
+
   test("BuildPlanner restores the session's AQE conf after a gated build") {
     val k = "spark.sql.adaptive.enabled"
     val before = spark.conf.get(k)
