@@ -99,20 +99,22 @@ object Clustering {
   private[operators] def assignCte(vecsRel: String, centsRel: String, out: String,
       dims: Int = Dims): String = {
     val dist = s"list_sum(list_transform(range(1, ${dims + 1}), i -> (a.v[i] - c.c[i]) * (a.v[i] - c.c[i])))"
-    // The n x k argmin window ranks SLIM (vec_id, cid, dist2) rows and the
-    // vector list rejoins AFTER the rk = 1 slice: carrying a.v through the
-    // window sort materialized/spilled the whole n x k cross product's
-    // vectors (~24 GB per Lloyd iteration for the IVF chain at the sf10
-    // gate — the same shape the Spark side's round-3 ranking-cache fix
-    // removed). Every caller passes a MATERIALIZED vecsRel, so the second
-    // reference cannot re-execute its chain (DuckDB inlines plain CTEs once
-    // per reference). Results unchanged: same argmin, same tiebreak.
+    // The n x k argmin window ranks SLIM (vec_id, cid, dist2) rows — dist2
+    // PRECOMPUTED as a column, because an expression inside OVER (ORDER BY)
+    // drags every column it references (both 64-dim lists) through the
+    // window operator's blocking materialization (~24 GB per Lloyd
+    // iteration for the IVF chain at the sf10 gate; measured standalone,
+    // the in-window form spills where the precomputed form streams) — and
+    // the vector list rejoins AFTER the rk = 1 slice. Every caller passes
+    // a MATERIALIZED vecsRel, so the second reference cannot re-execute
+    // its chain (DuckDB inlines plain CTEs once per reference). Results
+    // unchanged: same argmin, same (dist, cid) tiebreak.
     s"""$out AS (
        |  SELECT s.vec_id, a.v, s.cid, s.dist2 FROM (
        |    SELECT vec_id, cid, dist2 FROM (
-       |      SELECT a.vec_id, c.cid, $dist AS dist2,
-       |        row_number() OVER (PARTITION BY a.vec_id ORDER BY $dist, c.cid) AS rk
-       |      FROM $vecsRel a, $centsRel c)
+       |      SELECT vec_id, cid, dist2,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rk
+       |      FROM (SELECT a.vec_id, c.cid, $dist AS dist2 FROM $vecsRel a, $centsRel c))
        |    WHERE rk = 1) s
        |  JOIN $vecsRel a USING (vec_id)
        |)""".stripMargin

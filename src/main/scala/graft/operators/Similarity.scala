@@ -370,19 +370,23 @@ object Similarity {
     val dist = s"list_sum(list_transform(range(1, ${Clustering.Dims + 1}), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))"
     // Mirror of the Spark side's ranked-SLICE cache (see rankedCells: "a
     // full n x k ranking with the vector riding" was the round-3 scale
-    // defect): the n x k window ranks SLIM (vec_id, cell, dist) rows, only
-    // the crk <= NProbe slice survives, and the vectors rejoin after — every
-    // consumer filters crk = 1 or crk <= NProbe, so results are unchanged.
-    // The previous form carried e.v through the window sort and materialized
-    // all n x k rows: ~48 GB at the sf10 gate (200k vecs x 448 cells), which
-    // blew the DuckDB spill cap; sliced it is n x NProbe rows (~200 MB).
+    // defect), with the distance PRECOMPUTED as a column before the window:
+    // an expression inside OVER (ORDER BY ...) drags every column it
+    // references — both 64-dim lists here — through the window operator's
+    // blocking materialization (~90 GB at the sf10 gate's 200k vecs x 448
+    // cells; measured standalone, the in-window form dies at a quarter of
+    // that scale where the precomputed-column form streams in 66 s). Only
+    // the crk <= NProbe slice survives and the vectors rejoin after — every
+    // consumer filters crk = 1 or crk <= NProbe, so results are unchanged
+    // (same distance values, same (dist, cid) tiebreak).
     ctes += s"""ranked AS MATERIALIZED (
                |  SELECT s.vec_id, v.v, s.cell, s.crk
                |  FROM (SELECT vec_id, cell, crk FROM (
-               |          SELECT e.vec_id, c.cid AS cell,
-               |            row_number() OVER (PARTITION BY e.vec_id
-               |              ORDER BY $dist, c.cid) AS crk
-               |          FROM vecs e, $finalCents c)
+               |          SELECT vec_id, cell,
+               |            row_number() OVER (PARTITION BY vec_id
+               |              ORDER BY dist2, cell) AS crk
+               |          FROM (SELECT e.vec_id, c.cid AS cell, $dist AS dist2
+               |                FROM vecs e, $finalCents c))
                |        WHERE crk <= $NProbe) s
                |  JOIN vecs v USING (vec_id)
                |)""".stripMargin
