@@ -252,38 +252,45 @@ object GraphOps {
   private val n1Sql = {
     val iters = (1 to Iters).map { i =>
       val prev = s"r${i - 1}"
+      // the graph is BIDIRECTED, so every node receives contributions — the
+      // contribution aggregate's key set IS the node set and no nodes-frame
+      // LEFT JOIN backfill is needed (same dead-branch elimination the Spark
+      // rounds use)
       s"""s$i AS (
          |  SELECT $prev.node AS src, $prev.r // deg.outdeg AS share
          |  FROM $prev JOIN deg ON $prev.node = deg.src
-         |), c$i AS (
-         |  SELECT e.dst AS node, CAST(sum(s$i.share) AS BIGINT) AS contrib
-         |  FROM s$i JOIN edges e ON s$i.src = e.src GROUP BY e.dst
          |), r$i AS (
-         |  SELECT nodes.node,
-         |    (($Scale // n) * 15) // 100 + (85 * coalesce(c$i.contrib, 0)) // 100 AS r
-         |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.node = nodes.node
+         |  SELECT e.dst AS node,
+         |    (($Scale // n) * 15) // 100
+         |      + (85 * CAST(sum(s$i.share) AS BIGINT)) // 100 AS r
+         |  FROM s$i JOIN edges e ON s$i.src = e.src CROSS JOIN nn
+         |  GROUP BY e.dst, nn.n
          |)""".stripMargin
     }.mkString(",\n")
+    // Integer node ids (custkey*2 / suppkey*2+1), exactly the Spark side's
+    // encoding: every materialized CTE and per-round join runs on one BIGINT
+    // column and the c:/s: string labels only materialize in the final
+    // 20-row projection. The VARCHAR-keyed form spilled >50 GiB at the sf10
+    // gate purely on key width; the mapping is bijective (disjoint odd/even
+    // id spaces), so degrees, shares and ranks are bit-identical.
     s"""WITH pairs AS MATERIALIZED (
-       |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
-       |    's:' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |), edges AS MATERIALIZED (
-       |  -- UNION ALL, not UNION: pairs is already DISTINCT and the c:/s:
-       |  -- namespaces are disjoint, so no duplicate can arise — the dedup
-       |  -- sort over 2x the pair volume was the oracle's biggest spiller
-       |  -- at the sf10 gate (Spark's union is bag semantics already)
+       |  -- UNION ALL, not UNION: pairs is already DISTINCT and the even/odd
+       |  -- id spaces are disjoint, so no duplicate can arise (Spark's union
+       |  -- is bag semantics already)
        |  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
        |), deg AS MATERIALIZED (
        |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
-       |), nodes AS MATERIALIZED (
-       |  SELECT DISTINCT src AS node FROM edges
-       |), nn AS (SELECT count(*) AS n FROM nodes),
-       |r0 AS (SELECT node, $Scale // n AS r FROM nodes CROSS JOIN nn),
+       |), nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS node, $Scale // n AS r FROM deg CROSS JOIN nn),
        |$iters
-       |SELECT node, r AS rank_fp, round(CAST(r AS DOUBLE) / $Scale, 8) AS rank_r
+       |SELECT CASE WHEN node % 2 = 0 THEN 'c:' || CAST(node // 2 AS VARCHAR)
+       |            ELSE 's:' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+       |  r AS rank_fp, round(CAST(r AS DOUBLE) / $Scale, 8) AS rank_r
        |FROM r$Iters
-       |ORDER BY r DESC, node
+       |ORDER BY rank_fp DESC, node
        |LIMIT 20""".stripMargin
   }
 
@@ -344,21 +351,22 @@ object GraphOps {
   private val n2Sql = {
     val iters = (1 to Iters).map { i =>
       val prev = s"wr${i - 1}"
-      s"""ws$i AS (
+      // bidirected graph: the aggregate's key set is the node set, so the
+      // nodes-frame LEFT JOIN backfill is dead (as in n1Sql / the Spark rounds)
+      s"""wr$i AS (
          |  SELECT e.dst AS node,
-         |    CAST(sum(($prev.r // deg.wout) * e.w + (($prev.r % deg.wout) * e.w) // deg.wout) AS BIGINT) AS contrib
+         |    (($Scale // n) * 15) // 100
+         |      + (85 * CAST(sum(($prev.r // deg.wout) * e.w + (($prev.r % deg.wout) * e.w) // deg.wout) AS BIGINT)) // 100 AS r
          |  FROM $prev JOIN deg ON $prev.node = deg.src
          |  JOIN edges e ON e.src = $prev.node
-         |  GROUP BY e.dst
-         |), wr$i AS (
-         |  SELECT nodes.node,
-         |    (($Scale // n) * 15) // 100 + (85 * coalesce(ws$i.contrib, 0)) // 100 AS r
-         |  FROM nodes CROSS JOIN nn LEFT JOIN ws$i ON ws$i.node = nodes.node
+         |  CROSS JOIN nn
+         |  GROUP BY e.dst, nn.n
          |)""".stripMargin
     }.mkString(",\n")
+    // integer node ids end to end, labels only in the 20-row projection —
+    // see n1Sql (the VARCHAR-keyed form spilled out the sf10 gate)
     s"""WITH pairs AS MATERIALIZED (
-       |  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
-       |    's:' || CAST(l_suppkey AS VARCHAR) AS dst,
+       |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT) AS w
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |  GROUP BY 1, 2
@@ -366,14 +374,14 @@ object GraphOps {
        |  SELECT src, dst, w FROM pairs UNION ALL SELECT dst, src, w FROM pairs
        |), deg AS MATERIALIZED (
        |  SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src
-       |), nodes AS MATERIALIZED (
-       |  SELECT DISTINCT src AS node FROM edges
-       |), nn AS (SELECT count(*) AS n FROM nodes),
-       |wr0 AS (SELECT node, $Scale // n AS r FROM nodes CROSS JOIN nn),
+       |), nn AS (SELECT count(*) AS n FROM deg),
+       |wr0 AS (SELECT src AS node, $Scale // n AS r FROM deg CROSS JOIN nn),
        |$iters
-       |SELECT node, r AS rank_fp, round(CAST(r AS DOUBLE) / $Scale, 8) AS rank_r
+       |SELECT CASE WHEN node % 2 = 0 THEN 'c:' || CAST(node // 2 AS VARCHAR)
+       |            ELSE 's:' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+       |  r AS rank_fp, round(CAST(r AS DOUBLE) / $Scale, 8) AS rank_r
        |FROM wr$Iters
-       |ORDER BY r DESC, node
+       |ORDER BY rank_fp DESC, node
        |LIMIT 20""".stripMargin
   }
 

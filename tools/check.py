@@ -103,13 +103,24 @@ def main():
                 cols = ", ".join(f'"{c}"' for c in sorted(got_cols))
                 ga = f"SELECT {cols} FROM read_parquet({files!r})"
                 ob = f"SELECT {cols} FROM ({sql})"
+                # Materialize each side ONCE: referencing the oracle subquery
+                # directly in both EXCEPT ALL arms plus the count would run
+                # the whole oracle (and its MATERIALIZED CTE chain) three
+                # times in one statement — at the sf10 gate that tripled the
+                # heavy oracles' spill and pushed n1/n2 over the temp cap.
+                con.execute(f"CREATE OR REPLACE TEMP TABLE __graft_got AS {ga}")
+                con.execute(f"CREATE OR REPLACE TEMP TABLE __graft_exp AS {ob}")
                 n_spark, n_oracle, n_diff = con.execute(
-                    f"""SELECT (SELECT count(*) FROM ({ga})),
-                               (SELECT count(*) FROM ({ob})),
+                    """SELECT (SELECT count(*) FROM __graft_got),
+                               (SELECT count(*) FROM __graft_exp),
                                (SELECT count(*) FROM (
-                                  ({ga} EXCEPT ALL {ob})
+                                  (SELECT * FROM __graft_got
+                                   EXCEPT ALL SELECT * FROM __graft_exp)
                                   UNION ALL
-                                  ({ob} EXCEPT ALL {ga})))""").fetchone()
+                                  (SELECT * FROM __graft_exp
+                                   EXCEPT ALL SELECT * FROM __graft_got)))""").fetchone()
+                con.execute("DROP TABLE __graft_got")
+                con.execute("DROP TABLE __graft_exp")
                 if n_spark != n_oracle or n_diff:
                     print(f"FAIL {name}: {n_spark} vs {n_oracle} rows; {n_diff} bag-diff rows")
                     n_fail += 1
