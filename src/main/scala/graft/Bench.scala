@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // parallelismFirst=false (coalesce post-shuffle partitions to the
+      // 64 MB advisory instead of max parallelism) was MEASURED at local[32]
+      // sf0.1 and kept at the default: 78.8 s vs 73.3 s — single-partition
+      // reduce stages serialize the mid-weight queries' real work for more
+      // than the task-floor savings on the light ones.
       .config("spark.sql.session.timeZone", "UTC")
       // set at construction so Tables.events never mutates conf mid-session
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

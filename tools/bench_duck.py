@@ -33,6 +33,10 @@ def main():
     for k, v in sorted(times.items(), key=lambda x: -x[1])[:15]:
         print(f"{v:7.2f}  {k}")
     print(f"== total {total:.1f} s over {len(times)} queries ==")
+    # full per-query map for ratio tracking (same shape as bench_full.json)
+    side = os.environ.get("GRAFT_DUCK_OUT", "")
+    if side:
+        json.dump({"total": total, "queries": times}, open(side, "w"))
 
 if __name__ == "__main__":
     main()
