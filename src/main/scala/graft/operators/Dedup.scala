@@ -29,14 +29,14 @@ object Dedup {
   // (~0.5 at j=0.7, ~0.97 at j=0.85). The round-1 4x2 parameterization put
   // ~every doc pair in some bucket (quadratic candidate blowup, 88 s of the
   // 167 s bench); these are the standard production values.
-  private val LshNumHashes = 64
+  private[graft] val LshNumHashes = 64
   private val LshBands = 8
   private val LshBandSize = 8
   // Skew guard: buckets larger than this are boilerplate-degenerate; they are
   // dropped (bounding the per-bucket pair count at cap^2) — standard LSH
   // practice. At the test SFs no bucket reaches the cap, so the oracle's
   // identical HAVING clause keeps the hash compare exact.
-  private val LshMaxBucket = 64
+  private[graft] val LshMaxBucket = 64
 
   // Spark-side shingle + minhash SQL fragments (shared shape with oracles).
   // MinHash: ONE md5 per shingle, 8 seed variants via affine mix — see
@@ -115,14 +115,21 @@ object Dedup {
     * whichever query runs first materializes it for the rest of the session.
     * Size is 64 longs/doc — negligible next to the text itself.
     */
+  /** Frame-level MinHash signature pass (doc_id, sig): fully row-local, so
+    * the SAME code path serves the corpus artifact below and the streaming
+    * admission micro-batches ([[graft.streaming.StreamOps.admissionVerdicts]]).
+    */
+  private[graft] def minhashSigs(docs: DataFrame): DataFrame = {
+    graft.functions.HashRegistry.register(docs.sparkSession)
+    docs
+      .withColumn("norm", expr(normExpr))
+      // fused shingle+hash expression: no per-row 300-element shingle array
+      .select(col("doc_id"), expr(s"graft_minhash_text(norm, $LshNumHashes)").as("sig"))
+  }
+
   private def lshSigs(s: SparkSession, d: String): DataFrame =
     ArtifactCache.getOrElseUpdate("dedup.lshSigs", s, d) {
-      graft.functions.HashRegistry.register(s)
-      val out = Tables.documents(s, d)
-        .withColumn("norm", expr(normExpr))
-        // fused shingle+hash expression: no per-row 300-element shingle array
-        .select(col("doc_id"), expr(s"graft_minhash_text(norm, $LshNumHashes)").as("sig"))
-        .cache()
+      val out = minhashSigs(Tables.documents(s, d)).cache()
       // EAGER: a d3/d9-shaped plan scans this frame up to 4x (bands a/b +
       // sig verify a/b); on a cold cache those scans run as CONCURRENT
       // stage-jobs that each recompute the full MinHash pass (measured at
@@ -157,12 +164,15 @@ object Dedup {
     * cannot form pairs — pruning them first means only colliding docs shuffle
     * into the join; oversize buckets are the LSH skew guard, dropped).
     */
+  /** SQL array of the per-band bucket hashes of a `sig` column — shared by
+    * the corpus band explode below and the streaming admission lookup. */
+  private[graft] val bandHashArrayExpr: String = (0 until LshBands).map { b =>
+    s"graft_hash60(array_join(transform(slice(sig, ${b * LshBandSize + 1}, $LshBandSize), x -> cast(x AS string)), ','))"
+  }.mkString("array(", ", ", ")")
+
   private def lshBands(sigs: DataFrame): DataFrame = {
-    val bandHashExpr = (0 until LshBands).map { b =>
-      s"graft_hash60(array_join(transform(slice(sig, ${b * LshBandSize + 1}, $LshBandSize), x -> cast(x AS string)), ','))"
-    }.mkString("array(", ", ", ")")
     val bands = sigs.select(col("doc_id"),
-      posexplode(expr(bandHashExpr)).as(Seq("band_idx", "band_hash")))
+      posexplode(expr(bandHashArrayExpr)).as(Seq("band_idx", "band_hash")))
     val keep = bands.groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bsz"))
       .where(col("bsz") >= 2 && col("bsz") <= LshMaxBucket)
       .select("band_idx", "band_hash")

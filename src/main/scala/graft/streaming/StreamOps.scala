@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DoubleType
 
 /** Structured Streaming surface (SURVEY §2.11: the reference is batch-only —
   * "fully streambased" means byte-stream I/O — so this is the engine's
@@ -204,6 +205,82 @@ object StreamOps {
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  // ---------------------------------------------------------------------------
+  // Streaming incremental-dedup admission: the stream twin of the d12 query /
+  // api.Curation.admitBatch — a live crawl feed admitted against a STANDING
+  // corpus signature snapshot before ingestion. Reference scope note: the
+  // reference is batch-only; this is the §2.11 extension applied to the
+  // dedup family.
+
+  /** Admission verdicts for one batch of `newDocs` (doc_id, text) against a
+    * standing-corpus MinHash signature frame (doc_id, sig — in production a
+    * precomputed snapshot artifact, here any [[graft.operators.Dedup.minhashSigs]]
+    * output): banded-LSH candidate lookup, signature-agreement scoring, and
+    * d12's best-match / threshold verdict per new doc
+    * (doc_new, n_cand, best_old, best_est, is_dup).
+    *
+    * Pure frame -> frame, so the EXACT same plan serves batch admission and
+    * every foreachBatch micro-batch. Scale shape: the new side's signatures
+    * and band keys are row-local; the candidate join is an equi-join on
+    * (band_idx, band_hash) where the standing band table is corpus-sized
+    * (never broadcast — at 1B docs it is TBs) and the micro-batch side is
+    * small, so AQE broadcasts the BATCH bands into the standing scan; after
+    * the band join only (doc_new, doc_old, est) scalars move, keyed by
+    * doc_new. Cross-batch state is not needed: a doc's candidates all live
+    * in its own micro-batch (new-vs-new dedup is the next snapshot d9's job,
+    * same contract as d12).
+    *
+    * Parity caveat (pinned by StreamingAdmitSpec): equal to d12's verdicts
+    * whenever no full-corpus band bucket exceeds the LSH cap — the batch
+    * query drops such whale buckets during pair forming, while this lookup
+    * consumes a standing snapshot whose cap was applied at snapshot-build
+    * time.
+    */
+  def admissionVerdicts(newDocs: DataFrame, standingSigs: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    import graft.operators.Dedup
+    graft.functions.HashRegistry.register(newDocs.sparkSession)
+    val newSigs = Dedup.minhashSigs(newDocs)
+    def bands(sigs: DataFrame, as: String) = sigs.select(col("doc_id").as(as),
+      posexplode(expr(Dedup.bandHashArrayExpr)).as(Seq("band_idx", "band_hash")))
+    // a pair colliding in k bands is scored once (same dedup-before-scoring
+    // as the batch lshCandidatePairs)
+    val cand = bands(newSigs, "doc_new")
+      .join(bands(standingSigs, "doc_old"), Seq("band_idx", "band_hash"))
+      .select("doc_new", "doc_old").distinct()
+    val est = cand
+      .join(newSigs.select(col("doc_id").as("doc_new"), col("sig").as("siga")), "doc_new")
+      .join(standingSigs.select(col("doc_id").as("doc_old"), col("sig").as("sigb")), "doc_old")
+      .select(col("doc_new"), col("doc_old"),
+        (expr("graft_sig_agree(siga, sigb)").cast(DoubleType)
+          / Dedup.LshNumHashes).as("est"))
+    val best = est.groupBy("doc_new")
+      .agg(count(lit(1)).as("n_cand"), max(col("est")).as("best_est"))
+    val pick = est.join(best.select(col("doc_new"), col("best_est")), "doc_new")
+      .where(col("est") === col("best_est"))
+      .groupBy("doc_new").agg(min(col("doc_old")).as("best_old"))
+    newDocs.select(col("doc_id").as("doc_new"))
+      .join(best, Seq("doc_new"), "left")
+      .join(pick, Seq("doc_new"), "left")
+      .select(col("doc_new"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("best_old"), col("best_est"),
+        when(col("best_est") >= threshold, 1).otherwise(0).as("is_dup"))
+  }
+
+  /** foreachBatch admission stream: each micro-batch (a crawl slice) is
+    * admitted against the standing signature snapshot and its verdict frame
+    * handed to `sink` with the batch id — the production front door where
+    * the sink appends an admission ledger / routes rejects.
+    */
+  def admitStream(newDocs: DataFrame, standingSigs: DataFrame,
+      threshold: Double = 0.7)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(admissionVerdicts(batch, standingSigs, threshold), id)
+      }
+      .start()
 
   /** Run any batch-or-stream transform over a parquet directory as a stream
     * into an in-memory table; returns the collected result (test/demo
