@@ -52,7 +52,12 @@ object Curation {
       // as the NEW batch and rejects its members that near-dup (est >= 0.7)
       // the standing corpus — the production snapshot-admission stage, riding
       // the same memoized scored-pair artifact as d9/d12. None disables.
-      admitBatch: Option[(Long, Long)] = None)
+      admitBatch: Option[(Long, Long)] = None,
+      // Leakage-safe train/val/test tags (c3): (testPct, valPct) of the
+      // NEAR-DUP COMPONENT hash, so near-duplicates can never straddle
+      // train and a held-out split. Tags only — `kept` is unaffected; the
+      // training cut is `kept AND split = 'train'`.
+      splitPcts: (Int, Int) = (5, 10))
 
   final case class Result(ledger: DataFrame, snapshot: DataFrame, packs: DataFrame)
 
@@ -162,9 +167,13 @@ object Curation {
         col("q_pass") && col("is_keeper") && col("clean") && col("canonical") &&
           col("sampled") && col("temp_kept") && col("mix_kept") && col("span_ok") &&
           col("cap_kept") && col("admitted") && !col("is_eval"))
+      // c3's leakage-safe split tag, off the component column the canonical
+      // join already carries — row-local hash arithmetic, zero extra cost
+      .withColumn("split",
+        graft.operators.CurationOps.splitCol(cfg.splitPcts._1, cfg.splitPcts._2))
       .select("doc_id", "lang", "quality", "q_pass", "is_keeper", "clean",
-        "canonical", "sampled", "temp_kept", "mix_kept", "span_ok", "cap_kept",
-        "is_new", "admitted", "is_eval", "kept")
+        "component", "canonical", "sampled", "temp_kept", "mix_kept", "span_ok",
+        "cap_kept", "is_new", "admitted", "is_eval", "split", "kept")
 
     val keptDocs = docs.join(ledger.where(col("kept")).select("doc_id"), "doc_id")
     val snapshot =

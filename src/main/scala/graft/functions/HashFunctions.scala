@@ -291,7 +291,12 @@ case class SigAgreeCount(left: Expression, right: Expression)
     val n = Math.min(x.numElements(), y.numElements())
     var i = 0; var c = 0
     while (i < n) {
-      if (x.getLong(i) == y.getLong(i)) c += 1
+      // null slots never count as agreement (UnsafeArrayData.getLong returns
+      // 0 for them, so two nulls would otherwise match) — mirrors the
+      // zip_with + filter reference form, which skips null comparisons.
+      // Unreachable from LSH signatures (minhashSigs emits dense arrays) but
+      // the function is session-registered and callable on any array.
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) c += 1
       i += 1
     }
     c

@@ -333,7 +333,7 @@ object AnalyticOps {
         lag(col("value"), 1, -1.0).over(w).as("prev_value"),
         lead(col("value"), 1, -1.0).over(w).as("next_value"),
         first(col("value")).over(wf).as("first_value"),
-        round(col("value") - lag(col("value"), 1, 0.0).over(w), 6).as("delta_r"))
+        floor((col("value") - lag(col("value"), 1, 0.0).over(w)) * 1000000).cast(LongType).as("delta_fp"))
       .orderBy("user_id", "event_id")
   }
 
@@ -343,7 +343,7 @@ object AnalyticOps {
       |  lead(value, 1, -1.0) OVER w AS next_value,
       |  first_value(value) OVER (PARTITION BY user_id ORDER BY event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value,
-      |  round(value - lag(value, 1, 0.0) OVER w, 6) AS delta_r
+      |  CAST(floor((value - lag(value, 1, 0.0) OVER w) * 1000000) AS BIGINT) AS delta_fp
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
       |ORDER BY user_id, event_id""".stripMargin
@@ -373,8 +373,8 @@ object AnalyticOps {
       .groupBy("event_type")
       .agg(
         max(col("n")).as("n"),
-        round(max(col("mean")), 6).as("mean_r"),
-        round(max(col("std")), 6).as("std_r"),
+        floor(max(col("mean")) * 1000000).cast(LongType).as("mean_fp"),
+        floor(max(col("std")) * 1000000).cast(LongType).as("std_fp"),
         count(when(col("z") > 2, 1)).as("n_hi"),
         count(when(col("z") < -2, 1)).as("n_lo"))
       .orderBy("event_type")
@@ -392,7 +392,8 @@ object AnalyticOps {
       |  FROM stats
       |)
       |SELECT e.event_type, max(d.n) AS n,
-      |  round(max(d.mean), 6) AS mean_r, round(max(d.std), 6) AS std_r,
+      |  CAST(floor(max(d.mean) * 1000000) AS BIGINT) AS mean_fp,
+      |  CAST(floor(max(d.std) * 1000000) AS BIGINT) AS std_fp,
       |  count(*) FILTER (WHERE (e.value - d.mean) / d.std > 2) AS n_hi,
       |  count(*) FILTER (WHERE (e.value - d.mean) / d.std < -2) AS n_lo
       |FROM events e JOIN derived d USING (event_type)
@@ -646,10 +647,12 @@ object AnalyticOps {
         count(lit(1)).as("n_full"))
     exact.join(sampled, "event_type")
       .select(col("event_type"), col("n_full"), col("n_sample"),
-        round(col("e_p50"), 6).as("e_p50_r"), round(col("s_p50"), 6).as("s_p50_r"),
-        round(abs(col("s_p50") - col("e_p50")), 6).as("p50_err_r"),
-        round(col("e_p90"), 6).as("e_p90_r"), round(col("s_p90"), 6).as("s_p90_r"),
-        round(abs(col("s_p90") - col("e_p90")), 6).as("p90_err_r"))
+        floor(col("e_p50") * 1000000).cast(LongType).as("e_p50_fp"),
+        floor(col("s_p50") * 1000000).cast(LongType).as("s_p50_fp"),
+        floor(abs(col("s_p50") - col("e_p50")) * 1000000).cast(LongType).as("p50_err_fp"),
+        floor(col("e_p90") * 1000000).cast(LongType).as("e_p90_fp"),
+        floor(col("s_p90") * 1000000).cast(LongType).as("s_p90_fp"),
+        floor(abs(col("s_p90") - col("e_p90")) * 1000000).cast(LongType).as("p90_err_fp"))
       .orderBy("event_type")
   }
 
@@ -666,10 +669,12 @@ object AnalyticOps {
        |  FROM events GROUP BY event_type
        |)
        |SELECT event_type, n_full, n_sample,
-       |  round(e_p50, 6) AS e_p50_r, round(s_p50, 6) AS s_p50_r,
-       |  round(abs(s_p50 - e_p50), 6) AS p50_err_r,
-       |  round(e_p90, 6) AS e_p90_r, round(s_p90, 6) AS s_p90_r,
-       |  round(abs(s_p90 - e_p90), 6) AS p90_err_r
+       |  CAST(floor(e_p50 * 1000000) AS BIGINT) AS e_p50_fp,
+       |  CAST(floor(s_p50 * 1000000) AS BIGINT) AS s_p50_fp,
+       |  CAST(floor(abs(s_p50 - e_p50) * 1000000) AS BIGINT) AS p50_err_fp,
+       |  CAST(floor(e_p90 * 1000000) AS BIGINT) AS e_p90_fp,
+       |  CAST(floor(s_p90 * 1000000) AS BIGINT) AS s_p90_fp,
+       |  CAST(floor(abs(s_p90 - e_p90) * 1000000) AS BIGINT) AS p90_err_fp
        |FROM exact JOIN sampled USING (event_type)
        |ORDER BY event_type""".stripMargin
 

@@ -105,10 +105,13 @@ object Clustering {
     // window operator's blocking materialization (~24 GB per Lloyd
     // iteration for the IVF chain at the sf10 gate; measured standalone,
     // the in-window form spills where the precomputed form streams) — and
-    // the vector list rejoins AFTER the rk = 1 slice. Every caller passes
-    // a MATERIALIZED vecsRel, so the second reference cannot re-execute
-    // its chain (DuckDB inlines plain CTEs once per reference). Results
-    // unchanged: same argmin, same (dist, cid) tiebreak.
+    // the vector list rejoins AFTER the rk = 1 slice. vecsRel is referenced
+    // TWICE, and DuckDB inlines plain CTEs once per reference — callers
+    // must pass either a MATERIALIZED relation (e1/e3) or a trivial
+    // projection of one (s5/s7's pq{m}_all / rpq{m}_all column slices of
+    // materialized ev/resid), so the re-executed upstream is at worst one
+    // cheap slice, never a trained-artifact chain. Results unchanged: same
+    // argmin, same (dist, cid) tiebreak.
     s"""$out AS (
        |  SELECT s.vec_id, a.v, s.cid, s.dist2 FROM (
        |    SELECT vec_id, cid, dist2 FROM (
@@ -180,7 +183,7 @@ object Clustering {
 
   private def e1Kmeans(s: SparkSession, d: String): DataFrame =
     finalAssign(s, d)
-      .select(col("vec_id"), col("cid").as("cluster"), round(col("dist2"), 6).as("dist2_r"))
+      .select(col("vec_id"), col("cid").as("cluster"), floor(col("dist2") * 1000000).cast("long").as("dist2_fp"))
       .orderBy("vec_id")
 
   // ---------------------------------------------------------------------------
@@ -198,8 +201,8 @@ object Clustering {
         count(lit(1)).as("n"),
         sum(col("dist2").cast("decimal(28,14)")).cast("double").as("inertia"))
       .select(col("cluster"), col("n"),
-        round(col("inertia"), 6).as("inertia_r"),
-        round(col("inertia") / col("n"), 6).as("mean_dist2_r"))
+        floor(col("inertia") * 1000000).cast("long").as("inertia_fp"),
+        floor(col("inertia") / col("n") * 1000000).cast("long").as("mean_dist2_fp"))
       .orderBy("cluster")
 
   private val e1Sql = {
@@ -214,7 +217,7 @@ object Clustering {
     val finalCents = kmeansCtes(ctes, "vecs", "cents0", Iters, "")
     ctes += assignCte("vecs", finalCents, "final_assign")
     s"""WITH ${ctes.mkString(",\n")}
-       |SELECT vec_id, cid AS cluster, round(dist2, 6) AS dist2_r
+       |SELECT vec_id, cid AS cluster, CAST(floor(dist2 * 1000000) AS BIGINT) AS dist2_fp
        |FROM final_assign ORDER BY vec_id""".stripMargin
   }
 
@@ -231,8 +234,8 @@ object Clustering {
     ctes += assignCte("vecs", finalCents, "final_assign")
     s"""WITH ${ctes.mkString(",\n")}
        |SELECT cid AS cluster, count(*) AS n,
-       |  round(CAST(sum(CAST(dist2 AS DECIMAL(28,14))) AS DOUBLE), 6) AS inertia_r,
-       |  round(CAST(sum(CAST(dist2 AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) AS mean_dist2_r
+       |  CAST(floor(CAST(sum(CAST(dist2 AS DECIMAL(28,14))) AS DOUBLE) * 1000000) AS BIGINT) AS inertia_fp,
+       |  CAST(floor(CAST(sum(CAST(dist2 AS DECIMAL(28,14))) AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS mean_dist2_fp
        |FROM final_assign GROUP BY cid ORDER BY cluster""".stripMargin
   }
 

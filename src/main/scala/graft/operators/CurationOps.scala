@@ -120,7 +120,7 @@ object CurationOps {
     // cached scan plus the output sort.
     Dedup.componentLabels(s, d)
       .select(col("doc_id"), col("component"),
-        round(col("quality"), 6).as("quality_r"), col("canonical"))
+        floor(col("quality") * 1000000).cast("long").as("quality_fp"), col("canonical"))
       .orderBy("doc_id")
 
   private val c2Sql =
@@ -128,7 +128,7 @@ object CurationOps {
        |comp AS (
        |  SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
        |), ${TextOps.qualitySqlCte}
-       |SELECT c.doc_id, c.component, round(q.quality, 6) AS quality_r,
+       |SELECT c.doc_id, c.component, CAST(floor(q.quality * 1000000) AS BIGINT) AS quality_fp,
        |  row_number() OVER (PARTITION BY c.component
        |    ORDER BY q.quality DESC, c.doc_id) = 1 AS canonical
        |FROM comp c JOIN quality q USING (doc_id)
@@ -146,14 +146,22 @@ object CurationOps {
   // is the fit-once snapshot artifact. Portable hash (md5 prefix, < 2^62)
   // so both engines derive identical assignments; 5% test / 10% val by the
   // component hash.
+  /** The component-hash split assignment, shared verbatim by the c3 query
+    * and the `api/Curation` ledger so the API tag can never drift from the
+    * oracle-checked query (CurationApiSpec pins them row for row). Expects
+    * a `component` column in scope; portable md5-prefix hash, < 2^62.
+    */
+  private[graft] def splitHashCol =
+    expr("cast(conv(substr(md5(concat('c3:', cast(component as string))), 1, 15), 16, 10) as bigint) % 100")
+
+  private[graft] def splitCol(testPct: Int, valPct: Int) =
+    when(splitHashCol < testPct, lit("test"))
+      .when(splitHashCol < testPct + valPct, lit("val"))
+      .otherwise(lit("train"))
+
   private def c3LeakageSafeSplit(s: SparkSession, d: String): DataFrame =
     Dedup.componentLabels(s, d)
-      .withColumn("h",
-        expr("cast(conv(substr(md5(concat('c3:', cast(component as string))), 1, 15), 16, 10) as bigint) % 100"))
-      .select(col("doc_id"), col("component"),
-        when(col("h") < 5, lit("test"))
-          .when(col("h") < 15, lit("val"))
-          .otherwise(lit("train")).as("split"))
+      .select(col("doc_id"), col("component"), splitCol(5, 10).as("split"))
       .orderBy("doc_id")
 
   private val c3Sql =

@@ -230,7 +230,10 @@ object GraphOps {
       .orderBy(col("r").desc, col("node"))
       .limit(20)
       .select(col("node"), col("r").as("rank_fp"),
-        round(col("r").cast("double") / Scale, 8).as("rank_r"))
+        // integer 1e-8 rank units (rank_fp div 10^4), not round(double, 8):
+        // k/10^12 quotients are the exact population whose shortest decimal
+        // repr rounds apart from the binary value (o6 precedent)
+        expr("r div 10000").as("rank_e8"))
   }
 
   private def n1PageRank(s: SparkSession, d: String): DataFrame = {
@@ -338,7 +341,7 @@ object GraphOps {
        |$iters
        |SELECT CASE WHEN node % 2 = 0 THEN 'c:' || CAST(node // 2 AS VARCHAR)
        |            ELSE 's:' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
-       |  r AS rank_fp, round(CAST(r AS DOUBLE) / $Scale, 8) AS rank_r
+       |  r AS rank_fp, r // 10000 AS rank_e8
        |FROM r$Iters
        |ORDER BY rank_fp DESC, node
        |LIMIT 20""".stripMargin
@@ -394,7 +397,10 @@ object GraphOps {
       .orderBy(col("r").desc, col("node"))
       .limit(20)
       .select(col("node"), col("r").as("rank_fp"),
-        round(col("r").cast("double") / Scale, 8).as("rank_r"))
+        // integer 1e-8 rank units (rank_fp div 10^4), not round(double, 8):
+        // k/10^12 quotients are the exact population whose shortest decimal
+        // repr rounds apart from the binary value (o6 precedent)
+        expr("r div 10000").as("rank_e8"))
     }
   }
 
@@ -429,7 +435,7 @@ object GraphOps {
        |$iters
        |SELECT CASE WHEN node % 2 = 0 THEN 'c:' || CAST(node // 2 AS VARCHAR)
        |            ELSE 's:' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
-       |  r AS rank_fp, round(CAST(r AS DOUBLE) / $Scale, 8) AS rank_r
+       |  r AS rank_fp, r // 10000 AS rank_e8
        |FROM wr$Iters
        |ORDER BY rank_fp DESC, node
        |LIMIT 20""".stripMargin

@@ -164,13 +164,135 @@ object Multimodal {
       |  round(CAST(list_sum(list_transform(bs, b -> b * b)) AS DOUBLE) / n, 6) AS energy_r
       |FROM chars WHERE n > 0 ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // m4 — REAL codec round-trip (round-7 verdict #4, replacing the FakeDecoder
+  // gap): each doc's text bytes become deterministic pixels (cyclic
+  // indexing), ENCODED into an actual image file — BMP 8-bit palettized,
+  // BMP 24-bit BGR (bottom-up + row padding), PNG gray / RGB (zlib, row
+  // filters cycling 0-4), or binary PPM — then DECODED by
+  // [[graft.ingest.ImageCodec]] in a separate mapPartitions stage over the
+  // opaque binary column, and reduced to integer-exact features. `possum`
+  // weights every decoded byte by its stream position, so a decoder that
+  // mis-handles BMP's bottom-up rows, 4-byte padding, or a PNG filter
+  // reconstruction cannot hash-match the oracle (which re-derives the pixel
+  // stream arithmetically from the text). ImageCodecSpec separately pins
+  // hand-built golden byte layouts so encoder/decoder can't share a bug.
+  private[operators] def pixelsFor(text: Array[Byte], n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = text(i % text.length); i += 1 }
+    out
+  }
+
+  /** (media_id, fmt, width, height, channels, media) with real encoded
+    * image bytes — the corpus every decode stage downstream consumes.
+    */
+  def encodedMediaTable(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("fmt", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("media", BinaryType)))
+    val src = Tables.documents(s, d)
+      // ASCII-only guard: the pixel stream is the UTF-8 BYTES of text while
+      // the oracle re-derives it from per-CHARACTER codepoints — identical
+      // only when every char is single-byte. The corpus is ASCII today; the
+      // twin filters (octet_length == length here, strlen == length in the
+      // oracle) keep m4 correct instead of silently wrong if a regenerated
+      // corpus ever ships multi-byte text.
+      .where(length(col("text")) >= 1 && octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), col("text"))
+    val rdd = src.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1).getBytes("UTF-8")
+        val w = (8 + id % 25).toInt; val h = (8 + id % 17).toInt
+        val fmt = (id % 5).toInt
+        val ch = if (fmt == 0 || fmt == 2) 1 else 3
+        val pix = pixelsFor(text, w * h * ch)
+        val bytes = fmt match {
+          case 0 => graft.ingest.ImageCodec.encodeBmp8Gray(w, h, pix)
+          case 1 => graft.ingest.ImageCodec.encodeBmp24(w, h, pix)
+          case 2 => graft.ingest.ImageCodec.encodePng(w, h, 1, pix)
+          case 3 => graft.ingest.ImageCodec.encodePng(w, h, 3, pix)
+          case _ => graft.ingest.ImageCodec.encodePnm(w, h, 3, pix)
+        }
+        Row(id, fmt, w, h, ch, bytes)
+      }
+    }
+    s.createDataFrame(rdd, schema)
+  }
+
+  /** Decode + feature stage: sniffs and decodes each payload with the real
+    * codec, emits integer-exact stream features. All-integer outputs (sums
+    * bounded far below 2^62) — no float parity concerns at any SF.
+    */
+  def decodedFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("sum_b", LongType),
+      StructField("min_b", IntegerType),
+      StructField("max_b", IntegerType),
+      StructField("possum", LongType)))
+    val rdd = media.select("media_id", "media").rdd.mapPartitions { it =>
+      it.map { r =>
+        val dec = graft.ingest.ImageCodec.decode(r.getAs[Array[Byte]](1))
+        val px = dec.pixels
+        var sum = 0L; var possum = 0L; var mn = 256; var mx = -1
+        var i = 0
+        while (i < px.length) {
+          val v = px(i) & 0xff
+          sum += v; possum += (i % 997 + 1).toLong * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        Row(r.getLong(0), dec.width, dec.height, dec.channels, sum, mn, mx, possum)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  private def m4DecodedFeatures(s: SparkSession, d: String): DataFrame =
+    decodedFeatures(encodedMediaTable(s, d)).orderBy("media_id")
+
+  private val m4Sql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    8 + doc_id % 25 AS w, 8 + doc_id % 17 AS h,
+      |    CASE WHEN doc_id % 5 IN (0, 2) THEN 1 ELSE 3 END AS ch,
+      |    length(text) AS len,
+      |    list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))) AS bs
+      |  FROM documents WHERE length(text) >= 1 AND strlen(text) = length(text)
+      |), s AS (
+      |  SELECT media_id, w, h, ch,
+      |    list_transform(range(0, w * h * ch), i -> bs[CAST(i % len AS INTEGER) + 1]) AS px
+      |  FROM m
+      |)
+      |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(ch AS INTEGER) AS channels,
+      |  CAST(list_sum(px) AS BIGINT) AS sum_b,
+      |  CAST(list_min(px) AS INTEGER) AS min_b,
+      |  CAST(list_max(px) AS INTEGER) AS max_b,
+      |  CAST(list_sum(list_transform(range(0, w * h * ch),
+      |    i -> (i % 997 + 1) * px[CAST(i AS INTEGER) + 1])) AS BIGINT) AS possum
+      |FROM s ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta"  -> m1BinaryMeta _,
     "m2_frame_sample" -> m2FrameSample _,
-    "m3_features"     -> m3Features _)
+    "m3_features"     -> m3Features _,
+    "m4_decoded_features" -> m4DecodedFeatures _)
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta"  -> m1Sql,
     "m2_frame_sample" -> m2Sql,
-    "m3_features"     -> m3Sql)
+    "m3_features"     -> m3Sql,
+    "m4_decoded_features" -> m4Sql)
 }

@@ -201,13 +201,17 @@ object TextOps {
 
   private def t5QualityFilter(s: SparkSession, d: String): DataFrame =
     qualityFrame(s, d)
-      .select(col("doc_id"), round(col("quality"), 6).as("quality_r"),
+      // floor-scaled micro-units, not round(double, 6): rational scores hit
+      // the exact-half 6th-digit boundary where Spark (shortest decimal
+      // string) and DuckDB (binary value) round apart — floor() of the same
+      // double bits is engine-exact at any scale (o6/t18 precedent)
+      .select(col("doc_id"), floor(col("quality") * 1000000).cast(LongType).as("quality_fp"),
         (col("quality") >= 0.5).as("kept"))
       .orderBy("doc_id")
 
   private val t5Sql =
     s"""WITH $qualitySqlCte
-      |SELECT doc_id, round(quality, 6) AS quality_r, quality >= 0.5 AS kept
+      |SELECT doc_id, CAST(floor(quality * 1000000) AS BIGINT) AS quality_fp, quality >= 0.5 AS kept
       |FROM quality
       |ORDER BY doc_id""".stripMargin
 
@@ -320,9 +324,11 @@ object TextOps {
       .withColumn("top", expr("graft_top_bigram(toks)"))
       .withColumn("top_frac", col("top.best_n").cast(DoubleType) / (col("n_tokens") - 1))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("dup_word_frac"), 6).as("dup_word_frac_r"),
+        // floor-scaled micro-units (o6/t18 precedent): k/n fractions are
+        // exactly the values that land on round(6)'s half-way boundary
+        floor(col("dup_word_frac") * 1000000).cast(LongType).as("dup_word_frac_fp"),
         col("top.best_bg").as("top_bigram"), col("top.best_n").as("top_bigram_n"),
-        round(col("top_frac"), 6).as("top_bigram_frac_r"),
+        floor(col("top_frac") * 1000000).cast(LongType).as("top_bigram_frac_fp"),
         (col("top_frac") <= 0.18 && col("dup_word_frac") <= 0.78).as("kept"))
       .orderBy("doc_id")
   }
@@ -344,9 +350,9 @@ object TextOps {
       |  FROM cnt
       |)
       |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
-      |  round(dup_word_frac, 6) AS dup_word_frac_r,
+      |  CAST(floor(dup_word_frac * 1000000) AS BIGINT) AS dup_word_frac_fp,
       |  bg AS top_bigram, CAST(n AS BIGINT) AS top_bigram_n,
-      |  round(CAST(n AS DOUBLE) / (n_tokens - 1), 6) AS top_bigram_frac_r,
+      |  CAST(floor(CAST(n AS DOUBLE) / (n_tokens - 1) * 1000000) AS BIGINT) AS top_bigram_frac_fp,
       |  CAST(n AS DOUBLE) / (n_tokens - 1) <= 0.18 AND dup_word_frac <= 0.78 AS kept
       |FROM ranked WHERE rk = 1
       |ORDER BY doc_id""".stripMargin
@@ -374,7 +380,9 @@ object TextOps {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"),
-        round(col("tfidf"), 6).as("tfidf_r"))
+        // floor-scaled micro-units (o6/t18 precedent) — engine-exact given
+        // identical double bits, unlike round(6)'s decimal-string rounding
+        floor(col("tfidf") * 1000000).cast(LongType).as("tfidf_fp"))
       .orderBy("doc_id", "rk")
   }
 
@@ -394,7 +402,7 @@ object TextOps {
       |  FROM tf JOIN df USING (tok), n
       |)
       |SELECT doc_id, rk, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
-      |  round(tfidf, 6) AS tfidf_r
+      |  CAST(floor(tfidf * 1000000) AS BIGINT) AS tfidf_fp
       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
       |        ORDER BY tfidf DESC, tok) AS rk FROM scored)
       |WHERE rk <= 3
@@ -580,9 +588,12 @@ object TextOps {
         count(when(col("df") * 20 < col("n_docs"), 1)).as("n_rare"),
         first(col("n_docs")).as("n_docs"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("df_sum").cast(DoubleType) / col("n_tokens") / col("n_docs"), 6)
-          .as("mean_df_frac_r"),
-        round(col("n_rare").cast(DoubleType) / col("n_tokens"), 6).as("rare_frac_r"))
+        // floor-scaled micro-units (o6/t18 precedent): these are rational
+        // k/n values, the exact population round(6) diverges on at scale
+        floor(col("df_sum").cast(DoubleType) / col("n_tokens") / col("n_docs") * 1000000)
+          .cast(LongType).as("mean_df_frac_fp"),
+        floor(col("n_rare").cast(DoubleType) / col("n_tokens") * 1000000)
+          .cast(LongType).as("rare_frac_fp"))
       .orderBy("doc_id")
   }
 
@@ -595,8 +606,8 @@ object TextOps {
       |), nd AS (SELECT count(*) AS n_docs FROM documents)
       |SELECT doc_id,
       |  count(*) AS n_tokens,
-      |  round(CAST(CAST(sum(df) AS BIGINT) AS DOUBLE) / count(*) / any_value(n_docs), 6) AS mean_df_frac_r,
-      |  round(CAST(count(CASE WHEN df * 20 < n_docs THEN 1 END) AS DOUBLE) / count(*), 6) AS rare_frac_r
+      |  CAST(floor(CAST(CAST(sum(df) AS BIGINT) AS DOUBLE) / count(*) / any_value(n_docs) * 1000000) AS BIGINT) AS mean_df_frac_fp,
+      |  CAST(floor(CAST(count(CASE WHEN df * 20 < n_docs THEN 1 END) AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS rare_frac_fp
       |FROM toks JOIN df USING (tok) CROSS JOIN nd
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
@@ -836,13 +847,15 @@ object TextOps {
         Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))))
       .where(col("rk") <= 5)
       .select(col("term"), col("rk"), col("doc_id"), col("tf"), col("dl").cast(LongType).as("dl"),
-        // round(double, 6) retains the half-at-the-6th-digit cross-engine
-        // boundary o6 eliminated (Spark rounds the shortest decimal string,
-        // DuckDB the binary value) plus sub-ulp libm ln() divergence in idf;
-        // acceptable at ~20 output rows (t9 precedent) — if the term list or
-        // corpus ever widens this output, switch to a scaled-DECIMAL score
-        // like o6's integer-exact ranks
-        round(col("score"), 6).as("bm25_r"))
+        // Scaled-integer score (micro-units), o6 precedent: floor() of the
+        // BINARY double is bit-identical across engines given identical
+        // score bits, where round(double, 6) was not — Spark rounds the
+        // shortest decimal string (BigDecimal.valueOf), DuckDB the binary
+        // value, and a score whose shortest repr sits exactly at the 6th
+        // digit's half diverges (o6 measured ~90 such rows among sf10's
+        // 15M). The only residue is sub-ulp libm ln() divergence in idf,
+        // which no emission format can absorb and has never been observed.
+        floor(col("score") * 1000000).cast(LongType).as("bm25_fp"))
       .orderBy("term", "rk")
   }
 
@@ -870,7 +883,7 @@ object TextOps {
        |  FROM tf JOIN df USING (term), stats
        |)
        |SELECT term, rk, doc_id, CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl,
-       |  round(score, 6) AS bm25_r
+       |  CAST(floor(score * 1000000) AS BIGINT) AS bm25_fp
        |FROM (SELECT *, row_number() OVER (PARTITION BY term
        |        ORDER BY score DESC, doc_id) AS rk FROM scored)
        |WHERE rk <= 5

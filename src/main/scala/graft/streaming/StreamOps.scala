@@ -231,11 +231,16 @@ object StreamOps {
     * in its own micro-batch (new-vs-new dedup is the next snapshot d9's job,
     * same contract as d12).
     *
-    * Parity caveat (pinned by StreamingAdmitSpec): equal to d12's verdicts
-    * whenever no full-corpus band bucket exceeds the LSH cap — the batch
-    * query drops such whale buckets during pair forming, while this lookup
-    * consumes a standing snapshot whose cap was applied at snapshot-build
-    * time.
+    * Whale guard: the batch path's LshMaxBucket cap is applied HERE, on the
+    * combined (standing + batch) view of each band bucket — a signature
+    * frame cannot carry bucket caps (membership is derived from the band
+    * join), so without this a boilerplate-degenerate standing bucket makes
+    * the candidate join quadratic in bucket size. Parity caveat (pinned by
+    * StreamingAdmitSpec): verdicts equal d12's whenever no bucket straddles
+    * the cap BETWEEN admission views — d12 sizes buckets over the full
+    * corpus, while a micro-batch sees standing + its own slice only, so a
+    * bucket that clears 64 only once later batches arrive is admitted here
+    * but dropped by d12.
     */
   def admissionVerdicts(newDocs: DataFrame, standingSigs: DataFrame,
       threshold: Double = 0.7): DataFrame = {
@@ -244,10 +249,23 @@ object StreamOps {
     val newSigs = Dedup.minhashSigs(newDocs)
     def bands(sigs: DataFrame, as: String) = sigs.select(col("doc_id").as(as),
       posexplode(expr(Dedup.bandHashArrayExpr)).as(Seq("band_idx", "band_hash")))
+    val newBands = bands(newSigs, "doc_new")
+    val oldBands = bands(standingSigs, "doc_old")
+    val key = Seq("band_idx", "band_hash")
+    // combined bucket sizes, capped exactly like lshBands (the >=2 floor is
+    // implicit: a candidate needs one member on each side). The aggregate
+    // leaves `keep` hash-partitioned on the band key; both band joins then
+    // reuse that partitioning, and whale-bucket rows never reach the
+    // standing-side join.
+    val keep = newBands.select(key.map(col): _*)
+      .unionAll(oldBands.select(key.map(col): _*))
+      .groupBy(key.map(col): _*).agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= Dedup.LshMaxBucket)
+      .select(key.map(col): _*)
     // a pair colliding in k bands is scored once (same dedup-before-scoring
     // as the batch lshCandidatePairs)
-    val cand = bands(newSigs, "doc_new")
-      .join(bands(standingSigs, "doc_old"), Seq("band_idx", "band_hash"))
+    val cand = newBands.join(keep, key)
+      .join(oldBands, key)
       .select("doc_new", "doc_old").distinct()
     val est = cand
       .join(newSigs.select(col("doc_id").as("doc_new"), col("sig").as("siga")), "doc_new")
@@ -271,16 +289,23 @@ object StreamOps {
   /** foreachBatch admission stream: each micro-batch (a crawl slice) is
     * admitted against the standing signature snapshot and its verdict frame
     * handed to `sink` with the batch id — the production front door where
-    * the sink appends an admission ledger / routes rejects.
+    * the sink appends an admission ledger / routes rejects. Pass
+    * `checkpoint` for a durable run: source offsets commit there, so a
+    * restarted query resumes at the first unadmitted slice instead of
+    * re-admitting the whole feed (StreamingAdmitSpec pins the
+    * exactly-once-per-doc ledger across a stop/start).
     */
   def admitStream(newDocs: DataFrame, standingSigs: DataFrame,
-      threshold: Double = 0.7)(sink: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    newDocs.writeStream
+      threshold: Double = 0.7, checkpoint: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = newDocs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(admissionVerdicts(batch, standingSigs, threshold), id)
       }
-      .start()
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
 
   /** Run any batch-or-stream transform over a parquet directory as a stream
     * into an in-memory table; returns the collected result (test/demo

@@ -211,8 +211,33 @@ object ScaleProbe {
     conv.write.format("noop").mode("overwrite").save()
     val convSec = (System.nanoTime() - ct0) / 1e9
     println(f"[graph-probe] pageRankConverged iters=$iters sec=$convSec%.1f per_round=${convSec / math.max(1, iters)}%.3f")
+    // Broadcast-overflow gate parity AT PROBE SCALE: force the shuffle-join
+    // rank rounds by dropping the node floor to 1 (the same prop override
+    // GraphShuffleGateSpec uses), rebuild the graph artifacts under the new
+    // layout, and require bit-identical top-20 ranks from both modes for
+    // both PageRank variants. This is the scale-mode evidence the spec's
+    // sf0.001 fixture can't give: a 10x-bench edge list meeting the
+    // node-sized rank shuffle.
+    def ranks(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val bcastN1 = ranks("n1_pagerank")
+    val bcastN2 = ranks("n2_weighted_pagerank")
+    val floorKey = "graft.graph.broadcastFloorNodes"
+    val prevFloor = sys.props.get(floorKey)
+    sys.props(floorKey) = "1"
+    graft.operators.ArtifactCache.invalidate(spark, dir)
+    val st0 = System.nanoTime()
+    val (shufN1, shufN2) = (ranks("n1_pagerank"), ranks("n2_weighted_pagerank"))
+    val shufSec = (System.nanoTime() - st0) / 1e9
+    prevFloor match {
+      case Some(v) => sys.props(floorKey) = v
+      case None => sys.props.remove(floorKey)
+    }
+    graft.operators.ArtifactCache.invalidate(spark, dir)
+    val parity = shufN1 == bcastN1 && shufN2 == bcastN2
+    println(f"[graph-probe] shuffle-mode gate parity=$parity sec=$shufSec%.1f (n1+n2, incl. artifact rebuild)")
     val parts = results.map { case (nm, sec, rows) => s""""$nm":{"sec":$sec,"rows":$rows}""" }
-    println(s"""{"probe":"graph_scale","n_orders":$nOrders,"edge_partitions":$edgeParts,"converged":{"iters":$iters,"sec":$convSec,"per_round_sec":${convSec / math.max(1, iters)}},"shuffle_total_mb":${shuffleTotal.get() / 1e6},${parts.mkString(",")}}""")
+    println(s"""{"probe":"graph_scale","n_orders":$nOrders,"edge_partitions":$edgeParts,"converged":{"iters":$iters,"sec":$convSec,"per_round_sec":${convSec / math.max(1, iters)}},"gate_parity":$parity,"gate_shuffle_sec":$shufSec,"shuffle_total_mb":${shuffleTotal.get() / 1e6},${parts.mkString(",")}}""")
   }
 
   // ---------------------------------------------------------------------------

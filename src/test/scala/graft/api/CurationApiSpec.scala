@@ -147,6 +147,26 @@ class CurationApiSpec extends AnyFunSuite {
       "batch (5,4) rejects nothing at this SF — weak fixture")
   }
 
+  test("split tags equal the oracle-checked c3 assignment and never straddle components") {
+    val ledger = result.ledger.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component"), r.getAs[String]("split"))).toMap
+    val c3 = graft.operators.CurationOps.queries("c3_leakage_safe_split")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(ledger.nonEmpty && ledger.keySet === c3.keySet)
+    ledger.foreach { case (id, (_, split)) =>
+      assert(split === c3(id), s"split drift for doc $id")
+    }
+    // leakage safety: a component is entirely inside one split
+    ledger.values.groupBy(_._1).foreach { case (comp, members) =>
+      assert(members.map(_._2).toSet.size === 1, s"component $comp straddles splits")
+    }
+    // custom pcts move the boundaries through the same shared hash
+    val wide = Curation.run(spark, sf, Curation.Config(splitPcts = (50, 25)))
+    val tags = wide.ledger.select("split").collect().map(_.getString(0)).toSet
+    assert(tags.contains("test") && tags.contains("train"))
+  }
+
   test("redact knob scrubs snapshot text through the t16 patterns") {
     val redacted = Curation.run(spark, sf, Curation.Config(redact = true))
     val plain = result.snapshot.select("doc_id", "text").collect()

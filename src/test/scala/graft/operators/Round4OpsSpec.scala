@@ -114,7 +114,7 @@ class Round4OpsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val (n, hi, lo) =
         (r.getAs[Long]("n"), r.getAs[Long]("n_hi"), r.getAs[Long]("n_lo"))
-      assert(r.getAs[Double]("std_r") > 0.0)
+      assert(r.getAs[Long]("std_fp") > 0L)
       // a |z|>2 gate can flag at most 25% of any distribution (Chebyshev)
       assert(hi + lo <= n / 4)
     }
@@ -139,7 +139,7 @@ class Round4OpsSpec extends AnyFunSuite {
   test("c2 keeps exactly one canonical per component — the best-quality member") {
     val rows = CurationOps.queries("c2_canonical_keep")(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"),
-        r.getAs[Double]("quality_r"), r.getAs[Boolean]("canonical")))
+        r.getAs[Long]("quality_fp"), r.getAs[Boolean]("canonical")))
     assert(rows.nonEmpty)
     val byComp = rows.groupBy(_._2)
     byComp.foreach { case (comp, members) =>

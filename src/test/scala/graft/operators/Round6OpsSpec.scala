@@ -36,7 +36,7 @@ class Round6OpsSpec extends AnyFunSuite {
     val got = TextOps.queries("t18_bm25")(spark, sf)
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getDouble(5)))
+        r.getLong(5)))
     // replicate Spark's SPACE-only trim (String.trim also strips tabs/CR/LF,
     // which Spark's trim keeps — a doc with leading non-space whitespace
     // would otherwise give this re-derivation a different dl)
@@ -62,7 +62,7 @@ class Round6OpsSpec extends AnyFunSuite {
         (term, id, tf, dl, score)
       }.sortBy(h => (-h._5, h._2)).take(5).zipWithIndex
         .map { case (h, i) => (h._1, i + 1, h._2, h._3, h._4,
-          BigDecimal(h._5).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+          math.floor(h._5 * 1000000).toLong) }
     }
     assert(got.toSeq === expected)
   }

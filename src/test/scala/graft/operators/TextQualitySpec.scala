@@ -20,7 +20,7 @@ class TextQualitySpec extends AnyFunSuite {
   test("t8 repetition signals match a from-scratch re-derivation") {
     val got = TextOps.queries("t8_gopher_repetition")(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
-        (r.getAs[Int]("n_tokens"), r.getAs[Double]("dup_word_frac_r"),
+        (r.getAs[Int]("n_tokens"), r.getAs[Long]("dup_word_frac_fp"),
           r.getAs[String]("top_bigram"), r.getAs[Long]("top_bigram_n"))).toMap
     assert(got.size == docs.count(_._2.trim.split("\\s+").length >= 2))
     for ((id, text) <- docs.take(50)) {
@@ -32,7 +32,7 @@ class TextQualitySpec extends AnyFunSuite {
         val (nTok, dupR, gBg, gN) = got(id)
         assert(nTok == toks.length, s"doc $id token count")
         val expDup = (toks.length - toks.distinct.length).toDouble / toks.length
-        assert(math.abs(dupR - expDup) < 1e-6, s"doc $id dup_word_frac")
+        assert(dupR == math.floor(expDup * 1000000).toLong, s"doc $id dup_word_frac")
         assert(gBg == topBg && gN == topN.toLong, s"doc $id top bigram")
       }
     }
@@ -44,7 +44,7 @@ class TextQualitySpec extends AnyFunSuite {
     val n = docs.size.toDouble
     val got = TextOps.queries("t9_tfidf")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rk")) ->
-        (r.getAs[String]("tok"), r.getAs[Double]("tfidf_r")))
+        (r.getAs[String]("tok"), r.getAs[Long]("tfidf_fp")))
       .toMap
     assert(got.size == docs.size * 3)
     for ((id, toks) <- tokenized.take(30)) {
@@ -54,7 +54,8 @@ class TextQualitySpec extends AnyFunSuite {
       scored.zipWithIndex.foreach { case ((tok, sc), i) =>
         val (gTok, gSc) = got((id, i + 1))
         assert(gTok == tok, s"doc $id rank ${i + 1} term")
-        assert(math.abs(gSc - sc) < 1e-5, s"doc $id rank ${i + 1} score")
+        assert(math.abs(gSc - math.floor(sc * 1000000).toLong) <= 1,
+          s"doc $id rank ${i + 1} score")
       }
     }
   }
