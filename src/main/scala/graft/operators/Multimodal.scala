@@ -284,15 +284,135 @@ object Multimodal {
       |    i -> (i % 997 + 1) * px[CAST(i AS INTEGER) + 1])) AS BIGINT) AS possum
       |FROM s ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // m5 — the audio twin of m4: each doc's text bytes become deterministic
+  // 16-bit-normalized PCM samples ((b-128)*256, cyclic), ENCODED into a real
+  // RIFF/WAVE file ([[graft.ingest.AudioCodec]]: 8-bit unsigned or 16-bit
+  // signed LE, mono or stereo, a skippable LIST chunk before data so
+  // non-chunk-walking decoders break loudly), then DECODED in a separate
+  // mapPartitions stage and reduced to integer-exact features. sample_rate/
+  // channels/bits come FROM the decoded header (hash-checking the fmt-chunk
+  // parse), `possum` position-weights every sample (hash-checking sample
+  // order + width normalization), `n_zero_cross` checks signedness handling.
+  // The (b-128)*256 normalization is exactly the u8→s16 widening, so the
+  // 8-bit storage path round-trips losslessly. AudioCodecSpec pins golden
+  // byte layouts so encoder/decoder can't share a bug.
+  // (b*7 + i*13) mod 256 mixes position into the byte so the derived stream
+  // crosses zero (raw ASCII is always < 128 ⇒ all-negative samples would
+  // leave n_zero_cross degenerately 0 and the signedness check dead)
+  private[operators] def samplesFor(text: Array[Byte], n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val m = ((text(i % text.length) & 0xff) * 7 + i * 13) % 256
+      out(i) = (m - 128) * 256
+      i += 1
+    }
+    out
+  }
+
+  /** (media_id, media) with real encoded WAV bytes. */
+  def encodedAudioTable(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType)))
+    val src = Tables.documents(s, d)
+      // same ASCII-only drift guard as m4 (bytes here, codepoints in the oracle)
+      .where(length(col("text")) >= 1 && octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), col("text"))
+    val rdd = src.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1).getBytes("UTF-8")
+        val frames = (200 + id % 300).toInt
+        val ch = (1 + id % 2).toInt
+        val bits = if (id % 4 < 2) 8 else 16
+        val rate = (8000 + (id % 5) * 4000).toInt
+        val samples = samplesFor(text, frames * ch)
+        Row(id, graft.ingest.AudioCodec.encodeWav(rate, ch, bits, samples))
+      }
+    }
+    s.createDataFrame(rdd, schema)
+  }
+
+  /** Decode + feature stage over the opaque WAV column. */
+  def decodedAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("sum_s", LongType),
+      StructField("min_s", IntegerType),
+      StructField("max_s", IntegerType),
+      StructField("n_zero_cross", LongType),
+      StructField("possum", LongType)))
+    val rdd = media.select("media_id", "media").rdd.mapPartitions { it =>
+      it.map { r =>
+        val dec = graft.ingest.AudioCodec.decodeWav(r.getAs[Array[Byte]](1))
+        val sm = dec.samples
+        var sum = 0L; var possum = 0L; var zc = 0L
+        var mn = Int.MaxValue; var mx = Int.MinValue
+        var i = 0
+        while (i < sm.length) {
+          val v = sm(i)
+          sum += v; possum += (i % 997 + 1).toLong * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          if (i >= 1 && ((v >= 0) != (sm(i - 1) >= 0))) zc += 1
+          i += 1
+        }
+        Row(r.getLong(0), dec.sampleRate, dec.channels, dec.bitsPerSample,
+          sm.length.toLong, sum, mn, mx, zc, possum)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  private def m5DecodedAudio(s: SparkSession, d: String): DataFrame =
+    decodedAudioFeatures(encodedAudioTable(s, d)).orderBy("media_id")
+
+  private val m5Sql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    200 + doc_id % 300 AS frames, 1 + doc_id % 2 AS ch,
+      |    CASE WHEN doc_id % 4 < 2 THEN 8 ELSE 16 END AS bits,
+      |    8000 + (doc_id % 5) * 4000 AS sample_rate,
+      |    length(text) AS len,
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> ord(substr(text, i, 1))) AS bs
+      |  FROM documents WHERE length(text) >= 1 AND strlen(text) = length(text)
+      |), s AS (
+      |  SELECT media_id, sample_rate, ch, bits, frames * ch AS n,
+      |    list_transform(range(0, frames * ch),
+      |      i -> ((bs[CAST(i % len AS INTEGER) + 1] * 7 + i * 13) % 256 - 128) * 256) AS sm
+      |  FROM m
+      |)
+      |SELECT media_id, CAST(sample_rate AS INTEGER) AS sample_rate,
+      |  CAST(ch AS INTEGER) AS channels, CAST(bits AS INTEGER) AS bits,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(list_sum(sm) AS BIGINT) AS sum_s,
+      |  CAST(list_min(sm) AS INTEGER) AS min_s,
+      |  CAST(list_max(sm) AS INTEGER) AS max_s,
+      |  CAST(list_sum(list_transform(range(1, CAST(n AS INTEGER)),
+      |    i -> CASE WHEN (sm[i + 1] >= 0) != (sm[i] >= 0) THEN 1 ELSE 0 END)) AS BIGINT) AS n_zero_cross,
+      |  CAST(list_sum(list_transform(range(0, CAST(n AS INTEGER)),
+      |    i -> (i % 997 + 1) * sm[CAST(i AS INTEGER) + 1])) AS BIGINT) AS possum
+      |FROM s ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta"  -> m1BinaryMeta _,
     "m2_frame_sample" -> m2FrameSample _,
     "m3_features"     -> m3Features _,
-    "m4_decoded_features" -> m4DecodedFeatures _)
+    "m4_decoded_features" -> m4DecodedFeatures _,
+    "m5_decoded_audio" -> m5DecodedAudio _)
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta"  -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "m3_features"     -> m3Sql,
-    "m4_decoded_features" -> m4Sql)
+    "m4_decoded_features" -> m4Sql,
+    "m5_decoded_audio" -> m5Sql)
 }

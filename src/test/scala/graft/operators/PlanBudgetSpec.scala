@@ -79,6 +79,7 @@ class PlanBudgetSpec extends AnyFunSuite {
       "m2_frame_sample" -> Budget(1, 0),
       "m3_features" -> Budget(1, 0),
       "m4_decoded_features" -> Budget(1, 0),
+      "m5_decoded_audio" -> Budget(1, 0),
       "n1_pagerank" -> Budget(0, 0),
       "n2_weighted_pagerank" -> Budget(0, 0),
       "o3_topk" -> Budget(0, 0),
