@@ -890,9 +890,195 @@ object TextOps {
        |ORDER BY term, rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // t19 — distributed BPE merge-rule training (Sennrich et al. 2016,
+  // arXiv:1508.07909): learn the first K byte-pair merges from the corpus.
+  // The 100-TB-shaped design: ONE corpus pass builds the word-frequency
+  // table (Heaps'-law-bounded vocab — this is the only stage whose input
+  // scales with the corpus; it's how production tokenizer trainers work),
+  // then every merge round operates on the vocab-sized table only: count
+  // adjacent symbol pairs weighted by word freq (one map-side-combinable
+  // shuffle), pick the global argmax (TakeOrderedAndProject), rewrite the
+  // symbol sequences with a broadcast of that ONE row.
+  //
+  // Symbol sequences are U+001F-joined strings, and a merge is a literal
+  // string replace of "l<SEP>r" with "lr": both Spark's StringReplace and
+  // DuckDB's replace() substitute non-overlapping occurrences LEFT TO RIGHT,
+  // which is exactly BPE's greedy within-word merge order ("a a a" under
+  // pair (a,a) -> ["aa","a"]), and a merged symbol can never re-match as
+  // the left side in the same round (l+r == l would need r empty). The
+  // separator cannot occur inside a symbol: symbols start as single
+  // non-whitespace chars and merging only ever REMOVES separators.
+  //
+  // The merge loop itself is GATED on the observed vocab size (the same
+  // data-derived-gate idiom as PageRank's broadcast-vs-shuffle rank join):
+  //
+  //  - vocab <= [[bpeDriverFloorVocab]] (default 1M rows — tens of MB):
+  //    collect the word-frequency table and run the merge loop on the
+  //    driver. This is how production tokenizer trainers work (the corpus
+  //    pass is distributed, training is in-memory because vocab << corpus),
+  //    and it avoids paying two scheduling floors per round for KB-sized
+  //    stages (measured at sf0.1 cpus=32: 2.37 s distributed vs ~0.4 s
+  //    collected, identical output).
+  //  - above the floor: distributed rounds — pairs agg + argmax + broadcast
+  //    rewrite, each round localCheckpoint'ed (e1's Lloyd-loop precedent:
+  //    without truncation round k's plan re-derives round k-1 twice,
+  //    doubling the tree per round). Zero-pair rounds (vocab fully merged)
+  //    degrade gracefully: the argmax frame is empty, the left-join rewrite
+  //    no-ops, and the round emits no rule.
+  //
+  // Gate parity is pinned by Round8OpsSpec: both modes produce the identical
+  // merge table on the same corpus (the floor property forces the
+  // distributed path on a small fixture).
+  private val BpeMerges = 10
+  private val BpeSep = "\u001f"
+  private[graft] def bpeDriverFloorVocab: Long =
+    sys.props.get("graft.bpe.driverFloorVocab").map(_.toLong).getOrElse(1000000L)
+
+  /** Driver-side greedy merge loop over the collected vocab — bit-identical
+    * to the distributed rounds (same freq weighting, same (count DESC, l, r)
+    * tie-break, same left-to-right non-overlapping within-word merge).
+    */
+  private def bpeDriverMerges(vocab0: Array[(Array[String], Long)])
+      : Seq[(Int, String, String, Long)] = {
+    var vocab = vocab0
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (k <- 1 to BpeMerges) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), f, _ + _)
+          i += 1
+        }
+      }
+      if (!counts.isEmpty) {
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, c) =>
+          if (best == null || c > best._2 ||
+            (c == best._2 && Ordering[(String, String)].lt(p, best._1))) best = (p, c)
+        }
+        val ((l, r), cnt) = best
+        out += ((k, l, r, cnt))
+        vocab = vocab.map { case (syms, f) =>
+          if (syms.length < 2) (syms, f)
+          else {
+            val b = Array.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                b += l + r; i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            (b.result(), f)
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def t19BpeTrain(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.getOrElseUpdate("bpe.merges", s, d) {
+      val freq = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .where(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      // chars -> SEP-joined symbols; drop the trailing separator the regex
+      // appends (result length is exactly 2*len(word)-1)
+      var words = freq.select(
+        expr(s"substring(regexp_replace(word, '(.)', '$$1$BpeSep'), 1, 2 * length(word) - 1)")
+          .as("seq"),
+        col("freq"))
+        .localCheckpoint()
+      val nVocab = words.count()
+      if (nVocab <= bpeDriverFloorVocab) {
+        val vocab0 = words.collect().map { r =>
+          (r.getString(0).split(BpeSep, -1), r.getLong(1))
+        }
+        import s.implicits._
+        bpeDriverMerges(vocab0)
+          .toDF("merge_idx", "lhs", "rhs", "pair_n")
+          .select(col("merge_idx"), col("lhs"), col("rhs"),
+            concat(col("lhs"), col("rhs")).as("merged"), col("pair_n"))
+          .orderBy("merge_idx")
+          .cache()
+      } else {
+        val rounds = (1 to BpeMerges).map { k =>
+          val pairs = words
+            .where(instr(col("seq"), BpeSep) > 0) // >= 2 symbols
+            .select(col("freq"), split(col("seq"), BpeSep).as("a"))
+            .select(col("freq"), explode(
+              expr("transform(sequence(0, size(a) - 2), i -> struct(a[i] AS l, a[i + 1] AS r))"))
+              .as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("freq")).as("pair_n"))
+          // only `words` checkpoints: best_k is a depth-1 plan off the
+          // checkpointed words_{k-1}, so the per-round tree stays flat and
+          // each round is ONE eager vocab-sized job (the join inside it
+          // materializes best_k as its broadcast side)
+          val best = pairs
+            .orderBy(col("pair_n").desc, col("l"), col("r")).limit(1)
+            .select(lit(k).as("merge_idx"), col("l"), col("r"), col("pair_n"))
+          words = words.join(broadcast(best), lit(true), "left")
+            .select(
+              when(col("l").isNotNull,
+                expr(s"replace(seq, concat(l, '$BpeSep', r), concat(l, r))"))
+                .otherwise(col("seq")).as("seq"),
+              col("freq"))
+            .localCheckpoint()
+          best
+        }
+        rounds.reduce(_ unionAll _)
+          .where(col("l").isNotNull)
+          .select(col("merge_idx"), col("l").as("lhs"), col("r").as("rhs"),
+            concat(col("l"), col("r")).as("merged"), col("pair_n"))
+          .orderBy("merge_idx")
+          .cache()
+      }
+    }
+
+  private val t19Sql: String = {
+    val sep = "chr(31)"
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes += s"""words0 AS MATERIALIZED (
+       |  SELECT substr(regexp_replace(word, '(.)', '\\1' || $sep, 'g'),
+       |           1, 2 * length(word) - 1) AS seq, freq
+       |  FROM (SELECT tok AS word, count(*) AS freq
+       |        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |              FROM documents)
+       |        WHERE tok != '' GROUP BY tok)
+       |)""".stripMargin
+    for (k <- 1 to BpeMerges) {
+      ctes += s"""p$k AS MATERIALIZED (
+         |  SELECT a[i] AS l, a[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS pair_n
+         |  FROM (SELECT freq, a, unnest(range(1, len(a))) AS i
+         |        FROM (SELECT freq, string_split(seq, $sep) AS a
+         |              FROM words${k - 1} WHERE contains(seq, $sep)))
+         |  GROUP BY a[i], a[i + 1]
+         |)""".stripMargin
+      ctes += s"""b$k AS MATERIALIZED (
+         |  SELECT $k AS merge_idx, l, r, pair_n FROM p$k
+         |  ORDER BY pair_n DESC, l, r LIMIT 1
+         |)""".stripMargin
+      ctes += s"""words$k AS MATERIALIZED (
+         |  SELECT CASE WHEN b.l IS NULL THEN w.seq
+         |              ELSE replace(w.seq, b.l || $sep || b.r, b.l || b.r) END AS seq,
+         |         w.freq
+         |  FROM words${k - 1} w LEFT JOIN b$k b ON TRUE
+         |)""".stripMargin
+    }
+    val union = (1 to BpeMerges).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT merge_idx, l AS lhs, r AS rhs, l || r AS merged, pair_n
+       |FROM ($union)
+       |ORDER BY merge_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t17_source_cap"   -> t17SourceCap _,
     "t18_bm25"         -> t18Bm25 _,
+    "t19_bpe_train"    -> t19BpeTrain _,
     "t16_pii_redact"   -> t16PiiRedact _,
     "t15_domain_mix"   -> t15DomainMix _,
     "t10_feature_hash" -> t10FeatureHash _,
@@ -913,6 +1099,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "t17_source_cap"   -> t17Sql,
     "t18_bm25"         -> t18Sql,
+    "t19_bpe_train"    -> t19Sql,
     "t16_pii_redact"   -> t16Sql,
     "t15_domain_mix"   -> t15Sql,
     "t10_feature_hash" -> t10Sql,

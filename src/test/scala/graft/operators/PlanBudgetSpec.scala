@@ -123,6 +123,7 @@ class PlanBudgetSpec extends AnyFunSuite {
       "t16_pii_redact" -> Budget(1, 0),
       "t17_source_cap" -> Budget(3, 0),
       "t18_bm25" -> Budget(7, 1),
+      "t19_bpe_train" -> Budget(0, 0),
       "t1_text_stats" -> Budget(1, 0),
       "t2_lang_id" -> Budget(1, 0),
       "t3_fingerprint" -> Budget(1, 0),
