@@ -176,13 +176,129 @@ object CurationOps {
        |      FROM comp)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // c4 — TRAINED quality classifier: a batch perceptron learning t5's
+  // quality gate from integer document features. This adds SUPERVISED model
+  // training to the engine's fit-once surface (kmeans = unsupervised, BPE =
+  // tokenizer; this is the learned-quality-filter shape of production
+  // curation stacks, cf. fastText-based filters).
+  //
+  // All-INTEGER arithmetic by construction — the one design that makes a
+  // trained model hash-comparable across engines: features are counts
+  // (tokens / stopwords / long tokens / chars div 100), weights start at 0,
+  // and the batch update w += Σ_misclassified y·x never leaves ℤ. No
+  // sigmoid/exp anywhere (libm implementations differ across engines by
+  // ULPs that compound over gradient rounds — the reason this is a
+  // perceptron and not logistic regression). Magnitudes: |w| grows ≤
+  // rounds · Σ|x| ≈ 4·(1e9 docs · 500) ≈ 5e11 at 100-TB corpus scale, and
+  // margins ≤ |w|·|x|·5 ≈ 1e15 — inside BIGINT with headroom.
+  //
+  // Scale shape: the feature projection is ONE codegen pass over documents,
+  // cached; each training round is ONE map-side-combinable aggregate over
+  // it with the 5 current weights inlined as literals (weights live on the
+  // driver like kmeans centroid rows — 5 scalars, not data). Output: one
+  // row per round with the post-update weights and the pre-update
+  // misclassification count (round 1 misclassifies everything: w=0 makes
+  // every margin 0 and ties count as misses — the standard convention).
+  private val PerceptronRounds = 4
+
+  private def c4Features(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")).cast(DoubleType))
+      .withColumn("punct_ratio",
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast(DoubleType)
+          / length(col("text")))
+      .withColumn("stop_hits",
+        size(expr("filter(toks, t -> t IN ('the','a','of','and','to','in'))")).cast(DoubleType))
+      .withColumn("quality",
+        least(col("n_tokens") / 100, lit(1.0)) * 0.4 +
+          (lit(1.0) - col("punct_ratio")) * 0.3 +
+          least(col("stop_hits") / 10, lit(1.0)) * 0.3)
+      .select(
+        when(col("quality") >= 0.5, 1L).otherwise(-1L).as("y"),
+        lit(1L).as("x0"),
+        size(col("toks")).cast(LongType).as("x1"),
+        col("stop_hits").cast(LongType).as("x2"),
+        size(expr("filter(toks, t -> length(t) >= 6)")).cast(LongType).as("x3"),
+        expr("length(text) div 100").cast(LongType).as("x4"))
+
+  private def c4TrainPerceptron(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.getOrElseUpdate("perceptron.weights", s, d) {
+      val feats = c4Features(s, d).cache()
+      var w = Array.fill(5)(0L)
+      val rows = (1 to PerceptronRounds).map { k =>
+        val margin = (0 until 5).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+        val mis = col("y") * margin <= 0
+        val agg = feats.agg(
+          sum(when(mis, col("y") * col("x0")).otherwise(0L)).as("g0"),
+          sum(when(mis, col("y") * col("x1")).otherwise(0L)).as("g1"),
+          sum(when(mis, col("y") * col("x2")).otherwise(0L)).as("g2"),
+          sum(when(mis, col("y") * col("x3")).otherwise(0L)).as("g3"),
+          sum(when(mis, col("y") * col("x4")).otherwise(0L)).as("g4"),
+          count(when(mis, 1)).as("n_mis")).first()
+        w = Array.tabulate(5)(j => w(j) + agg.getLong(j))
+        (k, w(0), w(1), w(2), w(3), w(4), agg.getLong(5))
+      }
+      feats.unpersist()
+      import s.implicits._
+      rows.toDF("round", "w_bias", "w_tok", "w_stop", "w_long", "w_chars", "n_mis")
+        .orderBy("round")
+        .cache()
+    }
+
+  private val c4Sql: String = {
+    val featCte =
+      """f AS MATERIALIZED (
+        |  SELECT CASE WHEN quality >= 0.5 THEN 1 ELSE -1 END AS y,
+        |    1 AS x0, CAST(len(toks) AS BIGINT) AS x1,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS x2,
+        |    CAST(len(list_filter(toks, t -> length(t) >= 6)) AS BIGINT) AS x3,
+        |    length(text) // 100 AS x4
+        |  FROM (SELECT text, toks,
+        |          least(CAST(len(toks) AS DOUBLE) / 100, 1.0) * 0.4 +
+        |          (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 +
+        |          least(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) / 10, 1.0) * 0.3
+        |            AS quality
+        |        FROM (SELECT text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents))
+        |)""".stripMargin
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes += featCte
+    ctes += """r0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+      |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4)""".stripMargin
+    for (k <- 1 to PerceptronRounds) {
+      val p = k - 1
+      ctes += s"""r$k AS MATERIALIZED (
+         |  SELECT
+         |    w.w0 + CAST(sum(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4) <= 0 THEN y * x0 ELSE 0 END) AS BIGINT) AS w0,
+         |    w.w1 + CAST(sum(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4) <= 0 THEN y * x1 ELSE 0 END) AS BIGINT) AS w1,
+         |    w.w2 + CAST(sum(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4) <= 0 THEN y * x2 ELSE 0 END) AS BIGINT) AS w2,
+         |    w.w3 + CAST(sum(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4) <= 0 THEN y * x3 ELSE 0 END) AS BIGINT) AS w3,
+         |    w.w4 + CAST(sum(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4) <= 0 THEN y * x4 ELSE 0 END) AS BIGINT) AS w4,
+         |    count(*) FILTER (WHERE y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4) <= 0) AS n_mis
+         |  FROM f, r$p w
+         |  GROUP BY w.w0, w.w1, w.w2, w.w3, w.w4
+         |)""".stripMargin
+    }
+    val union = (1 to PerceptronRounds)
+      .map(k => s"SELECT $k AS round, w0, w1, w2, w3, w4, n_mis FROM r$k")
+      .mkString(" UNION ALL ")
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT round, w0 AS w_bias, w1 AS w_tok, w2 AS w_stop, w3 AS w_long,
+       |  w4 AS w_chars, CAST(n_mis AS BIGINT) AS n_mis
+       |FROM ($union)
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curation_pipeline" -> c1Curate _,
     "c2_canonical_keep"    -> c2CanonicalKeep _,
-    "c3_leakage_safe_split" -> c3LeakageSafeSplit _)
+    "c3_leakage_safe_split" -> c3LeakageSafeSplit _,
+    "c4_train_perceptron"  -> c4TrainPerceptron _)
 
   val oracles: Map[String, String] = Map(
     "c1_curation_pipeline" -> c1Sql,
     "c2_canonical_keep"    -> c2Sql,
-    "c3_leakage_safe_split" -> c3Sql)
+    "c3_leakage_safe_split" -> c3Sql,
+    "c4_train_perceptron"  -> c4Sql)
 }

@@ -46,6 +46,7 @@ class PlanBudgetSpec extends AnyFunSuite {
       "c1_curation_pipeline" -> Budget(4, 0),
       "c2_canonical_keep" -> Budget(1, 0),
       "c3_leakage_safe_split" -> Budget(1, 0),
+      "c4_train_perceptron" -> Budget(0, 0),
       "d10_decontaminate" -> Budget(4, 0),
       "d11_dup_spans" -> Budget(4, 0),
       "d12_incremental" -> Budget(4, 0),

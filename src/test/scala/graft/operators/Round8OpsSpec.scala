@@ -73,6 +73,41 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(merges === expect.result())
   }
 
+  test("c4 perceptron re-derives from a driver-side reference implementation") {
+    ArtifactCache.invalidate(spark, sf)
+    val got = CurationOps.queries("c4_train_perceptron")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSeq
+    // independent features: same tokenization/quality as the oracled t5
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    val feats = graft.Tables.documents(spark, sf).select("text").collect().map { r =>
+      val t = r.getString(0)
+      val toks = t.replaceAll("^ +| +$", "").split("\\s+", -1)
+      val nt = toks.length
+      val st = toks.count(stop)
+      val lg = toks.count(_.length >= 6)
+      val punct = t.replaceAll("[a-z0-9 ]", "").length.toDouble / t.length
+      val q = math.min(nt / 100.0, 1.0) * 0.4 + (1.0 - punct) * 0.3 +
+        math.min(st / 10.0, 1.0) * 0.3
+      val y = if (q >= 0.5) 1L else -1L
+      (y, Array(1L, nt.toLong, st.toLong, lg.toLong, (t.length / 100).toLong))
+    }
+    var w = Array.fill(5)(0L)
+    val expect = (1 to 4).map { k =>
+      val g = Array.fill(5)(0L); var nm = 0L
+      feats.foreach { case (y, x) =>
+        val m = (0 until 5).map(j => w(j) * x(j)).sum
+        if (y * m <= 0) { nm += 1; (0 until 5).foreach(j => g(j) += y * x(j)) }
+      }
+      w = Array.tabulate(5)(j => w(j) + g(j))
+      (k, w(0), w(1), w(2), w(3), w(4), nm)
+    }
+    assert(got === expect)
+    // round 1 misclassifies everything (w = 0 makes every margin a tie)
+    assert(got.head._7 == feats.length)
+  }
+
   test("t19 merge rules chain: later rules may consume earlier merged symbols") {
     val merges = runT19()
     val symbolsSoFar = scala.collection.mutable.Set[String]()
