@@ -913,7 +913,10 @@ object TextOps {
   // The merge loop itself is GATED on the observed vocab size (the same
   // data-derived-gate idiom as PageRank's broadcast-vs-shuffle rank join):
   //
-  //  - vocab <= [[bpeDriverFloorVocab]] (default 1M rows — tens of MB):
+  //  - vocab <= [[bpeDriverFloorVocab]] (default 8M rows — ~200 MB
+  //    collected; `ScaleProbe bpe 2000000` measured the driver loop still
+  //    2x FASTER than the distributed rounds at a 2M-word vocab, so the
+  //    floor is a driver-memory bound, not a speed crossover):
   //    collect the word-frequency table and run the merge loop on the
   //    driver. This is how production tokenizer trainers work (the corpus
   //    pass is distributed, training is in-memory because vocab << corpus),
@@ -933,7 +936,7 @@ object TextOps {
   private val BpeMerges = 10
   private val BpeSep = "\u001f"
   private[graft] def bpeDriverFloorVocab: Long =
-    sys.props.get("graft.bpe.driverFloorVocab").map(_.toLong).getOrElse(1000000L)
+    sys.props.get("graft.bpe.driverFloorVocab").map(_.toLong).getOrElse(8000000L)
 
   /** Driver-side greedy merge loop over the collected vocab — bit-identical
     * to the distributed rounds (same freq weighting, same (count DESC, l, r)

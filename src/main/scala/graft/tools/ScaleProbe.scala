@@ -42,6 +42,8 @@ object ScaleProbe {
       runSkew(if (args.length > 1) args(1).toInt else 6000000)
     else if (args.headOption.contains("spans"))
       runSpans(if (args.length > 1) args(1).toInt else 200000)
+    else if (args.headOption.contains("bpe"))
+      runBpe(if (args.length > 1) args(1).toInt else 2000000)
     else
       runJoinKernel(
         if (args.nonEmpty) args(0).toInt else 10000,
@@ -394,6 +396,59 @@ object ScaleProbe {
       }
     println(f"""{"probe":"span_whale","n_docs":$nDocs,"whale_occurrences":${nDocs / 2},"sec":$sec%.1f,"heavy_stage_task_ms_median":$dMed,"heavy_stage_task_ms_max":$dMax,"invariants_ok":$ok}""")
     require(ok, "d11 whale-probe invariants failed")
+    spark.stop()
+  }
+
+  // ---------------------------------------------------------------------------
+  // Mode 7 — BPE TRAINING ABOVE THE DRIVER FLOOR: synthesizes a corpus whose
+  // VOCABULARY (not row count) is the scale axis — ~nWords distinct
+  // pseudo-random 3-8 letter words, 16 per document — so t19's merge loop
+  // crosses graft.bpe.driverFloorVocab and exercises the DISTRIBUTED rounds
+  // at their design point (the sf corpora top out at a 31-word vocab, where
+  // the driver path always wins). Reports both modes' wall time and requires
+  // bit-identical merge tables — the same both-modes evidence contract as
+  // the graph probe's broadcast/shuffle gate parity.
+  private def runBpe(nWords: Int): Unit = {
+    val spark = session()
+    val dir = s"/tmp/graft_scaleprobe_bpe_$nWords"
+    val marker = Paths.get(dir, "_done")
+    if (!Files.exists(marker)) {
+      val az = ('a' to 'z').map(c => s"'$c'").mkString("array(", ", ", ")")
+      spark.range(nWords.toLong / 16).select(col("id").as("doc_id"),
+          expr(s"""array_join(transform(sequence(0, 15), k ->
+            | array_join(transform(sequence(1, 3 + CAST(pmod(xxhash64(id * 16 + k), 6) AS INT)),
+            |   i -> element_at($az, 1 + CAST(pmod(xxhash64(id * 16 + k, i), 26) AS INT))), '')), ' ')""".stripMargin)
+            .as("text"),
+          lit("en").as("lang"), lit("synth").as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(16)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Files.createFile(marker)
+    }
+    def ranks(): (Seq[(Int, String, String, String, Long)], Double) = {
+      val t0 = System.nanoTime()
+      val out = graft.SparkEntry.queries("t19_bpe_train")(spark, dir)
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      (out, (System.nanoTime() - t0) / 1e9)
+    }
+    val floorKey = "graft.bpe.driverFloorVocab"
+    val prev = sys.props.get(floorKey)
+    // distributed first (default floor 1M < nWords), then forced driver mode
+    graft.operators.ArtifactCache.invalidate(spark, dir)
+    val (dist, distSec) = ranks()
+    sys.props(floorKey) = Long.MaxValue.toString
+    graft.operators.ArtifactCache.invalidate(spark, dir)
+    val (drv, drvSec) = ranks()
+    prev match {
+      case Some(v) => sys.props(floorKey) = v
+      case None => sys.props.remove(floorKey)
+    }
+    graft.operators.ArtifactCache.invalidate(spark, dir)
+    val parity = dist == drv
+    println(s"[bpe-probe] merges=${dist.map(m => m._4 + ":" + m._5).mkString(",")}")
+    println(f"""{"probe":"bpe_scale","n_words":$nWords,"parity":$parity,"distributed_sec":$distSec%.1f,"driver_sec":$drvSec%.1f}""")
+    require(parity, "bpe gate parity failed at probe scale")
     spark.stop()
   }
 
