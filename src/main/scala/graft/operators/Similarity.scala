@@ -1112,7 +1112,61 @@ object Similarity {
        |ORDER BY method, qid""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // d13 — SEMANTIC decontamination: flag training vectors whose embedding is
+  // near (cos >= tau) any held-out eval embedding. The n-gram check (d10)
+  // misses paraphrased contamination — identical meaning, different tokens —
+  // which is exactly what the embedding side catches; together they are the
+  // two-detector decontamination a published-benchmark pipeline runs.
+  //
+  // Same shape discipline as d10: the eval set is TINY and fixed (benchmarks
+  // are), so its keyed rows broadcast to the corpus-sized train side and the
+  // corpus shuffles once on (table, key) through the SHARED s2 LSH tables —
+  // never all-pairs, never corpus x eval. The exact cosine re-check runs
+  // only on LSH candidates; tau = the corpus-calibrated 0.38 near-dup edge
+  // (d6/d8's threshold — the same Spark graft_dot/(na*nb) vs DuckDB
+  // list_cosine_similarity pairing those queries hash-match at every SF).
+  private val DecontamTau = 0.38
+
+  private def d13EmbedDecontaminate(s: SparkSession, d: String): DataFrame =
+    withSmallBuild(s, d) {
+      val e = vecsD(s, d).cache()
+      val keyed = lshKeys(e)
+      val isEval = col("vec_id") % 50 === 0
+      val evalK = keyed.where(isEval)
+        .select(col("vec_id").as("eid"), col("tbl"), col("key"))
+      val trainK = keyed.where(!isEval)
+        .select(col("vec_id").as("tid"), col("tbl"), col("key"))
+      val cand = trainK.join(broadcast(evalK), Seq("tbl", "key"))
+        .select("tid", "eid").distinct()
+      val evv = e.where(isEval)
+        .select(col("vec_id").as("eid"), col("v").as("ad"), col("nrm").as("na"))
+      val tv = e.select(col("vec_id").as("tid"), col("v").as("bd"), col("nrm").as("nb"))
+      cand.join(broadcast(evv), "eid").join(tv, "tid")
+        .withColumn("cos", cosCol)
+        .where(col("cos") >= DecontamTau)
+        .groupBy(col("tid").as("vec_id"))
+        .agg(count(lit(1)).as("n_eval_hits"),
+          round(max(col("cos")), 6).as("best_cos_r"))
+        .orderBy("vec_id")
+    }
+
+  private val d13Sql =
+    s"""WITH $lshKeysSqlCtes,
+       |cand AS (
+       |  SELECT DISTINCT c.vec_id AS tid, q.vec_id AS eid
+       |  FROM keyed c JOIN keyed q ON c.tbl = q.tbl AND c.key = q.key
+       |  WHERE q.vec_id % 50 = 0 AND c.vec_id % 50 <> 0
+       |)
+       |SELECT tid AS vec_id, count(*) AS n_eval_hits,
+       |  round(max(list_cosine_similarity(t.v, q.v)), 6) AS best_cos_r
+       |FROM cand JOIN ev t ON t.vec_id = cand.tid JOIN ev q ON q.vec_id = cand.eid
+       |WHERE list_cosine_similarity(t.v, q.v) >= $DecontamTau
+       |GROUP BY tid
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_embed_decontaminate" -> d13EmbedDecontaminate _,
     "s1_cosine_topk" -> s1CosineTopK _,
     "s6_mmr_rerank"  -> s6MmrRerank _,
     "s7_ivfpq_ann"   -> s7IvfPq _,
@@ -1125,6 +1179,7 @@ object Similarity {
     "e2_semdedup"    -> e2SemDedup _)
 
   val oracles: Map[String, String] = Map(
+    "d13_embed_decontaminate" -> d13Sql,
     "s1_cosine_topk" -> s1Sql,
     "s6_mmr_rerank"  -> s6Sql,
     "s7_ivfpq_ann"   -> s7Sql,

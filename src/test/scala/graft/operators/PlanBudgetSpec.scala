@@ -50,6 +50,7 @@ class PlanBudgetSpec extends AnyFunSuite {
       "d10_decontaminate" -> Budget(4, 0),
       "d11_dup_spans" -> Budget(4, 0),
       "d12_incremental" -> Budget(4, 0),
+      "d13_embed_decontaminate" -> Budget(9, 4),
       "d1_exact_dedup" -> Budget(2, 0),
       "d2_minhash_sigs" -> Budget(1, 0),
       "d3_minhash_pairs" -> Budget(1, 0),
