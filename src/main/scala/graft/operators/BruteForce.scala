@@ -44,9 +44,24 @@ object BruteForce {
     * null vector drop out, matching the null-intolerant dot in the
     * declarative plan.
     */
+  /** Corpus-size ceiling for the driver collect, overridable via the
+    * `graft.brute.maxRows` system property (spec pin). 2M rows x 64 dims x
+    * 8 B is ~1 GB collected+broadcast — the edge of sane for a declared
+    * baseline; beyond it the collect is a silent driver OOM and the answer
+    * is the LSH-blocked twin, not a bigger driver.
+    */
+  private[operators] def maxRows: Long =
+    sys.props.get("graft.brute.maxRows").map(_.toLong).getOrElse(2000000L)
+
   def cosinePairs(e: DataFrame, threshold: Double): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
+    val n0 = e.count()
+    require(n0 <= maxRows,
+      s"BruteForce.cosinePairs: corpus has $n0 vectors (> $maxRows). The " +
+        "exact all-pairs baseline collects the corpus to the driver and is " +
+        "O(n^2); at this size use the LSH-blocked scale path instead " +
+        "(d8_embed_lsh_dedup / Similarity s2/s3/s7).")
     val sorted = e.select("vec_id", "v").collect()
       .flatMap { r =>
         if (r.isNullAt(0) || r.isNullAt(1)) None

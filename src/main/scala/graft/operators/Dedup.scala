@@ -343,6 +343,11 @@ object Dedup {
     val keep = bands.groupBy("band_idx", "band_key").agg(count(lit(1)).as("bsz"))
       .where(col("bsz") >= 2 && col("bsz") <= SimhashMaxBucket)
       .select("band_idx", "band_key")
+    // the broadcast hint is CORRECT here, unlike the MinHash keep-list
+    // (lshBands) and the embedding whale list (embedCandidatePairs), both
+    // deliberately un-broadcast: this key space is structurally bounded at
+    // 4 bands x 2^15 band values = 131072 rows regardless of corpus size,
+    // so the broadcast can never grow with the data
     val pruned = bands.join(broadcast(keep), Seq("band_idx", "band_key"))
     val a = pruned.as("a"); val b = pruned.as("b")
     a.join(b,
@@ -491,13 +496,22 @@ object Dedup {
   private[operators] val LshBucketCap = 256
 
   /** Candidate pairs from an lshKeys frame with the whale-bucket guard
-    * applied: the oversized-key list is tiny (it is an aggregate over
-    * buckets) and broadcasts; the anti-join prunes before the self-join.
+    * applied: the anti-join prunes oversized keys before the self-join.
+    *
+    * The whale list is deliberately NOT hint-broadcast (unlike
+    * [[simhashCandidates]]' keep-list, whose key space is bounded at
+    * 4 x 2^15 buckets): its worst case is n/cap keys — LINEAR in the
+    * corpus (~4M keys / ~60 MB at 1B vectors, GBs beyond), the same
+    * unbounded-keep-list reasoning that un-broadcast the MinHash keep
+    * list in [[lshBands]]. The anti-join rides the (tbl, key) shuffle
+    * the self-join needs anyway, and AQE still converts it to a
+    * broadcast at runtime when the OBSERVED list is small — the
+    * data-derived gate, not a hardcoded hint.
     */
   private[operators] def embedCandidatePairs(keyed: DataFrame): DataFrame = {
     val whales = keyed.groupBy("tbl", "key").agg(count(lit(1)).as("bsz"))
       .where(col("bsz") > LshBucketCap)
-    val pruned = keyed.join(broadcast(whales.select("tbl", "key")), Seq("tbl", "key"), "left_anti")
+    val pruned = keyed.join(whales.select("tbl", "key"), Seq("tbl", "key"), "left_anti")
     val a = pruned.as("a"); val b = pruned.as("b")
     a.join(b,
         col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&

@@ -1147,7 +1147,10 @@ object Similarity {
         .where(col("cos") >= DecontamTau)
         .groupBy(col("tid").as("vec_id"))
         .agg(count(lit(1)).as("n_eval_hits"),
-          round(max(col("cos")), 6).as("best_cos_r"))
+          // integer micro-units, not round(x,6): a cosine landing on an
+          // exact 6th-digit half diverges between shortest-decimal and
+          // binary rounding (the r8 surface-wide round() retirement)
+          floor(max(col("cos")) * 1e6).cast("long").as("best_cos_fp"))
         .orderBy("vec_id")
     }
 
@@ -1159,7 +1162,7 @@ object Similarity {
        |  WHERE q.vec_id % 50 = 0 AND c.vec_id % 50 <> 0
        |)
        |SELECT tid AS vec_id, count(*) AS n_eval_hits,
-       |  round(max(list_cosine_similarity(t.v, q.v)), 6) AS best_cos_r
+       |  CAST(floor(max(list_cosine_similarity(t.v, q.v)) * 1000000) AS BIGINT) AS best_cos_fp
        |FROM cand JOIN ev t ON t.vec_id = cand.tid JOIN ev q ON q.vec_id = cand.eid
        |WHERE list_cosine_similarity(t.v, q.v) >= $DecontamTau
        |GROUP BY tid

@@ -901,14 +901,24 @@ object TextOps {
   // shuffle), pick the global argmax (TakeOrderedAndProject), rewrite the
   // symbol sequences with a broadcast of that ONE row.
   //
-  // Symbol sequences are U+001F-joined strings, and a merge is a literal
-  // string replace of "l<SEP>r" with "lr": both Spark's StringReplace and
-  // DuckDB's replace() substitute non-overlapping occurrences LEFT TO RIGHT,
-  // which is exactly BPE's greedy within-word merge order ("a a a" under
-  // pair (a,a) -> ["aa","a"]), and a merged symbol can never re-match as
-  // the left side in the same round (l+r == l would need r empty). The
-  // separator cannot occur inside a symbol: symbols start as single
+  // Symbol sequences are U+001F-joined strings. A naive literal replace of
+  // "l<SEP>r" is NOT exact-symbol: once merges chain, a multi-char symbol
+  // that merely ENDS with l (or STARTS with r) aliases the pattern — e.g.
+  // after merging (q,w), the word [qw, e] renders "qw<SEP>e", which CONTAINS
+  // "w<SEP>e", so a later (w,e) merge would corrupt it to [qwe] where exact
+  // BPE leaves [qw, e] (the reference trainer and our driver loop match
+  // whole symbols). The distributed rewrite (and the DuckDB oracle)
+  // therefore BOUNDARY-DOUBLES before replacing: every symbol gets its OWN
+  // leading AND trailing separator (SEP + replace(seq, SEP, SEP SEP) + SEP),
+  // the pattern becomes "SEP l SEP SEP r SEP" — it can only match whole
+  // symbols, and adjacent matches share no characters, so left-to-right
+  // non-overlapping replace reproduces BPE's greedy within-word merge order
+  // ("a a a" under (a,a) -> ["aa","a"]; "a a a a" -> ["aa","aa"]). The
+  // doubled form then collapses back (SEP SEP -> SEP, trim the outer pair).
+  // The separator cannot occur inside a symbol: symbols start as single
   // non-whitespace chars and merging only ever REMOVES separators.
+  // Round9OpsSpec pins the aliasing case (corpus forcing picks (q,w) then
+  // (w,e) with the word "qwe" present) against the exact driver loop.
   //
   // The merge loop itself is GATED on the observed vocab size (the same
   // data-derived-gate idiom as PageRank's broadcast-vs-shuffle rank join):
@@ -938,9 +948,33 @@ object TextOps {
   private[graft] def bpeDriverFloorVocab: Long =
     sys.props.get("graft.bpe.driverFloorVocab").map(_.toLong).getOrElse(8000000L)
 
+  /** UTF-8 byte-wise string compare — Spark's UTF8String ordering and
+    * DuckDB's default binary collation both compare UTF-8 BYTES, which
+    * diverges from Java's UTF-16 code-unit order for chars in
+    * U+E000..U+FFFF vs supplementary codepoints; the driver tie-break must
+    * match the engines, not the JVM.
+    */
+  private def utf8Lt(a: (String, String), b: (String, String)): Boolean = {
+    def cmp(x: String, y: String): Int = {
+      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(xb.length, yb.length)
+      var i = 0
+      while (i < n) {
+        val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      xb.length - yb.length
+    }
+    val c = cmp(a._1, b._1)
+    if (c != 0) c < 0 else cmp(a._2, b._2) < 0
+  }
+
   /** Driver-side greedy merge loop over the collected vocab — bit-identical
     * to the distributed rounds (same freq weighting, same (count DESC, l, r)
-    * tie-break, same left-to-right non-overlapping within-word merge).
+    * tie-break in UTF-8 byte order, same left-to-right non-overlapping
+    * within-word merge).
     */
   private def bpeDriverMerges(vocab0: Array[(Array[String], Long)])
       : Seq[(Int, String, String, Long)] = {
@@ -959,7 +993,7 @@ object TextOps {
         var best: ((String, String), Long) = null
         counts.forEach { (p, c) =>
           if (best == null || c > best._2 ||
-            (c == best._2 && Ordering[(String, String)].lt(p, best._1))) best = (p, c)
+            (c == best._2 && utf8Lt(p, best._1))) best = (p, c)
         }
         val ((l, r), cnt) = best
         out += ((k, l, r, cnt))
@@ -1023,10 +1057,18 @@ object TextOps {
           val best = pairs
             .orderBy(col("pair_n").desc, col("l"), col("r")).limit(1)
             .select(lit(k).as("merge_idx"), col("l"), col("r"), col("pair_n"))
+          // exact-symbol rewrite via boundary doubling (header comment):
+          // double the separators so each symbol is individually delimited,
+          // replace the fully-delimited pair, collapse back, trim the ends
           words = words.join(broadcast(best), lit(true), "left")
             .select(
               when(col("l").isNotNull,
-                expr(s"replace(seq, concat(l, '$BpeSep', r), concat(l, r))"))
+                expr(s"""trim(BOTH '$BpeSep' FROM
+                  replace(
+                    replace(concat('$BpeSep', replace(seq, '$BpeSep', '$BpeSep$BpeSep'), '$BpeSep'),
+                            concat('$BpeSep', l, '$BpeSep$BpeSep', r, '$BpeSep'),
+                            concat('$BpeSep', l, r, '$BpeSep')),
+                    '$BpeSep$BpeSep', '$BpeSep'))"""))
                 .otherwise(col("seq")).as("seq"),
               col("freq"))
             .localCheckpoint()
@@ -1064,9 +1106,17 @@ object TextOps {
          |  SELECT $k AS merge_idx, l, r, pair_n FROM p$k
          |  ORDER BY pair_n DESC, l, r LIMIT 1
          |)""".stripMargin
+      // exact-symbol rewrite: boundary-double the separators, replace the
+      // fully-delimited pair, collapse, trim — mirrors the Spark branch
       ctes += s"""words$k AS MATERIALIZED (
          |  SELECT CASE WHEN b.l IS NULL THEN w.seq
-         |              ELSE replace(w.seq, b.l || $sep || b.r, b.l || b.r) END AS seq,
+         |              ELSE trim(
+         |                replace(
+         |                  replace($sep || replace(w.seq, $sep, $sep || $sep) || $sep,
+         |                          $sep || b.l || $sep || $sep || b.r || $sep,
+         |                          $sep || b.l || b.r || $sep),
+         |                  $sep || $sep, $sep),
+         |                $sep) END AS seq,
          |         w.freq
          |  FROM words${k - 1} w LEFT JOIN b$k b ON TRUE
          |)""".stripMargin

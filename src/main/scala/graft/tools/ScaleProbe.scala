@@ -434,7 +434,11 @@ object ScaleProbe {
     }
     val floorKey = "graft.bpe.driverFloorVocab"
     val prev = sys.props.get(floorKey)
-    // distributed first (default floor 1M < nWords), then forced driver mode
+    // force the distributed branch first (the default driver floor is 8M
+    // rows — above any probe vocab — so without the explicit floor both
+    // legs would take the driver path and parity would be trivially true),
+    // then the forced driver mode
+    sys.props(floorKey) = "1"
     graft.operators.ArtifactCache.invalidate(spark, dir)
     val (dist, distSec) = ranks()
     sys.props(floorKey) = Long.MaxValue.toString

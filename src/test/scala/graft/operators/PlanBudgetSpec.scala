@@ -58,7 +58,10 @@ class PlanBudgetSpec extends AnyFunSuite {
       "d5_ngram_jaccard" -> Budget(1, 0),
       "d6_embed_cosine" -> Budget(1, 0),
       "d7_simhash_pairs" -> Budget(2, 0),
-      "d8_embed_lsh_dedup" -> Budget(8, 4),
+      // r9: whale keep-list deliberately un-broadcast (linear worst case —
+      // VERDICT r8 What's-wrong #1); +2 exchanges at gate SFs, AQE converts
+      // them back to broadcast when the observed list is small
+      "d8_embed_lsh_dedup" -> Budget(10, 4),
       "d9_dedup_groups" -> Budget(1, 0),
       "e1_kmeans" -> Budget(1, 0),
       "e2_semdedup" -> Budget(3, 0),

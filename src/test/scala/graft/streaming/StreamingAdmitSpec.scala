@@ -91,8 +91,14 @@ class StreamingAdmitSpec extends AnyFunSuite {
     */
   test("admission stream restart: same checkpoint resumes with each doc admitted exactly once") {
     import java.nio.file.Files
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // pin RocksDB for THIS test only: TestSpark's session is shared across
+    // suites, so restore the previous provider in the finally below or the
+    // setting leaks into every later streaming suite in the JVM
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val standingSigs = graft.operators.Dedup
       .minhashSigs(docs.where(col("doc_id") % 5 =!= 4)).cache()
@@ -145,6 +151,12 @@ class StreamingAdmitSpec extends AnyFunSuite {
     got.zip(expected).foreach { case (g, e) =>
       assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 && g._5 == e._5, s"$g vs $e")
       assert((g._4.isNaN && e._4.isNaN) || g._4 == e._4, s"$g vs $e")
+    }
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
     }
   }
 }
