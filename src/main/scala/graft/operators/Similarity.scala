@@ -1113,6 +1113,124 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------------
+  // s10 — RECALL-TARGETED nprobe CALIBRATION: s8 measures recall at the
+  // shipped nprobe; s10 CLOSES the loop — derive the smallest nprobe whose
+  // calibration recall@10 meets a target (0.90), the training-time step a
+  // production ANN deployment runs so query time carries zero tuning cost.
+  //
+  // The key economy: recall@nprobe is CUMULATIVE in the cell rank. For each
+  // (calibration query q, true neighbor t) pair, the only quantity that
+  // matters is the rank of t's HOME cell in q's cell ordering — recall at
+  // nprobe=p is just the fraction of truth pairs with that rank <= p. One
+  // pass computes the whole recall curve for every p at once; nothing
+  // re-runs the index per candidate setting.
+  //
+  // 100-TB shape: the calibration batch is FIXED-SIZE (16 ids — the same
+  // fixed-window discipline as s8's query batches), so ground truth is the
+  // bounded "tiny batch x one corpus scan" brute shape (16n work, linear),
+  // cell ranks are 16 x k rows against the broadcast trained centroids, and
+  // the curve aggregation is 8 integer counters. All arithmetic is integer
+  // (ppm via truncating division) — hash-identical across engines.
+  private val CalibLo = 300
+  private val CalibHi = 316
+  private val CalibMaxProbe = 8
+  private val CalibTargetPpm = 900000L // recall@10 target = 0.90
+
+  private def s10NprobeCalibrate(s: SparkSession, d: String): DataFrame =
+    withSmallBuild(s, d) {
+      val e = vecsD(s, d).cache()
+      val q = e.where(col("vec_id") >= CalibLo && col("vec_id") < CalibHi)
+        .select(col("vec_id").as("qid"), col("v"), col("nrm").as("na"))
+      val c = e.select(col("vec_id").as("cid"), col("v").as("bd"), col("nrm").as("nb"))
+      val truth = broadcast(q.withColumnRenamed("v", "ad"))
+        .join(c, col("qid") =!= col("cid"))
+        .withColumn("cos", cosCol)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
+        .where(col("rk") <= RecallK)
+        .select(col("qid"), col("cid"))
+      val ranked = rankedCells(s, d)
+      val home = ranked.where(col("crk") === 1)
+        .select(col("vec_id").as("tid"), col("cid").as("home_cell"))
+      // calibration queries' cell ranks to CalibMaxProbe (deeper than the
+      // corpus-wide ranked slice, but only for the 16-row batch)
+      val qcr = q.crossJoin(broadcast(Clustering.centsAsArray(trainedCents(s, d))))
+        .select(col("qid"),
+          posexplode(expr(s"graft_cell_top(v, cs, $CalibMaxProbe)")).as(Seq("pos", "dc")))
+        .select(col("qid"), col("dc.cid").as("cell"), (col("pos") + 1).as("qcrk"))
+      val hits = truth.join(home, col("cid") === col("tid"))
+        .join(broadcast(qcr),
+          qcr("qid") === truth("qid") && col("cell") === col("home_cell"), "left")
+        .select(truth("qid"), col("qcrk"))
+      val byRank = hits.where(col("qcrk").isNotNull)
+        .groupBy("qcrk").agg(count(lit(1)).as("n"))
+      val ps = s.range(1, CalibMaxProbe + 1)
+        .select(col("id").as("nprobe"))
+      val totals = ps.join(byRank, col("qcrk") <= col("nprobe"), "left")
+        .groupBy("nprobe").agg(coalesce(sum(col("n")), lit(0L)).as("hit_n"))
+      val denom = truth.agg(count(lit(1)).as("truth_n"))
+      totals.crossJoin(broadcast(denom))
+        .withColumn("recall_ppm", expr("hit_n * 1000000 div truth_n"))
+        .withColumn("min_ok", min(when(col("recall_ppm") >= CalibTargetPpm,
+          col("nprobe"))).over(Window.partitionBy(lit(1))))
+        .select(col("nprobe"), col("hit_n"), col("truth_n"), col("recall_ppm"),
+          lit(CalibTargetPpm).as("target_ppm"),
+          (col("min_ok").isNotNull && col("nprobe") === col("min_ok")).as("chosen"))
+        .orderBy("nprobe")
+    }
+
+  private val s10Sql = {
+    val ctes = new scala.collection.mutable.ListBuffer[String]
+    val finalCents = rankedCtes(ctes) // vecs / params / train / cents0 / ivf_* / ranked
+    ctes += s"""cq AS (
+               |  SELECT vec_id AS qid, v FROM vecs
+               |  WHERE vec_id >= $CalibLo AND vec_id < $CalibHi
+               |)""".stripMargin
+    ctes += s"""ctruth AS MATERIALIZED (
+               |  SELECT qid, cid FROM (
+               |    SELECT q.qid, c.vec_id AS cid,
+               |      row_number() OVER (PARTITION BY q.qid
+               |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rk
+               |    FROM cq q JOIN vecs c ON q.qid <> c.vec_id)
+               |  WHERE rk <= $RecallK
+               |)""".stripMargin
+    // distance precomputed as a scalar column before the window (the e2
+    // window-materialization lesson; 16 x k rows here, discipline anyway)
+    val qdist = s"list_sum(list_transform(range(1, ${Clustering.Dims + 1}), i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])))"
+    ctes += s"""qcr AS MATERIALIZED (
+               |  SELECT qid, cell, qcrk FROM (
+               |    SELECT qid, cell, row_number() OVER (PARTITION BY qid
+               |        ORDER BY dist2, cell) AS qcrk
+               |    FROM (SELECT q.qid, c.cid AS cell, $qdist AS dist2
+               |          FROM cq q, $finalCents c))
+               |  WHERE qcrk <= $CalibMaxProbe
+               |)""".stripMargin
+    ctes += s"""chits AS MATERIALIZED (
+               |  SELECT t.qid, r.qcrk
+               |  FROM ctruth t
+               |  JOIN (SELECT vec_id AS tid, cell FROM ranked WHERE crk = 1) h
+               |    ON h.tid = t.cid
+               |  LEFT JOIN qcr r ON r.qid = t.qid AND r.cell = h.cell
+               |)""".stripMargin
+    ctes += s"""curve AS (
+               |  SELECT p.nprobe,
+               |    count(*) FILTER (WHERE h.qcrk IS NOT NULL AND h.qcrk <= p.nprobe) AS hit_n
+               |  FROM (SELECT unnest(range(1, ${CalibMaxProbe + 1})) AS nprobe) p, chits h
+               |  GROUP BY p.nprobe
+               |)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT nprobe, hit_n, truth_n, recall_ppm,
+       |  CAST($CalibTargetPpm AS BIGINT) AS target_ppm,
+       |  (min_ok IS NOT NULL AND nprobe = min_ok) AS chosen
+       |FROM (
+       |  SELECT nprobe, hit_n, truth_n, hit_n * 1000000 // truth_n AS recall_ppm,
+       |    min(CASE WHEN hit_n * 1000000 // truth_n >= $CalibTargetPpm
+       |             THEN nprobe END) OVER () AS min_ok
+       |  FROM curve, (SELECT count(*) AS truth_n FROM ctruth))
+       |ORDER BY nprobe""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
   // d13 — SEMANTIC decontamination: flag training vectors whose embedding is
   // near (cos >= tau) any held-out eval embedding. The n-gram check (d10)
   // misses paraphrased contamination — identical meaning, different tokens —
@@ -1179,6 +1297,7 @@ object Similarity {
     "s5_pq_adc"      -> s5PqAdc _,
     "s8_ann_recall"  -> s8AnnRecall _,
     "s9_filtered_ann" -> s9FilteredAnn _,
+    "s10_nprobe_calibrate" -> s10NprobeCalibrate _,
     "e2_semdedup"    -> e2SemDedup _)
 
   val oracles: Map[String, String] = Map(
@@ -1192,5 +1311,6 @@ object Similarity {
     "s5_pq_adc"      -> s5Sql,
     "s8_ann_recall"  -> s8Sql,
     "s9_filtered_ann" -> s9Sql,
+    "s10_nprobe_calibrate" -> s10Sql,
     "e2_semdedup"    -> e2Sql)
 }

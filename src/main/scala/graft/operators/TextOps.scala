@@ -948,6 +948,79 @@ object TextOps {
   private[graft] def bpeDriverFloorVocab: Long =
     sys.props.get("graft.bpe.driverFloorVocab").map(_.toLong).getOrElse(8000000L)
 
+  /** Total merges to learn — overridable so ScaleProbe can train a
+    * production-sized (32k+) vocabulary; the ORACLED t19/t20 queries run at
+    * the default, which the DuckDB SQL hardcodes.
+    */
+  private[graft] def bpeMergeCount: Int =
+    sys.props.get("graft.bpe.merges").map(_.toInt).getOrElse(BpeMerges)
+
+  /** Merges learned per counting round (default 1 = strict greedy, the
+    * oracle-matched mode). Batching is the standard distributed-BPE
+    * scaling trick: a 32k-merge vocab at batch 512 is ~64 counting jobs
+    * instead of 32768. A batch is a rank-ordered prefix of the pair
+    * counts filtered to INDEPENDENT pairs — no symbol appears in two
+    * accepted pairs — so (a) applying the batch in any order yields the
+    * same vocab, and (b) every accepted pair's recorded count is still
+    * its exact occurrence count at application time (an accepted merge
+    * can neither create nor destroy another accepted pair's adjacencies,
+    * since that would require a shared symbol). Divergence from strict
+    * greedy: after applying pick 1, a recount could promote a
+    * NEWLY-CREATED pair (one involving the just-merged symbol) above
+    * pick 2; batching uses the pre-round counts for all picks, so its
+    * picks 2..B can be "stale-best". The oracled queries always run at
+    * batch 1; ScaleProbe pins batched-vs-strict behavior at probe scale.
+    */
+  private[graft] def bpeBatchSize: Int =
+    sys.props.get("graft.bpe.batch").map(_.toInt).getOrElse(1)
+
+  /** Rank-ordered independent-prefix pick: walk candidates in
+    * (count DESC, l, r UTF-8) order, accept a pair iff neither symbol was
+    * used by an earlier accepted pair this round. Shared verbatim by the
+    * driver loop and the distributed rounds — the gate-parity contract.
+    */
+  private def pickIndependent(
+      sorted: Iterator[((String, String), Long)], want: Int)
+      : Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set[String]()
+    val picked = Seq.newBuilder[(String, String, Long)]
+    var n = 0
+    while (n < want && sorted.hasNext) {
+      val ((l, r), c) = sorted.next()
+      if (!used(l) && !used(r)) {
+        picked += ((l, r, c))
+        used += l; used += r; used += (l + r)
+        n += 1
+      }
+    }
+    picked.result()
+  }
+
+  /** Apply a round's INDEPENDENT merge rules to one symbol sequence in a
+    * SINGLE left-to-right pass against the rule set: independence (no
+    * symbol shared between the round's rules) means no rule can create or
+    * destroy another's adjacencies, so checking each adjacency once is
+    * exactly the sequential per-rule application — O(len) per word instead
+    * of O(len x batch). Within one rule the left-to-right skip reproduces
+    * the non-overlapping greedy ("a a a" -> ["aa","a"]).
+    */
+  private def applyRules(syms0: Array[String], rules: Seq[(String, String)])
+      : Array[String] = {
+    if (rules.isEmpty || syms0.length < 2) return syms0
+    // key l+SEP+r is collision-free: symbols cannot contain the separator
+    val rs = new java.util.HashMap[String, String]()
+    rules.foreach { case (l, r) => rs.put(l + BpeSep + r, l + r) }
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < syms0.length) {
+      val m = if (i + 1 < syms0.length)
+        rs.get(syms0(i) + BpeSep + syms0(i + 1)) else null
+      if (m != null) { b += m; i += 2 }
+      else { b += syms0(i); i += 1 }
+    }
+    b.result()
+  }
+
   /** UTF-8 byte-wise string compare — Spark's UTF8String ordering and
     * DuckDB's default binary collation both compare UTF-8 BYTES, which
     * diverges from Java's UTF-16 code-unit order for chars in
@@ -980,7 +1053,11 @@ object TextOps {
       : Seq[(Int, String, String, Long)] = {
     var vocab = vocab0
     val out = Seq.newBuilder[(Int, String, String, Long)]
-    for (k <- 1 to BpeMerges) {
+    val total = bpeMergeCount
+    val batch = bpeBatchSize
+    var emitted = 0
+    var exhausted = false
+    while (emitted < total && !exhausted) {
       val counts = new java.util.HashMap[(String, String), Long]()
       vocab.foreach { case (syms, f) =>
         var i = 0
@@ -989,30 +1066,58 @@ object TextOps {
           i += 1
         }
       }
-      if (!counts.isEmpty) {
-        var best: ((String, String), Long) = null
-        counts.forEach { (p, c) =>
-          if (best == null || c > best._2 ||
-            (c == best._2 && utf8Lt(p, best._1))) best = (p, c)
-        }
-        val ((l, r), cnt) = best
-        out += ((k, l, r, cnt))
-        vocab = vocab.map { case (syms, f) =>
-          if (syms.length < 2) (syms, f)
-          else {
-            val b = Array.newBuilder[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-                b += l + r; i += 2
-              } else { b += syms(i); i += 1 }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val want = math.min(batch, total - emitted)
+        val picked: Seq[(String, String, Long)] =
+          if (want == 1) {
+            // strict-greedy fast path: one linear argmax scan, no sort
+            var best: ((String, String), Long) = null
+            counts.forEach { (p, c) =>
+              if (best == null || c > best._2 ||
+                (c == best._2 && utf8Lt(p, best._1))) best = (p, c)
             }
-            (b.result(), f)
+            Seq((best._1._1, best._1._2, best._2))
+          } else {
+            val arr = new Array[((String, String), Long)](counts.size)
+            var i = 0
+            counts.forEach { (p, c) => arr(i) = (p, c); i += 1 }
+            java.util.Arrays.sort(arr,
+              (x: ((String, String), Long), y: ((String, String), Long)) =>
+                if (x._2 != y._2) java.lang.Long.compare(y._2, x._2)
+                else if (utf8Lt(x._1, y._1)) -1
+                else if (utf8Lt(y._1, x._1)) 1
+                else 0)
+            pickIndependent(arr.iterator, want)
           }
+        picked.foreach { case (l, r, c) =>
+          emitted += 1
+          out += ((emitted, l, r, c))
         }
+        val rules = picked.map { case (l, r, _) => (l, r) }
+        vocab = vocab.map { case (syms, f) => (applyRules(syms, rules), f) }
       }
     }
     out.result()
+  }
+
+  /** SQL fragment: boundary-doubled exact-symbol rewrite of `seq` by the
+    * pair (`l`, `r`) — the aliasing-safe replace the header comment
+    * derives, shared by the training rounds (both dialects), the
+    * batched-rule fold, and the t20 encoder. `sparkDialect` selects the
+    * trim spelling; the rest parses identically in Spark and DuckDB.
+    */
+  private def mergeRewriteSql(
+      seq: String, l: String, r: String, sparkDialect: Boolean): String = {
+    val S = if (sparkDialect) s"'$BpeSep'" else "chr(31)"
+    val core =
+      s"""replace(
+         |      replace(concat($S, replace($seq, $S, concat($S, $S)), $S),
+         |              concat($S, $l, $S, $S, $r, $S),
+         |              concat($S, $l, $r, $S)),
+         |      concat($S, $S), $S)""".stripMargin
+    if (sparkDialect) s"trim(BOTH '$BpeSep' FROM $core)"
+    else s"trim($core, chr(31))"
   }
 
   private def t19BpeTrain(s: SparkSession, d: String): DataFrame =
@@ -1041,8 +1146,22 @@ object TextOps {
           .orderBy("merge_idx")
           .cache()
       } else {
-        val rounds = (1 to BpeMerges).map { k =>
-          val pairs = words
+        import s.implicits._
+        // distributed rounds: one vocab-sized pair-count job per round, a
+        // bounded TakeOrdered collect of the candidate pool (batch x 8
+        // rows — independence rejections skip down the ranking, and an
+        // under-filled batch just re-counts sooner, degrading toward
+        // strict greedy), then ONE projection applying the round's rules
+        // as a literal-array fold — no join. Only `words` checkpoints, so
+        // the per-round tree stays flat (e1's Lloyd-loop precedent).
+        val total = bpeMergeCount
+        val batch = bpeBatchSize
+        val merges = Seq.newBuilder[(Int, String, String, Long)]
+        var emitted = 0
+        var exhausted = false
+        while (emitted < total && !exhausted) {
+          val want = math.min(batch, total - emitted)
+          val pool = words
             .where(instr(col("seq"), BpeSep) > 0) // >= 2 symbols
             .select(col("freq"), split(col("seq"), BpeSep).as("a"))
             .select(col("freq"), explode(
@@ -1050,40 +1169,64 @@ object TextOps {
               .as("p"))
             .groupBy(col("p.l").as("l"), col("p.r").as("r"))
             .agg(sum(col("freq")).as("pair_n"))
-          // only `words` checkpoints: best_k is a depth-1 plan off the
-          // checkpointed words_{k-1}, so the per-round tree stays flat and
-          // each round is ONE eager vocab-sized job (the join inside it
-          // materializes best_k as its broadcast side)
-          val best = pairs
-            .orderBy(col("pair_n").desc, col("l"), col("r")).limit(1)
-            .select(lit(k).as("merge_idx"), col("l"), col("r"), col("pair_n"))
-          // exact-symbol rewrite via boundary doubling (header comment):
-          // double the separators so each symbol is individually delimited,
-          // replace the fully-delimited pair, collapse back, trim the ends
-          words = words.join(broadcast(best), lit(true), "left")
-            .select(
-              when(col("l").isNotNull,
-                expr(s"""trim(BOTH '$BpeSep' FROM
-                  replace(
-                    replace(concat('$BpeSep', replace(seq, '$BpeSep', '$BpeSep$BpeSep'), '$BpeSep'),
-                            concat('$BpeSep', l, '$BpeSep$BpeSep', r, '$BpeSep'),
-                            concat('$BpeSep', l, r, '$BpeSep')),
-                    '$BpeSep$BpeSep', '$BpeSep'))"""))
-                .otherwise(col("seq")).as("seq"),
-              col("freq"))
-            .localCheckpoint()
-          best
+            .orderBy(col("pair_n").desc, col("l"), col("r"))
+            .limit(math.max(want * 8, 8))
+            .collect()
+            .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+          val picked = pickIndependent(pool.iterator, want)
+          if (picked.isEmpty) exhausted = true
+          else {
+            picked.foreach { case (l, r, c) =>
+              emitted += 1
+              merges += ((emitted, l, r, c))
+            }
+            // the whole INDEPENDENT batch applies in ONE pass over the
+            // symbol array (same argument as [[applyRules]]): each
+            // adjacency is checked once against the broadcast rule map —
+            // O(len) per word, where a per-rule replace chain would be
+            // O(len x batch) and dominated wall-clock at batch 512.
+            // try_element_at(__a, i+1) past the end -> NULL key -> no hit,
+            // so no bounds CASE is needed; the leading separator the fold
+            // accumulates is stripped by the final substring.
+            val mapCol = map(picked.flatMap { case (l, r, _) =>
+              Seq(lit(l + BpeSep + r), lit(l + r)) }: _*)
+            words = words
+              .withColumn("__m", mapCol)
+              .withColumn("__a", split(col("seq"), BpeSep))
+              .select(
+                expr(s"""CASE WHEN instr(seq, '$BpeSep') = 0 THEN seq ELSE
+                  substring(aggregate(
+                    sequence(1, size(__a)),
+                    named_struct('out', '', 'skip', false),
+                    (s, i) -> CASE
+                      WHEN s.skip THEN named_struct('out', s.out, 'skip', false)
+                      WHEN try_element_at(__m, concat(element_at(__a, i), '$BpeSep',
+                             try_element_at(__a, i + 1))) IS NOT NULL
+                        THEN named_struct('out', concat(s.out, '$BpeSep',
+                               element_at(__a, i), element_at(__a, i + 1)), 'skip', true)
+                      ELSE named_struct('out',
+                             concat(s.out, '$BpeSep', element_at(__a, i)), 'skip', false)
+                    END,
+                    s -> s.out), 2) END""").as("seq"),
+                col("freq"))
+              .localCheckpoint()
+          }
         }
-        rounds.reduce(_ unionAll _)
-          .where(col("l").isNotNull)
-          .select(col("merge_idx"), col("l").as("lhs"), col("r").as("rhs"),
-            concat(col("l"), col("r")).as("merged"), col("pair_n"))
+        merges.result()
+          .toDF("merge_idx", "lhs", "rhs", "pair_n")
+          .select(col("merge_idx"), col("lhs"), col("rhs"),
+            concat(col("lhs"), col("rhs")).as("merged"), col("pair_n"))
           .orderBy("merge_idx")
           .cache()
       }
     }
 
-  private val t19Sql: String = {
+  /** The DuckDB training-round CTEs (words0..words10, p_k, b_k) shared by
+    * t19's merge-table oracle and t20's encoder oracle. All MATERIALIZED:
+    * b_k is referenced by words_k, the t19 union, AND t20's enc_k — DuckDB
+    * re-executes a plain CTE per reference (CLAUDE.md).
+    */
+  private def bpeTrainCtes: Seq[String] = {
     val sep = "chr(31)"
     val ctes = new scala.collection.mutable.ArrayBuffer[String]
     ctes += s"""words0 AS MATERIALIZED (
@@ -1106,32 +1249,126 @@ object TextOps {
          |  SELECT $k AS merge_idx, l, r, pair_n FROM p$k
          |  ORDER BY pair_n DESC, l, r LIMIT 1
          |)""".stripMargin
-      // exact-symbol rewrite: boundary-double the separators, replace the
-      // fully-delimited pair, collapse, trim — mirrors the Spark branch
+      // exact-symbol rewrite (boundary-doubled) — mirrors the Spark branch
       ctes += s"""words$k AS MATERIALIZED (
          |  SELECT CASE WHEN b.l IS NULL THEN w.seq
-         |              ELSE trim(
-         |                replace(
-         |                  replace($sep || replace(w.seq, $sep, $sep || $sep) || $sep,
-         |                          $sep || b.l || $sep || $sep || b.r || $sep,
-         |                          $sep || b.l || b.r || $sep),
-         |                  $sep || $sep, $sep),
-         |                $sep) END AS seq,
+         |              ELSE ${mergeRewriteSql("w.seq", "b.l", "b.r", sparkDialect = false)} END AS seq,
          |         w.freq
          |  FROM words${k - 1} w LEFT JOIN b$k b ON TRUE
          |)""".stripMargin
     }
+    ctes.toSeq
+  }
+
+  private val t19Sql: String = {
     val union = (1 to BpeMerges).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
-    s"""WITH ${ctes.mkString(",\n")}
+    s"""WITH ${bpeTrainCtes.mkString(",\n")}
        |SELECT merge_idx, l AS lhs, r AS rhs, l || r AS merged, pair_n
        |FROM ($union)
        |ORDER BY merge_idx""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // t20 — BPE ENCODE: tokenize the corpus with t19's trained merge table —
+  // the other half of the tokenizer story (pipelines tokenize far more
+  // often than they train). Encoding applies the ranked rules IN ORDER,
+  // each one exhaustively (left-to-right non-overlapping, exact symbols):
+  // for learned BPE this is equivalent to the min-rank-pair iteration,
+  // because a rule can only become newly applicable when a LATER rule
+  // creates one of its symbols — impossible, a rule referencing a merged
+  // symbol must have been learned after it. Within one rule a single
+  // left-to-right pass suffices (merging (l,r) never creates a new (l,r)
+  // adjacency: the merged symbol is "lr", not "l" or "r").
+  //
+  // The 100-TB shape: the merge table is a training CONSTANT (vocab-sized,
+  // 10..100k rows) — it collects into a literal-array fold exactly like the
+  // training rounds' batches. The corpus encodes at the WORD level (real
+  // encoders memoize per word): distinct words encode once (one shuffle on
+  // word), then join back to per-(doc, word) counts — the join reuses the
+  // word-hash partitioning the vocab aggregation just produced. Output is
+  // per-document token accounting, the quantity a packing/budget stage
+  // consumes downstream (t12/t13 today count whitespace tokens; this is
+  // their trained-tokenizer upgrade).
+  private def t20BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val rules = t19BpeTrain(s, d).orderBy("merge_idx")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tokens = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+    val perDocWord = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val vocab = tokens.select("word").distinct()
+    val seq0 = expr(
+      s"substring(regexp_replace(word, '(.)', '$$1$BpeSep'), 1, 2 * length(word) - 1)")
+    val encoded =
+      if (rules.isEmpty) vocab.select(col("word"), seq0.as("seq"))
+      else {
+        val rulesCol = array(rules.map { case (l, r) =>
+          struct(lit(l).as("l"), lit(r).as("r")) }: _*)
+        // encode applies rules IN RANK ORDER (not an independent batch), so
+        // the fold stays per-rule — but a cheap containment pre-check skips
+        // the 6-string-op rewrite for the overwhelming majority of (word,
+        // rule) pairs: the plain l<SEP>r substring is a NECESSARY condition
+        // for the boundary-doubled pattern (doubling only inserts
+        // separators around already-adjacent symbols). At a production
+        // 32k-rule table this is the difference between 32k rewrites and
+        // 32k substring scans per word.
+        vocab.select(col("word"), seq0.as("seq"))
+          .withColumn("__rules", rulesCol)
+          .select(col("word"),
+            expr(s"aggregate(__rules, seq, (acc, p) -> " +
+              s"CASE WHEN contains(acc, concat(p.l, '$BpeSep', p.r)) THEN " +
+              s"${mergeRewriteSql("acc", "p.l", "p.r", sparkDialect = true)} " +
+              s"ELSE acc END)").as("seq"))
+      }
+    val pieces = encoded.select(col("word"),
+      size(split(col("seq"), BpeSep)).cast("long").as("n_pieces"))
+    perDocWord.join(pieces, "word")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_pieces")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val t20Sql: String = {
+    val sep = "chr(31)"
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes ++= bpeTrainCtes
+    ctes += s"""tok AS MATERIALIZED (
+       |  SELECT doc_id, tok AS word
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |        FROM documents)
+       |  WHERE tok != ''
+       |)""".stripMargin
+    ctes += """pdw AS MATERIALIZED (
+       |  SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY doc_id, word
+       |)""".stripMargin
+    ctes += s"""enc0 AS MATERIALIZED (
+       |  SELECT word, substr(regexp_replace(word, '(.)', '\\1' || $sep, 'g'),
+       |           1, 2 * length(word) - 1) AS seq
+       |  FROM (SELECT DISTINCT word FROM pdw)
+       |)""".stripMargin
+    for (k <- 1 to BpeMerges) {
+      ctes += s"""enc$k AS MATERIALIZED (
+         |  SELECT e.word,
+         |         CASE WHEN b.l IS NULL THEN e.seq
+         |              ELSE ${mergeRewriteSql("e.seq", "b.l", "b.r", sparkDialect = false)} END AS seq
+         |  FROM enc${k - 1} e LEFT JOIN b$k b ON TRUE
+         |)""".stripMargin
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(cnt * len(string_split(e.seq, $sep))) AS BIGINT) AS n_bpe_tokens
+       |FROM pdw JOIN enc$BpeMerges e USING (word)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t17_source_cap"   -> t17SourceCap _,
     "t18_bm25"         -> t18Bm25 _,
     "t19_bpe_train"    -> t19BpeTrain _,
+    "t20_bpe_encode"   -> t20BpeEncode _,
     "t16_pii_redact"   -> t16PiiRedact _,
     "t15_domain_mix"   -> t15DomainMix _,
     "t10_feature_hash" -> t10FeatureHash _,
@@ -1153,6 +1390,7 @@ object TextOps {
     "t17_source_cap"   -> t17Sql,
     "t18_bm25"         -> t18Sql,
     "t19_bpe_train"    -> t19Sql,
+    "t20_bpe_encode"   -> t20Sql,
     "t16_pii_redact"   -> t16Sql,
     "t15_domain_mix"   -> t15Sql,
     "t10_feature_hash" -> t10Sql,

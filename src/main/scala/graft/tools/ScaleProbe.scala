@@ -43,7 +43,14 @@ object ScaleProbe {
     else if (args.headOption.contains("spans"))
       runSpans(if (args.length > 1) args(1).toInt else 200000)
     else if (args.headOption.contains("bpe"))
-      runBpe(if (args.length > 1) args(1).toInt else 2000000)
+      runBpe(
+        if (args.length > 1) args(1).toInt else 2000000,
+        if (args.length > 2) args(2).toInt else 10,
+        if (args.length > 3) args(3).toInt else 1)
+    else if (args.headOption.contains("csv"))
+      runCsv(
+        if (args.length > 1) args(1).toInt else 100000,
+        if (args.length > 2) args(2).toInt else 48)
     else
       runJoinKernel(
         if (args.nonEmpty) args(0).toInt else 10000,
@@ -408,7 +415,14 @@ object ScaleProbe {
   // the driver path always wins). Reports both modes' wall time and requires
   // bit-identical merge tables — the same both-modes evidence contract as
   // the graph probe's broadcast/shuffle gate parity.
-  private def runBpe(nWords: Int): Unit = {
+  //
+  // `totalMerges`/`batch` drive the PRODUCTION-vocab probe (verdict r8 #4):
+  // `bpe 2000000 32768 512` trains a 32k-merge vocabulary in ~64 batched
+  // counting rounds per mode instead of 32768 sequential jobs — both modes
+  // run the SAME batch size, so the bit-identical-table requirement pins
+  // the batched pick (independent-prefix, stale-count) across the
+  // driver/distributed gate exactly like the strict-greedy form.
+  private def runBpe(nWords: Int, totalMerges: Int = 10, batch: Int = 1): Unit = {
     val spark = session()
     val dir = s"/tmp/graft_scaleprobe_bpe_$nWords"
     val marker = Paths.get(dir, "_done")
@@ -433,7 +447,11 @@ object ScaleProbe {
       (out, (System.nanoTime() - t0) / 1e9)
     }
     val floorKey = "graft.bpe.driverFloorVocab"
-    val prev = sys.props.get(floorKey)
+    val mergesKey = "graft.bpe.merges"
+    val batchKey = "graft.bpe.batch"
+    val prevProps = Seq(floorKey, mergesKey, batchKey).map(k => k -> sys.props.get(k))
+    sys.props(mergesKey) = totalMerges.toString
+    sys.props(batchKey) = batch.toString
     // force the distributed branch first (the default driver floor is 8M
     // rows — above any probe vocab — so without the explicit floor both
     // legs would take the driver path and parity would be trivially true),
@@ -444,15 +462,50 @@ object ScaleProbe {
     sys.props(floorKey) = Long.MaxValue.toString
     graft.operators.ArtifactCache.invalidate(spark, dir)
     val (drv, drvSec) = ranks()
-    prev match {
-      case Some(v) => sys.props(floorKey) = v
-      case None => sys.props.remove(floorKey)
+    prevProps.foreach {
+      case (k, Some(v)) => sys.props(k) = v
+      case (k, None) => sys.props.remove(k)
     }
     graft.operators.ArtifactCache.invalidate(spark, dir)
     val parity = dist == drv
-    println(s"[bpe-probe] merges=${dist.map(m => m._4 + ":" + m._5).mkString(",")}")
-    println(f"""{"probe":"bpe_scale","n_words":$nWords,"parity":$parity,"distributed_sec":$distSec%.1f,"driver_sec":$drvSec%.1f}""")
+    if (totalMerges <= 20)
+      println(s"[bpe-probe] merges=${dist.map(m => m._4 + ":" + m._5).mkString(",")}")
+    println(f"""{"probe":"bpe_scale","n_words":$nWords,"total_merges":$totalMerges,"batch":$batch,"learned":${dist.size},"parity":$parity,"distributed_sec":$distSec%.1f,"driver_sec":$drvSec%.1f}""")
     require(parity, "bpe gate parity failed at probe scale")
+    spark.stop()
+  }
+
+  // ---------------------------------------------------------------------------
+  // Mode 8 — PER-BASIN CSV SINK AT SCALE (verdict r8 #6): the faithful K1
+  // writer collects the |basins| x |timesteps| series (bounded but
+  // driver-sized); the DEFAULT CsvSink.writeScalable path is the cluster
+  // story — repartition(basinID) + partitionBy — and until now its E2E
+  // evidence was fixture-scale only. This drives >= 1e5 basins through the
+  // real sink and verifies the layout: exactly one partition directory per
+  // basin, per-basin row counts intact, rows time-sorted within a basin.
+  private def runCsv(nBasins: Int, nTs: Int): Unit = {
+    val spark = session()
+    val out = s"/tmp/graft_scaleprobe_csv_$nBasins"
+    val series = spark.range(nBasins.toLong * nTs).select(
+      (col("id") % nBasins).cast("int").as("basinID"),
+      expr(s"timestampadd(HOUR, CAST(id div $nBasins AS INT), TIMESTAMP'2006-01-01 00:00:00')")
+        .as("ts"),
+      (pmod(hash(col("id")), lit(1000)).cast("double") / 10.0).as("rain"))
+    val t0 = System.nanoTime()
+    graft.out.CsvSink.writeScalable(series, out)
+    val wSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val dirs = Files.list(Paths.get(out)).iterator().asScala
+      .count(_.getFileName.toString.startsWith("basinID="))
+    val one = spark.read.option("header", "true")
+      .csv(s"$out/basinID=${nBasins / 2}")
+      .select(col("time")).collect().map(_.getString(0))
+    val total = spark.read.option("header", "true").csv(out).count()
+    val vSec = (System.nanoTime() - t1) / 1e9
+    val ok = dirs == nBasins && total == nBasins.toLong * nTs &&
+      one.length == nTs && (one sameElements one.sorted)
+    println(f"""{"probe":"csv_sink","n_basins":$nBasins,"n_ts":$nTs,"dirs":$dirs,"rows":$total,"write_sec":$wSec%.1f,"verify_sec":$vSec%.1f,"layout_ok":$ok}""")
+    require(ok, "scalable CSV sink layout/content check failed")
     spark.stop()
   }
 

@@ -78,6 +78,101 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  private def withProps(kv: (String, String)*)(body: => Unit): Unit = {
+    val prev = kv.map { case (k, _) => k -> sys.props.get(k) }
+    kv.foreach { case (k, v) => sys.props(k) = v }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => sys.props(k) = v
+      case (k, None) => sys.props.remove(k)
+    }
+  }
+
+  test("t19 batched merges (independent-prefix pick) reproduce strict greedy when rejections force it") {
+    // chainDir's rounds all CONFLICT (every runner-up shares a symbol with
+    // the winner), so a batch of 3 degenerates to 1 accepted pick per
+    // round — the batched loop must still emit the exact strict table, in
+    // both modes
+    for (floor <- Seq("0", Long.MaxValue.toString)) {
+      withProps("graft.bpe.batch" -> "3", "graft.bpe.driverFloorVocab" -> floor) {
+        ArtifactCache.invalidate(spark, chainDir)
+        try assert(runT19(chainDir) === expectedChain, s"floor=$floor")
+        finally ArtifactCache.invalidate(spark, chainDir)
+      }
+    }
+  }
+
+  test("t19 batched merges pack independent pairs into one round with exact counts") {
+    // ab x5, cd x3: pairs (a,b)=5 and (c,d)=3 share no symbol, so batch=2
+    // accepts both in round 1 — and both recorded counts stay exact (no
+    // accepted merge can touch another's adjacencies). The table must
+    // equal the strict-greedy one because the ranks are independent.
+    val dir = java.nio.file.Files.createTempDirectory("bpe_batch").toString
+    val text = (Seq.fill(5)("ab") ++ Seq.fill(3)("cd")).mkString(" ")
+    spark.range(1).select(
+        col("id").as("doc_id"), lit(text).as("text"),
+        lit("en").as("lang"), lit("synth").as("source"),
+        lit(text.length.toLong).as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val expected = Seq((1, "a", "b", "ab", 5L), (2, "c", "d", "cd", 3L))
+    for (floor <- Seq("0", Long.MaxValue.toString)) {
+      withProps("graft.bpe.batch" -> "2", "graft.bpe.driverFloorVocab" -> floor) {
+        ArtifactCache.invalidate(spark, dir)
+        try assert(runT19(dir) === expected, s"floor=$floor")
+        finally ArtifactCache.invalidate(spark, dir)
+      }
+    }
+  }
+
+  /** Independent reference encoder: the classic min-rank-pair iteration
+    * (subword-nmt's apply_bpe) — a genuinely different algorithm from
+    * t20's in-order rule fold; their equivalence for learned tables is
+    * the property t20's Scaladoc derives.
+    */
+  private def encodeRef(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var done = false
+    while (!done && syms.length >= 2) {
+      val best = syms.zip(syms.tail).filter(ranks.contains)
+        .sortBy(ranks).headOption
+      best match {
+        case None => done = true
+        case Some((l, r)) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          syms = b.result()
+      }
+    }
+    syms
+  }
+
+  test("t20 encode matches the independent min-rank-iteration encoder on the sf corpus") {
+    val sf = "/root/testdata/sf0.001"
+    ArtifactCache.invalidate(spark, sf)
+    val ranks = TextOps.queries("t19_bpe_train")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    val got = TextOps.queries("t20_bpe_encode")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val raw = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val words = r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+        (r.getLong(0), words.length.toLong,
+          words.map(w => encodeRef(w, ranks).length.toLong).sum,
+          words.map(_.length.toLong).sum)
+      }
+      .filter(_._2 > 0) // all-whitespace docs have no words and no row
+      .sortBy(_._1).toSeq
+    assert(got === raw.map(t => (t._1, t._2, t._3)))
+    // the table did real work: merges must compress below one-symbol-per-char
+    assert(got.map(_._3).sum < raw.map(_._4).sum)
+  }
+
   test("brute-force baseline refuses corpora beyond the declared driver-collect ceiling") {
     val key = "graft.brute.maxRows"
     val prev = sys.props.get(key)
