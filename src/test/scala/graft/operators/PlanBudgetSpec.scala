@@ -71,7 +71,11 @@ class PlanBudgetSpec extends AnyFunSuite {
       "f7_scale_round" -> Budget(1, 0),
       "f_json_extract" -> Budget(1, 0),
       "g1_radohydro_pipeline" -> Budget(4, 0),
-      "g2_pipeline_invariants" -> Budget(5, 0),
+      // g2 measures 5 live exchanges at PlanAudit's local[8] but 6 at this
+      // suite's local[4] (an AQE decision borderline in parallelism, not a
+      // plan change — verified by running PlanAudit at both CPU counts);
+      // the ceiling covers both operating points
+      "g2_pipeline_invariants" -> Budget(6, 0),
       "g3_cell_weights" -> Budget(2, 0),
       "j10_bloom_prune" -> Budget(5, 1),
       "j1_cross_contains" -> Budget(2, 1),
@@ -112,6 +116,11 @@ class PlanBudgetSpec extends AnyFunSuite {
       "s6_mmr_rerank" -> Budget(1, 0),
       "s7_ivfpq_ann" -> Budget(2, 0),
       "s8_ann_recall" -> Budget(21, 9),
+      // s10's 5 BNLJs are all bounded-side cross joins (16-query
+      // calibration batch x centroids, 8-row nprobe range x hits, scalar
+      // truth_n / min_ok — the a14 sketch-literal pattern), never
+      // corpus x corpus
+      "s10_nprobe_calibrate" -> Budget(6, 5),
       "s9_filtered_ann" -> Budget(2, 0),
       "st1_tumbling_window" -> Budget(2, 0),
       "st2_sliding_window" -> Budget(2, 0),
@@ -130,6 +139,7 @@ class PlanBudgetSpec extends AnyFunSuite {
       "t18_bm25" -> Budget(7, 1),
       "t19_bpe_train" -> Budget(0, 0),
       "t1_text_stats" -> Budget(1, 0),
+      "t20_bpe_encode" -> Budget(4, 0),
       "t2_lang_id" -> Budget(1, 0),
       "t3_fingerprint" -> Budget(1, 0),
       "t4_token_freq" -> Budget(4, 0),

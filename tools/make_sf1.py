@@ -30,9 +30,16 @@ Deliberate distribution choices:
 
 Usage: python3 tools/make_sf1.py [outDir]   (default /tmp/graft_sf1)
 Env:   GRAFT_SFX_K (copies, default 10), GRAFT_SFX_SRC (default sf0.1) --
-       GRAFT_SFX_K=100 yields the sf10 (100x bench) corpus; strides keep
-       key spaces disjoint up to K=100 without overflowing int64-derived
-       oracle arithmetic.
+       GRAFT_SFX_K=100 yields the sf10 (100x bench) corpus and
+       GRAFT_SFX_K=1000 the sf100 (1000x) corpus; strides keep key spaces
+       disjoint up to K=1000 (max derived key ~1e10; every oracle-side
+       arithmetic on keys stays far below 2^62).
+
+Copies stream through one ParquetWriter per table (a row group per copy)
+instead of concat-then-write: at K=1000 the offset columns alone would
+otherwise hold ~14 GB before the first byte hits disk. The writer is
+opened with the source table's arrow schema, so events.ts keeps its
+TIMESTAMP(NANOS) physical type exactly as pq.write_table preserved it.
 """
 import os
 import sys
@@ -60,9 +67,18 @@ def read(name):
     return pq.read_table(os.path.join(SRC, f"{name}.parquet"))
 
 
-def write(out_dir, name, table):
-    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
-    print(f"  {name}: {table.num_rows} rows")
+def write(out_dir, name, copies):
+    """Stream an iterable of same-schema tables into one parquet file."""
+    path = os.path.join(out_dir, f"{name}.parquet")
+    writer = None
+    rows = 0
+    for t in copies:
+        if writer is None:
+            writer = pq.ParquetWriter(path, t.schema)
+        writer.write_table(t)
+        rows += t.num_rows
+    writer.close()
+    print(f"  {name}: {rows} rows")
 
 
 def offset_col(table, col, delta):
@@ -73,14 +89,12 @@ def offset_col(table, col, delta):
 
 def replicate(table, offsets):
     """K stacked copies; offsets = {col: stride} applied as k*stride."""
-    copies = []
     for k in range(K):
         t = table
         for col, stride in offsets.items():
             if k:
                 t = offset_col(t, col, k * stride)
-        copies.append(t)
-    return pa.concat_tables(copies)
+        yield t
 
 
 def documents_sf1(table):
@@ -89,7 +103,6 @@ def documents_sf1(table):
     langs = table.column("lang")
     sources = table.column("source")
     n_chars = table.column("n_chars").to_pylist()
-    copies = []
     for k in range(K):
         if k % 2 == 1:
             suffix = f" r{k}"
@@ -99,10 +112,9 @@ def documents_sf1(table):
             t_texts = pa.array(texts, type=pa.string())
             t_chars = pa.array(n_chars, type=pa.int64())
         t_ids = pa.array([d + k * STRIDE["doc_id"] for d in doc_ids], type=pa.int64())
-        copies.append(pa.table(
+        yield pa.table(
             {"doc_id": t_ids, "text": t_texts, "lang": langs,
-             "source": sources, "n_chars": t_chars}))
-    return pa.concat_tables(copies)
+             "source": sources, "n_chars": t_chars})
 
 
 def embeddings_sf1(table):
@@ -111,7 +123,6 @@ def embeddings_sf1(table):
     emb = np.array(table.column("embedding").to_pylist(), dtype=np.float64)
     n, dim = emb.shape
     dims = np.arange(dim, dtype=np.int64)
-    copies = []
     for k in range(K):
         if k:
             jitter = (((ids[:, None] * 31 + k * 7 + dims[None, :] * 13) % 997)
@@ -122,11 +133,10 @@ def embeddings_sf1(table):
         flat = pa.array(vecs.reshape(-1), type=pa.float32())
         lists = pa.ListArray.from_arrays(
             pa.array(np.arange(0, (n + 1) * dim, dim), type=pa.int32()), flat)
-        copies.append(pa.table({
+        yield pa.table({
             "vec_id": pa.array(ids + k * STRIDE["vec_id"], type=pa.int64()),
             "embedding": lists,
-            "label": labels}))
-    return pa.concat_tables(copies)
+            "label": labels})
 
 
 def main():
@@ -136,7 +146,7 @@ def main():
 
     # dimension tables: unchanged (queries group on the 25 nations / 5 regions)
     for name in ("region", "nation"):
-        write(out_dir, name, read(name))
+        write(out_dir, name, [read(name)])
 
     write(out_dir, "customer", replicate(read("customer"), {"c_custkey": STRIDE["custkey"]}))
     write(out_dir, "supplier", replicate(read("supplier"), {"s_suppkey": STRIDE["suppkey"]}))
