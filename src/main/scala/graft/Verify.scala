@@ -14,6 +14,19 @@ object Verify {
       // events.ts may ship as TIMESTAMP(NANOS); set at construction so
       // Tables.events never mutates conf mid-session (round-6 verdict #6)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Long-running single-JVM drive: shuffle files are only deleted when
+      // the driver GC collects the shuffle dependency and the ContextCleaner
+      // notices — the 30min default periodic GC let ~40 GB of dead shuffle
+      // files from early queries accumulate until the sf100 graph rounds hit
+      // "No space left on device" mid-spill. A 5min sweep (plus the explicit
+      // gc below) bounds dead-file residency; live (memoized-artifact)
+      // shuffles are referenced and never touched.
+      .config("spark.cleaner.periodicGC.interval", "5min")
+      // Correctness drives are DISK-bound at the scale rungs (sf100's graph
+      // build spills ~everything); zstd shrinks shuffle/spill files ~35-40%
+      // vs lz4 for a CPU cost that is noise next to the IO it avoids. Bench
+      // keeps the default codec — latency there is CPU-bound.
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -53,6 +66,10 @@ object Verify {
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // Release this query's dead shuffle dependencies NOW so the
+        // ContextCleaner can delete their files before the next query
+        // starts spilling (sf100 lesson above); artifacts stay referenced.
+        System.gc()
       }
     spark.stop()
   }

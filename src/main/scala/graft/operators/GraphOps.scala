@@ -70,11 +70,14 @@ object GraphOps {
     *  - |nodes| is a graph-level CONSTANT, so it (and the teleport term
     *    derived from it) folds into driver-side literals instead of a
     *    crossJoined broadcast column riding every frame;
-    *  - the edge frame carries dst_outdeg, so a round's output comes
-    *    straight out of the contribution aggregate — no nodesDeg rejoin,
-    *    ONE broadcast per round instead of two. Sound because the graph is
-    *    BIDIRECTED: every node has in-edges, so the groupBy(dst) covers the
-    *    whole node set (the left join's null-contrib branch was dead).
+    *  - in BROADCAST mode the edge frame carries dst_outdeg, so a round's
+    *    output comes straight out of the contribution aggregate — no
+    *    nodesDeg rejoin, ONE broadcast per round instead of two. Sound
+    *    because the graph is BIDIRECTED: every node has in-edges, so the
+    *    groupBy(dst) covers the whole node set (the left join's
+    *    null-contrib branch was dead). In shuffle/scale mode the edges stay
+    *    THIN and the round joins its node-sized aggregate back to the
+    *    cached degree frame instead — see jointEdges.
     */
   private final case class Graph(edges: DataFrame, deg: DataFrame, nNodes: Long,
       nEdges: Long) {
@@ -135,12 +138,13 @@ object GraphOps {
         .cache()
     }
 
-  /** ONE joint bidirected edge frame (src, dst, w, dst_outdeg, dst_wout)
-    * serving both variants — n1 projects the counts, n2 the weights; the
-    * InMemoryTableScan prunes the untouched columns, so neither query pays
-    * for the other's data. Coalesced to edge-volume-many partitions (no
-    * fixed ceiling) and memoized: the second graph query's build cost drops
-    * to a cache hit.
+  /** ONE joint bidirected edge frame serving both variants — fat
+    * (src, dst, w, dst_outdeg, dst_wout) in broadcast mode, THIN
+    * (src, dst, w) in shuffle/scale mode (see the layout comment in the
+    * body); n1 projects the counts, n2 the weights; the InMemoryTableScan
+    * prunes the untouched columns, so neither query pays for the other's
+    * data. Memoized: the second graph query's build cost drops to a cache
+    * hit.
     */
   private def jointEdges(s: SparkSession, d: String): DataFrame =
     ArtifactCache.getOrElseUpdate("graph.edges", s, d) {
@@ -159,21 +163,27 @@ object GraphOps {
       // distinct sets is already distinct — no second dedup shuffle
       val bidir = pairs.union(
         pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      val degJoin =
-        if (broadcastRanks(nNodes))
-          bidir.join(broadcast(deg), bidir("dst") === deg("node"))
-        else bidir.join(deg, bidir("dst") === deg("node"))
-      val withDeg = degJoin.select(bidir("src"), bidir("dst"), bidir("w"),
-        col("outdeg").as("dst_outdeg"), col("wout").as("dst_wout"))
-      // Layout follows the gate. Broadcast mode: coalesce to
-      // edge-volume-many fat partitions (each iteration re-scans the cache,
-      // and at bench row counts per-task scheduling would otherwise
-      // dominate the round). Shuffle mode: cache HASH-PARTITIONED on src so
-      // every round's rank join only shuffles the node-sized rank frame to
-      // meet it — the edge list is shuffled once here and never again.
+      // Layout follows the gate. Broadcast mode (bench-scale graphs): FAT
+      // edges — dst's deg/wout ride every edge (one broadcast-joined deg
+      // pass here, node frame is tiny), so a round's output comes straight
+      // out of the contribution aggregate; coalesce to edge-volume-many
+      // partitions (per-task scheduling would otherwise dominate the
+      // round). Shuffle mode (scale graphs): THIN edges — (src, dst, w)
+      // only, cache HASH-PARTITIONED on src so every round's rank join
+      // only shuffles the node-sized rank frame to meet it; dst's deg is
+      // re-acquired per round by a NODE-sized join with the cached degree
+      // frame instead. Fattening here would join + reshuffle the full
+      // bidirected edge volume (2x|pairs| rows) TWICE and cache 5 columns
+      // instead of 3 — at the sf100 rung (~1B bidirected edges) that extra
+      // edge-volume shuffle pair alone exceeded the local disk envelope,
+      // while the per-round node-sized deg join it replaces is O(|nodes|).
       val edges =
-        if (broadcastRanks(nNodes)) withDeg.coalesce(edgePartitions(s, nEdges))
-        else withDeg.repartition(edgePartitions(s, nEdges), col("src"))
+        if (broadcastRanks(nNodes)) {
+          val degJoin = bidir.join(broadcast(deg), bidir("dst") === deg("node"))
+          degJoin.select(bidir("src"), bidir("dst"), bidir("w"),
+              col("outdeg").as("dst_outdeg"), col("wout").as("dst_wout"))
+            .coalesce(edgePartitions(s, nEdges))
+        } else bidir.repartition(edgePartitions(s, nEdges), col("src"))
       edges.cache()
     }
 
@@ -183,9 +193,12 @@ object GraphOps {
     // labels only materialize in the final 20-row projection. The mapping is
     // bijective, so pair cardinalities and degrees match the string-keyed
     // oracle exactly. Both graph queries ride the joint edge/degree
-    // artifacts; this view projects the unweighted columns.
-    val edges = jointEdges(s, d).select("src", "dst", "dst_outdeg")
+    // artifacts; this view projects the unweighted columns (thin scale-mode
+    // edges don't carry dst_outdeg — see jointEdges).
+    val joint = jointEdges(s, d)
     val (nNodes, nEdges) = graphMeta((s, d))
+    val edges = if (broadcastRanks(nNodes)) joint.select("src", "dst", "dst_outdeg")
+                else joint.select("src", "dst")
     Graph(edges, jointDeg(s, d).select("node", "outdeg"), nNodes, nEdges)
   }
 
@@ -214,12 +227,28 @@ object GraphOps {
     */
   private def prRound(g: Graph, r: DataFrame): DataFrame = {
     val shares = r.select(col("node").as("src"), expr("r div outdeg").as("share"))
-    rankJoin(g.edges, shares, g.broadcastRanks)
-      .groupBy(col("dst").as("node"), col("dst_outdeg").as("outdeg"))
-      .agg(sum(col("share")).as("contrib"))
-      .select(col("node"), col("outdeg"),
-        (lit(teleport(g.nNodes)) + expr("(85 * contrib) div 100")).as("r"))
-      .localCheckpoint()
+    nextRank(g, shares).localCheckpoint()
+  }
+
+  /** Contribution aggregate + next-rank projection shared by n1's unrolled
+    * rounds and the converged twin. Broadcast mode groups on the fat edge's
+    * dst_outdeg; thin-edge scale mode re-acquires outdeg via a NODE-sized
+    * hash join with the cached degree frame (both sides already
+    * node-hash-partitioned from their aggregates — no extra exchange).
+    * Bit-identical either way: same shares, same sum, same projection.
+    */
+  private def nextRank(g: Graph, shares: DataFrame): DataFrame = {
+    val joined = rankJoin(g.edges, shares, g.broadcastRanks)
+    val contrib =
+      if (g.broadcastRanks)
+        joined.groupBy(col("dst").as("node"), col("dst_outdeg").as("outdeg"))
+          .agg(sum(col("share")).as("contrib"))
+      else
+        joined.groupBy(col("dst").as("node"))
+          .agg(sum(col("share")).as("contrib"))
+          .join(g.deg.hint("shuffle_hash"), "node")
+    contrib.select(col("node"), col("outdeg"),
+      (lit(teleport(g.nNodes)) + expr("(85 * contrib) div 100")).as("r"))
   }
 
   /** Final 20-row labeled projection shared by every PageRank variant. */
@@ -282,11 +311,7 @@ object GraphOps {
       // otherwise accumulate a 200-deep plan).
       val prev = r.select(col("node"), col("r").as("r_prev"))
       val shares = r.select(col("node").as("src"), expr("r div outdeg").as("share"))
-      val agg = rankJoin(g.edges, shares, g.broadcastRanks)
-        .groupBy(col("dst").as("node"), col("dst_outdeg").as("outdeg"))
-        .agg(sum(col("share")).as("contrib"))
-        .select(col("node"), col("outdeg"),
-          (lit(teleport(g.nNodes)) + expr("(85 * contrib) div 100")).as("r"))
+      val agg = nextRank(g, shares)
       // the delta join is node-sized x node-sized: broadcast below the
       // floor, plain shuffle join above it (both sides already node-frames)
       val nextPlan =
@@ -371,22 +396,32 @@ object GraphOps {
     }
 
   private def n2WeightedPageRank(s: SparkSession, d: String): DataFrame = {
-    // same round-7 shape as n1: dst's weight-out rides the edge frame, the
-    // graph size folds into driver literals, each round is one broadcast +
-    // one map-side-combined aggregate
-    val edges = jointEdges(s, d).select("src", "dst", "w", "dst_wout")
+    // same round-7 shape as n1: in broadcast mode dst's weight-out rides
+    // the fat edge frame (one broadcast + one map-side-combined aggregate
+    // per round); in thin-edge scale mode the round re-acquires wout via
+    // the node-sized degree join, exactly like n1's nextRank
+    val joint = jointEdges(s, d)
     val deg = jointDeg(s, d).select("node", "wout")
     val (nNodes, nEdges) = graphMeta((s, d))
+    val bcast = broadcastRanks(nNodes)
+    val edges = if (bcast) joint.select("src", "dst", "w", "dst_wout")
+                else joint.select("src", "dst", "w")
     BuildPlanner.withAqeOffWhen(s, nEdges < AqeFloorEdges) {
     var r = deg.select(col("node"), col("wout"),
       lit(Scale / nNodes).as("r")).localCheckpoint()
     for (_ <- 1 to Iters) {
       val shares = r.select(col("node").as("src"), col("r"), col("wout"))
-      r = rankJoin(edges, shares, broadcastRanks(nNodes))
-        .select(col("dst"), col("dst_wout"),
-          expr("(r div wout) * w + ((r % wout) * w) div wout").as("share"))
-        .groupBy(col("dst").as("node"), col("dst_wout").as("wout"))
-        .agg(sum(col("share")).as("contrib"))
+      val withShare = rankJoin(edges, shares, bcast)
+        .withColumn("share", expr("(r div wout) * w + ((r % wout) * w) div wout"))
+      val contrib =
+        if (bcast)
+          withShare.groupBy(col("dst").as("node"), col("dst_wout").as("wout"))
+            .agg(sum(col("share")).as("contrib"))
+        else
+          withShare.groupBy(col("dst").as("node"))
+            .agg(sum(col("share")).as("contrib"))
+            .join(deg.hint("shuffle_hash"), "node")
+      r = contrib
         .select(col("node"), col("wout"),
           (lit(teleport(nNodes)) + expr("(85 * contrib) div 100")).as("r"))
         .localCheckpoint()
@@ -450,9 +485,7 @@ object GraphOps {
     val g = unweightedGraph(s, d)
     val shares = prInit(g)
       .select(col("node").as("src"), expr("r div outdeg").as("share"))
-    rankJoin(g.edges, shares, g.broadcastRanks)
-      .groupBy(col("dst").as("node"), col("dst_outdeg").as("outdeg"))
-      .agg(sum(col("share")).as("contrib"))
+    nextRank(g, shares)
   }
 
   /** Fit-once pre-build of the shared graph artifacts for `d`: pair frame,
