@@ -514,6 +514,12 @@ object ScaleProbe {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // Probe loops run hundreds of shuffle-producing rounds in one JVM;
+      // dead shuffle files are only deleted after a driver GC (Verify's
+      // sf100 lesson — the 30min default let the 32k-merge BPE probe
+      // accumulate >23 GB). Same sweep + codec as Verify.
+      .config("spark.cleaner.periodicGC.interval", "5min")
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
