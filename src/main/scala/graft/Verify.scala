@@ -1,35 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.ts may ship as TIMESTAMP(NANOS); set at construction so
-      // Tables.events never mutates conf mid-session (round-6 verdict #6)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Long-running single-JVM drive: shuffle files are only deleted when
-      // the driver GC collects the shuffle dependency and the ContextCleaner
-      // notices — the 30min default periodic GC let ~40 GB of dead shuffle
-      // files from early queries accumulate until the sf100 graph rounds hit
-      // "No space left on device" mid-spill. A 5min sweep (plus the explicit
-      // gc below) bounds dead-file residency; live (memoized-artifact)
-      // shuffles are referenced and never touched.
-      .config("spark.cleaner.periodicGC.interval", "5min")
-      // Correctness drives are DISK-bound at the scale rungs (sf100's graph
-      // build spills ~everything); zstd shrinks shuffle/spill files ~35-40%
-      // vs lz4 for a CPU cost that is noise next to the IO it avoids. Bench
-      // keeps the default codec — latency there is CPU-bound.
-      .config("spark.io.compression.codec", "zstd")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared long-drive recipe (shuffle-file GC sweep, zstd, pinned TZ,
+    // nanosAsLong at construction) — see graft.tools.LongDrive for the
+    // sf100 disk-envelope rationale; shuffle partitions track the cores
+    val spark = tools.LongDrive.session("4")(cpus => cpus)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=<regex> restricts the dump (and the oracle json) for
     // targeted spot-checks; the driver never sets it, so the gate is always

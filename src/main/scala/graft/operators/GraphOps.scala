@@ -80,13 +80,25 @@ object GraphOps {
     *    cached degree frame instead — see jointEdges.
     */
   private final case class Graph(edges: DataFrame, deg: DataFrame, nNodes: Long,
-      nEdges: Long) {
-    /** Broadcast the node-sized rank frame each round, or shuffle it to meet
-      * the hash-partitioned edge cache — decided from the OBSERVED node
-      * count (same data-derived-threshold discipline as edgePartitions /
-      * BuildPlanner, never a fixed setting). */
-    def broadcastRanks: Boolean = GraphOps.broadcastRanks(nNodes)
-  }
+      nEdges: Long,
+      /** Broadcast the node-sized rank frame each round (fat edge layout), or
+        * shuffle it to meet the hash-partitioned THIN edge cache. This is the
+        * layout flag RECORDED AT ARTIFACT BUILD (jointEdges), not a live
+        * re-read of the floor property: the cached edge frame's columns and
+        * partitioning were fixed then, so the per-round join strategy must
+        * follow the frame that actually exists — a prop flip after the build
+        * would otherwise throw on the missing dst_outdeg column (thin cache,
+        * broadcast plan) or silently reshuffle the full edge volume every
+        * round (fat coalesced cache, shuffle plan).
+        *
+        * INVARIANT the thin-mode rounds rely on: the graph is BIDIRECTED by
+        * construction (jointEdges unions both edge directions), so every node
+        * has in-edges and nextRank's INNER join of the groupBy(dst) aggregate
+        * with the degree frame covers the whole node set. Reusing this loop
+        * on a DIRECTED graph would silently drop the teleport mass of nodes
+        * with no in-edges — add a left-join backfill first.
+        */
+      broadcastRanks: Boolean)
 
   /** Node-count floor above which per-round rank frames stop broadcasting:
     * a (node, outdeg|wout, r) row is ~3 BIGINTs (~40 B unsafe-row), so 8M
@@ -118,9 +130,17 @@ object GraphOps {
     * shuffles real volume) the conf never flips. */
   private val AqeFloorEdges = 10000000L
 
-  /** (nNodes, nEdges) observed while materializing the joint graph state. */
+  /** Graph constants observed while materializing the joint graph state,
+    * plus the edge-cache LAYOUT decided then: `fatEdges` records which frame
+    * was actually built (fat + coalesced vs thin + src-hash-partitioned), so
+    * every query-side projection/join gates on the frame that exists instead
+    * of re-evaluating the floor property (which a spec-style override could
+    * have changed since the build).
+    */
+  private final case class GraphMeta(nNodes: Long, nEdges: Long, fatEdges: Boolean)
+
   private val graphMeta =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), (Long, Long)]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), GraphMeta]()
 
   /** ONE joint degree frame (node, outdeg, wout) serving BOTH PageRank
     * variants: the bidirected frame's rows are exactly the distinct pairs
@@ -158,7 +178,8 @@ object GraphOps {
       // contributes to exactly one node's out-degree).
       val meta = deg.agg(count(lit(1)), sum(col("outdeg"))).first()
       val (nNodes, nEdges) = (meta.getLong(0), meta.getLong(1))
-      graphMeta((s, d)) = (nNodes, nEdges)
+      val fat = broadcastRanks(nNodes) // layout decision, recorded for queries
+      graphMeta((s, d)) = GraphMeta(nNodes, nEdges, fat)
       // the customer/supplier id spaces are disjoint, so the union of two
       // distinct sets is already distinct — no second dedup shuffle
       val bidir = pairs.union(
@@ -178,7 +199,7 @@ object GraphOps {
       // edge-volume shuffle pair alone exceeded the local disk envelope,
       // while the per-round node-sized deg join it replaces is O(|nodes|).
       val edges =
-        if (broadcastRanks(nNodes)) {
+        if (fat) {
           val degJoin = bidir.join(broadcast(deg), bidir("dst") === deg("node"))
           degJoin.select(bidir("src"), bidir("dst"), bidir("w"),
               col("outdeg").as("dst_outdeg"), col("wout").as("dst_wout"))
@@ -196,10 +217,11 @@ object GraphOps {
     // artifacts; this view projects the unweighted columns (thin scale-mode
     // edges don't carry dst_outdeg — see jointEdges).
     val joint = jointEdges(s, d)
-    val (nNodes, nEdges) = graphMeta((s, d))
-    val edges = if (broadcastRanks(nNodes)) joint.select("src", "dst", "dst_outdeg")
+    val meta = graphMeta((s, d))
+    val edges = if (meta.fatEdges) joint.select("src", "dst", "dst_outdeg")
                 else joint.select("src", "dst")
-    Graph(edges, jointDeg(s, d).select("node", "outdeg"), nNodes, nEdges)
+    Graph(edges, jointDeg(s, d).select("node", "outdeg"), meta.nNodes,
+      meta.nEdges, broadcastRanks = meta.fatEdges)
   }
 
   /** Initial uniform rank frame. localCheckpoint flattens the node-sized
@@ -402,8 +424,9 @@ object GraphOps {
     // the node-sized degree join, exactly like n1's nextRank
     val joint = jointEdges(s, d)
     val deg = jointDeg(s, d).select("node", "wout")
-    val (nNodes, nEdges) = graphMeta((s, d))
-    val bcast = broadcastRanks(nNodes)
+    val meta = graphMeta((s, d))
+    val (nNodes, nEdges) = (meta.nNodes, meta.nEdges)
+    val bcast = meta.fatEdges // the layout recorded at artifact build
     val edges = if (bcast) joint.select("src", "dst", "w", "dst_wout")
                 else joint.select("src", "dst", "w")
     BuildPlanner.withAqeOffWhen(s, nEdges < AqeFloorEdges) {

@@ -509,22 +509,10 @@ object ScaleProbe {
     spark.stop()
   }
 
-  private def session(): SparkSession = {
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      // Probe loops run hundreds of shuffle-producing rounds in one JVM;
-      // dead shuffle files are only deleted after a driver GC (Verify's
-      // sf100 lesson — the 30min default let the 32k-merge BPE probe
-      // accumulate >23 GB). Same sweep + codec as Verify.
-      .config("spark.cleaner.periodicGC.interval", "5min")
-      .config("spark.io.compression.codec", "zstd")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
-  }
+  // Probe loops run hundreds of shuffle-producing rounds in one JVM — the
+  // shared long-drive recipe (GC sweep + zstd; see LongDrive) applies in
+  // full; probes pin 32 shuffle partitions regardless of core count.
+  private def session(): SparkSession = LongDrive.session("8")(_ => "32")
 
   // ---------------------------------------------------------------------------
   // Mode 1 — join kernel

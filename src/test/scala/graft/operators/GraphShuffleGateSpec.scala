@@ -71,6 +71,38 @@ class GraphShuffleGateSpec extends AnyFunSuite {
     assert(s2 === b2, "n2 diverged between broadcast and shuffle rank joins")
   }
 
+  test("a floor flip AFTER the artifact build cannot desync queries from the cache layout") {
+    // the edge cache's columns/partitioning are fixed at build; queries gate
+    // on the layout RECORDED then (graphMeta.fatEdges), so a live prop flip
+    // without an artifact rebuild must neither throw (thin cache + broadcast
+    // plan would miss dst_outdeg) nor change results
+    def ranks(q: String) = GraphOps.queries(q)(spark, sf)
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    def flipped[T](v: String)(f: => T): T = { // NO ArtifactCache.invalidate
+      val prev = sys.props.get(FloorKey)
+      sys.props(FloorKey) = v
+      try f
+      finally prev match {
+        case Some(x) => sys.props(FloorKey) = x
+        case None => sys.props.remove(FloorKey)
+      }
+    }
+    withFloor(None) { // FAT cache built under the default floor
+      val b1 = ranks("n1_pagerank")
+      val b2 = ranks("n2_weighted_pagerank")
+      flipped("1") { // prop now says shuffle mode; the fat cache still rules
+        assert(ranks("n1_pagerank") === b1)
+        assert(ranks("n2_weighted_pagerank") === b2)
+      }
+    }
+    withFloor(Some("1")) { // THIN cache built above the floor
+      val s1 = ranks("n1_pagerank")
+      flipped(Long.MaxValue.toString) { // prop says broadcast; thin cache rules
+        assert(ranks("n1_pagerank") === s1)
+      }
+    }
+  }
+
   test("above the floor the round plan joins ranks by shuffle, not broadcast") {
     withFloor(Some("1")) {
       val round = GraphOps.probeRound(spark, sf)

@@ -72,12 +72,20 @@ def write(out_dir, name, copies):
     path = os.path.join(out_dir, f"{name}.parquet")
     writer = None
     rows = 0
-    for t in copies:
-        if writer is None:
-            writer = pq.ParquetWriter(path, t.schema)
-        writer.write_table(t)
-        rows += t.num_rows
-    writer.close()
+    try:
+        for t in copies:
+            if writer is None:
+                writer = pq.ParquetWriter(path, t.schema)
+            writer.write_table(t)
+            rows += t.num_rows
+    finally:
+        # close even when a copy generator raises mid-stream (otherwise the
+        # open writer leaks and a truncated file is left behind); an empty
+        # iterable never opened one
+        if writer is not None:
+            writer.close()
+    if writer is None:
+        raise ValueError(f"no copies produced for table {name}")
     print(f"  {name}: {rows} rows")
 
 
