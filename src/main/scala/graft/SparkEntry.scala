@@ -24,6 +24,7 @@ object SparkEntry {
       (operators.AnalyticOps.queries, operators.AnalyticOps.oracles),
       (operators.CurationOps.queries, operators.CurationOps.oracles),
       (operators.GraphOps.queries, operators.GraphOps.oracles),
+      (operators.Differential.queries, operators.Differential.oracles),
       (operators.GeoPipelineOps.queries, operators.GeoPipelineOps.oracles)
     )
 

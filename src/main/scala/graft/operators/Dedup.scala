@@ -41,7 +41,7 @@ object Dedup {
   // Spark-side shingle + minhash SQL fragments (shared shape with oracles).
   // MinHash: ONE md5 per shingle, 8 seed variants via affine mix — see
   // graft.functions.HashFunctions for the constants and DuckDB equivalence.
-  private val normExpr = "regexp_replace(lower(text), '\\\\s+', ' ')"
+  private[operators] val normExpr = "regexp_replace(lower(text), '\\\\s+', ' ')"
   // (Spark side computes shingles+minhash fused in graft_minhash_text; the
   // oracle spells out the equivalent shingle list explicitly)
   private[operators] val duckNorm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
@@ -691,7 +691,7 @@ object Dedup {
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
        |)""".stripMargin
 
-  private val d9Sql =
+  private[operators] val d9Sql =
     s"""WITH RECURSIVE $d9CompSqlCtes
        |SELECT src AS doc_id, min(dst) AS component, src = min(dst) AS kept
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
@@ -816,7 +816,7 @@ object Dedup {
   private def d11DupSpans(s: SparkSession, d: String): DataFrame =
     dupSpanStats(Tables.documents(s, d)).orderBy("doc_id")
 
-  private val d11Sql =
+  private[operators] val d11Sql =
     s"""WITH g AS (
        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
        |         unnest(range(1, len(toks) - ${SpanN - 2})) AS pos,

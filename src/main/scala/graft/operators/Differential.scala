@@ -1,0 +1,365 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** DIFFERENTIAL verification surface (round 10): second, algorithmically
+  * different implementations of the chains whose DuckDB oracles are
+  * infeasible at the sf100 rung (PLANS.md round 9: the d9 component chain
+  * OOMed DuckDB at 44 GiB + 45 GiB spill; s7's IVF-PQ training chain blew
+  * the 55 min cap). Each twin reproduces its shipped query BIT-FOR-BIT —
+  * integer/decimal arithmetic is order-free and every double is produced by
+  * the exact same IEEE operation sequence, only the ALGORITHM and plan
+  * differ — so an in-engine compare at any scale is real correctness
+  * evidence, not a re-run of the same code:
+  *
+  *  - v1 — connected components via alternating LARGE-STAR / SMALL-STAR
+  *    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond")
+  *    vs the shipped min-label propagation (`Dedup.dupLabels`). Also
+  *    re-derives c2's canonical keeper with a per-component row_number
+  *    window vs the shipped max_by aggregate.
+  *  - v2 — d11's duplicated-span union via a per-document INTERVAL-MERGE
+  *    array fold (sorted collect + in-order aggregate) vs the shipped
+  *    lag-window.
+  *  - v3 — s7's IVF-PQ scores from an independently trained+encoded index:
+  *    Lloyd assignment by explode + partial-combinable struct-min (vs the
+  *    compiled `graft_cell_top` insertion pass), centroid means by
+  *    posexplode + DECIMAL(28,14) sums (vs the `graft_vecsum_dec`
+  *    aggregate), PQ codes by explode-argmin (vs `element_at(graft_cell_top
+  *    ...)`), reconstruction and scoring by the same expressions as s7.
+  *
+  * All three are wired as ORACLED queries (reusing the shipped oracles —
+  * same result contract), so the sf0.01 driver gate checks the twins
+  * against DuckDB too; `ScaleProbe diffv` runs the in-engine compares at
+  * the scale rungs where DuckDB cannot.
+  */
+object Differential {
+
+  // ---------------------------------------------------------------------------
+  // v1 — two-star connected components
+
+  /** Undirected view (both directions, self-loops dropped, distinct). */
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst")).distinct()
+
+  /** Large-star: every node u connects its LARGER neighbors to
+    * m(u) = min(N(u) ∪ {u}); emitted edges always point big → small, so no
+    * self-loop can arise (m(u) <= u < v).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = symmetrize(e)
+    val m = und.groupBy("src").agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    und.where(col("dst") > col("src"))
+      .join(m, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Small-star: orient every edge (max, min); each node u connects its
+    * SMALLER neighbors (and itself) to m(u) = min of those neighbors.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val m = or.groupBy("u").agg(min(col("v")).as("m"))
+    or.join(m, "u")
+      .select(col("v").as("src"), col("m").as("dst"))
+      .union(m.select(col("u").as("src"), col("m").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Alternate LS/SS to the fixed point (per-component stars), then read the
+    * labels off the star edges. Returns (doc_id, label) for EDGE-TOUCHED
+    * nodes — the same contract as [[Dedup.dupLabels]].
+    */
+  private[graft] def twoStarLabels(edges0: DataFrame): DataFrame = {
+    val nodes = symmetrize(edges0).select(col("src").as("doc_id")).distinct()
+    // localCheckpoint EVERY round: each star stage references its input
+    // frame several times (symmetrize union + the min join + the probe), so
+    // an uncheckpointed round multiplies the plan tree ~16x — five rounds of
+    // that is a million-node plan (driver OOM just rendering it). The
+    // checkpointed frames are edge-set-sized.
+    var e = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var prevCount = e.count()
+    var converged = false
+    var round = 0
+    while (!converged) {
+      round += 1
+      require(round <= 50, s"two-star CC failed to converge in 50 rounds")
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextCount = next.count()
+      // sets are distinct: equal counts + empty one-way anti-join ⇒ equal
+      converged = nextCount == prevCount &&
+        next.join(e, Seq("src", "dst"), "left_anti").isEmpty
+      e = next
+      prevCount = nextCount
+    }
+    // at the fixed point every non-root points at its component min; roots
+    // never appear as src (they are only ever the m), so they label to self
+    // via the coalesce
+    val lbl = e.groupBy("src").agg(min(col("dst")).as("l"))
+    nodes.join(lbl, nodes("doc_id") === lbl("src"), "left")
+      .select(col("doc_id"), coalesce(col("l"), col("doc_id")).as("label"))
+  }
+
+  /** Differential twin of [[Dedup.componentLabels]]: same edge artifact
+    * (the oracle-checked scored pairs), independent component algorithm,
+    * independent canonical selection (window rank vs max_by). Memoized —
+    * fit-once state exactly like the shipped chain.
+    */
+  private[graft] def altComponentLabels(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.getOrElseUpdate("diff.components", s, d) {
+      val dupPairs = Dedup.scoredPairs(s, d)
+        .where(col("est_jaccard") >= 0.7)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val nEdges = dupPairs.count()
+      BuildPlanner.withAqeOffWhen(s, nEdges < 10000000L) {
+        val labels = twoStarLabels(dupPairs)
+        val quality = TextOps.qualityFrame(s, d).select("doc_id", "quality")
+        // canonical = rank-1 of (quality DESC, doc_id ASC) per component —
+        // the window formulation of the shipped max_by(doc_id,
+        // struct(quality, -doc_id)) champion
+        val w = Window.partitionBy("label")
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        val best = labels.join(quality, "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("label"), col("doc_id").as("best_doc"))
+        val enriched = labels.join(best, Seq("label"), "left")
+        val out = quality.join(enriched, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("component"),
+            (col("doc_id") === coalesce(col("label"), col("doc_id"))).as("kept"),
+            col("quality"),
+            coalesce(col("doc_id") === col("best_doc"), lit(true)).as("canonical"))
+          .cache()
+        out.count()
+        out
+      }
+    }
+
+  private def v1CcTwostar(s: SparkSession, d: String): DataFrame =
+    altComponentLabels(s, d)
+      .select("doc_id", "component", "kept").orderBy("doc_id")
+
+  // ---------------------------------------------------------------------------
+  // v2 — duplicated-span union via interval-merge fold
+
+  /** Differential twin of d11: same gram keys (the hash is the shared data
+    * contract), duplication status and the span-union both re-expressed —
+    * the union as a per-doc sorted-positions array fold with NO window
+    * operator anywhere in the plan. The fold seeds prev = pos0 - SpanN so
+    * the first gram contributes exactly SpanN, like the shipped
+    * coalesce(prev, pos - SpanN).
+    */
+  private def v2SpansMerge(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashRegistry.register(s)
+    val SpanN = Dedup.SpanN
+    val grams = Tables.documents(s, d)
+      .withColumn("toks", split(expr(Dedup.normExpr), " "))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .where(col("n_toks") >= SpanN)
+      .select(col("doc_id"), col("n_toks"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${SpanN - 1}), " +
+          s"i -> graft_hash60(array_join(slice(toks, i, $SpanN), ' ')))")))
+      .select(col("doc_id"), col("n_toks"), (col("pos") + 1).as("pos"), col("col").as("gh"))
+    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select("gh")
+    grams.join(dupGrams, "gh")
+      .groupBy("doc_id", "n_toks")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), col("n_toks"),
+        size(col("ps")).cast("long").as("dup_grams"),
+        expr(s"""aggregate(ps,
+          named_struct('cov', CAST(0 AS BIGINT), 'prev', element_at(ps, 1) - $SpanN),
+          (s, p) -> named_struct(
+            'cov', s.cov + CAST(least($SpanN, p - s.prev) AS BIGINT),
+            'prev', p),
+          s -> s.cov)""").as("covered_toks"))
+      .withColumn("dup_frac", col("covered_toks").cast("double") / col("n_toks"))
+      .select("doc_id", "n_toks", "dup_grams", "covered_toks", "dup_frac")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------------
+  // v3 — IVF-PQ re-derived: independent Lloyd + independent encode
+
+  /** In-order squared-distance fold over `v`/`c` — the same left-to-right
+    * IEEE sequence as `graft_cell_top`'s compiled loop (and the oracle's
+    * list_sum(list_transform ...)), so distances are bit-identical.
+    */
+  private def dist2Expr(dims: Int): Column =
+    expr(s"""aggregate(sequence(1, $dims), CAST(0.0 AS DOUBLE),
+      (acc, i) -> acc + (element_at(v, i) - element_at(c, i))
+                      * (element_at(v, i) - element_at(c, i)))""")
+
+  /** Lloyd assignment via k-row broadcast join + partial-combinable
+    * struct-min argmin (ties to lowest cid — the same lexicographic
+    * (dist2, cid) order as `graft_cell_top`). Returns (vec_id, cid, v).
+    */
+  private def assignAlt(vecs: DataFrame, cents: DataFrame, dims: Int): DataFrame = {
+    val best = vecs.crossJoin(broadcast(cents))
+      .withColumn("dist2", dist2Expr(dims))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    best.join(vecs, "vec_id")
+  }
+
+  /** Centroid update in the ORACLE's formulation: posexplode the dims,
+    * exact DECIMAL(28,14) sum, cast to DOUBLE, divide by count — the
+    * independent twin of `graft_vecsum_dec`.
+    */
+  private def updateAlt(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim")
+      .agg((sum(col("x").cast("decimal(28,14)")).cast("double")
+        / count(lit(1))).as("m"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("c"))
+      .coalesce(1)
+
+  private def kmeansAlt(vecs: DataFrame, cents0: DataFrame, iters: Int,
+      dims: Int): DataFrame = {
+    var cents = cents0
+    for (it <- 1 to iters) {
+      cents = updateAlt(assignAlt(vecs, cents, dims))
+      if (it < iters) cents = cents.localCheckpoint()
+    }
+    cents
+  }
+
+  /** Deterministic training sample — same integer-exact gate as
+    * [[Similarity.trainSample]], with scalar (driver-literal) parameters
+    * instead of the broadcast params frame.
+    */
+  private def sampleAlt(vecs: DataFrame, n: Long, k: Long): DataFrame = {
+    val rate = (n + Similarity.TrainPerCell * k - 1) / (Similarity.TrainPerCell * k)
+    if (rate <= 1) vecs
+    else vecs.where(pmod(TextOps.hash60(col("vec_id").cast("string")), lit(rate)) === 0)
+  }
+
+  /** Independently trained coarse quantizer (same seeds, same math, alt
+    * plan for every step). */
+  private def altCents(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.getOrElseUpdate("diff.cents", s, d) {
+      val e = Similarity.vecsD(s, d)
+      val n = e.count()
+      val k = math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      val train = sampleAlt(e.select("vec_id", "v"), n, k)
+      val cents0 = train.orderBy("vec_id").limit(k.toInt)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      val out = kmeansAlt(train, cents0, Similarity.IvfIters, Clustering.Dims).cache()
+      out.count()
+      out
+    }
+
+  /** Independently encoded + reconstructed IVF-PQ index:
+    * (vec_id, cell, v, nrm, rv, rnrm) — the same contract as
+    * `Similarity.ivfpqRecon`, every float from the same IEEE op sequence.
+    */
+  private def altRecon(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.getOrElseUpdate("diff.ivfpq", s, d) {
+      val e = Similarity.vecsD(s, d).cache()
+      val cents = altCents(s, d)
+      val home = assignAlt(e.select("vec_id", "v"), cents, Clustering.Dims)
+      val resid = home
+        .join(e.select("vec_id", "nrm"), "vec_id")
+        .join(broadcast(cents), "cid")
+        .select(col("vec_id"), col("cid").as("cell"), col("v"), col("nrm"),
+          expr("zip_with(v, c, (x, y) -> x - y)").as("r"), col("c"))
+        .cache()
+      val nR = resid.count()
+      val trainR = sampleAlt(resid.select(col("vec_id"), col("r").as("v")),
+        nR, Similarity.PqK)
+      val M = Similarity.PqM
+      val sub = Similarity.PqSubDim
+      // per-subspace codebooks: k lowest-vec_id seeds, alt Lloyd, then the
+      // same 0-based renumbering (row_number over cid) as the shipped build
+      val codebooks = (0 until M).map { m =>
+        val subTrain = trainR.select(col("vec_id"),
+          expr(s"slice(v, ${m * sub + 1}, $sub)").as("v"))
+        val cents0 = subTrain.orderBy("vec_id").limit(Similarity.PqK)
+          .select(col("vec_id").as("cid"), col("v").as("c"))
+        kmeansAlt(subTrain, cents0, Similarity.IvfIters, sub)
+          .withColumn("cid", row_number().over(Window.orderBy("cid")).cast("long") - 1)
+          .localCheckpoint()
+      }
+      // encode each residual sub-slice by explode-argmin against its
+      // codebook, then join the winning centroid back for reconstruction
+      val coded = (0 until M).foldLeft(resid) { (df, m) =>
+        val cb = codebooks(m)
+        val code = df.select(col("vec_id"),
+            expr(s"slice(r, ${m * sub + 1}, $sub)").as("v"))
+          .crossJoin(broadcast(cb))
+          .withColumn("dist2", dist2Expr(sub))
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist2"), col("cid"))).as("mm"))
+          .select(col("vec_id"), col("mm.cid").as(s"code$m"))
+        val cbm = cb.select(col("cid").as(s"code$m"), col("c").as(s"rv$m"))
+        df.join(code, "vec_id").join(broadcast(cbm), s"code$m")
+      }
+      val out = coded
+        .withColumn("rr", expr((0 until M).map(m => s"rv$m").mkString("concat(", ", ", ")")))
+        .withColumn("rv", expr("zip_with(c, rr, (x, y) -> x + y)"))
+        .withColumn("rnrm", sqrt(expr("graft_dot(rv, rv)")))
+        .select("vec_id", "cell", "v", "nrm", "rv", "rnrm")
+        .cache()
+      out.count()
+      resid.unpersist()
+      out
+    }
+
+  /** The s7 result frame from the alt index — same probes, same scoring
+    * expressions; the probe ranking is a window top-NProbe (tiny: 5 query
+    * vectors) instead of `graft_cell_top`.
+    */
+  private def v3IvfpqAdc(s: SparkSession, d: String): DataFrame = {
+    val recon = Similarity.withSmallBuild(s, d)(altRecon(s, d))
+    val e = Similarity.vecsD(s, d)
+    val cents = altCents(s, d)
+    val probeW = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
+    val probes = e.where(col("vec_id") >= 200 && col("vec_id") < 205)
+      .crossJoin(broadcast(cents))
+      .withColumn("dist2", dist2Expr(Clustering.Dims))
+      .withColumn("crk", row_number().over(probeW))
+      .where(col("crk") <= Similarity.NProbe)
+      .select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"),
+        col("cid").as("cell"))
+    val assigned = recon.select(col("vec_id").as("cid"), col("cell"),
+      col("v").as("bd"), col("nrm").as("nb"), col("rv").as("qb"), col("rnrm").as("qnb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("qcos", expr("graft_dot(ad, qb)") / (col("na") * col("qnb")))
+      .withColumn("cos", Similarity.cosCol)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("cid"), col("cell"),
+        round(col("qcos"), 6).as("ivfpq_cos_r"), round(col("cos"), 6).as("cos_r"),
+        round(abs(col("qcos") - col("cos")), 6).as("abs_err_r"))
+      .orderBy("qid", "rk")
+  }
+
+  // ---------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_cc_twostar"  -> v1CcTwostar _,
+    "v2_spans_merge" -> v2SpansMerge _,
+    "v3_ivfpq_adc"   -> v3IvfpqAdc _)
+
+  /** The twins satisfy the SAME result contracts as their shipped
+    * counterparts, so they reuse the shipped oracles verbatim — the driver
+    * gate then independently confirms both implementations against DuckDB.
+    */
+  val oracles: Map[String, String] = Map(
+    "v1_cc_twostar"  -> Dedup.d9Sql,
+    "v2_spans_merge" -> Dedup.d11Sql,
+    "v3_ivfpq_adc"   -> Similarity.s7Sql)
+}

@@ -55,7 +55,7 @@ object Similarity {
     BuildPlanner.withAqeOffWhen(s,
       vecCounts.getOrElseUpdate((s, d), Tables.embeddings(s, d).count()) < AqeFloorVecs)(f)
 
-  private def vecsD(s: SparkSession, d: String): DataFrame = {
+  private[operators] def vecsD(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
@@ -66,7 +66,7 @@ object Similarity {
   /** cos(a,b) = dot/(sqrt(aa)*sqrt(bb)) — codegen'd dot, precomputed norms;
     * arithmetic identical to DuckDB's list_cosine_similarity.
     */
-  private val cosCol = expr("graft_dot(ad, bd)") / (col("na") * col("nb"))
+  private[operators] val cosCol = expr("graft_dot(ad, bd)") / (col("na") * col("nb"))
 
   // ---------------------------------------------------------------------------
   // s1 — brute-force cosine top-k for a fixed query batch (vec_id < 5).
@@ -222,8 +222,8 @@ object Similarity {
   // by cosine. At scale the corpus partitions by cell id once (shuffle on
   // cell), and each query touches nprobe cells — the classic inverted-file
   // trade of recall for a bounded candidate set.
-  private val NProbe = 2
-  private val IvfIters = 2
+  private[operators] val NProbe = 2
+  private[operators] val IvfIters = 2
 
   /** Per-centroid training-sample budget (FAISS-style guidance is 30–256
     * vectors per centroid): the Lloyd refinement trains on a deterministic
@@ -625,9 +625,9 @@ object Similarity {
   // and each subspace argmin is graft_cell_top(slice(v), cs_m, 1),
   // so at 100 TB the corpus is coded in a single scan with zero data
   // movement. Completes the quantization triad (s3 IVF + s4 SQ + s5 PQ).
-  private val PqM = 4
-  private val PqK = 16
-  private val PqSubDim = Clustering.Dims / PqM
+  private[operators] val PqM = 4
+  private[operators] val PqK = 16
+  private[operators] val PqSubDim = Clustering.Dims / PqM
 
   private def s5PqAdc(s: SparkSession, d: String): DataFrame =
     // ADC: raw query against the reconstructed corpus (asymmetric scoring).
@@ -943,7 +943,7 @@ object Similarity {
     out
   }
 
-  private val s7Sql = {
+  private[operators] val s7Sql = {
     val ctes = new scala.collection.mutable.ListBuffer[String]
     val finalCents = rankedCtes(ctes)
     ctes += s"""resid AS MATERIALIZED (

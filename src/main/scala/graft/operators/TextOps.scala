@@ -531,21 +531,9 @@ object TextOps {
   private val PackSize = 256
   private val PackShards = 16
 
-  private def t13Pack(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
-        (hash60F(s, concat(lit("pack:"), col("doc_id").cast(StringType))) % PackShards)
-          .cast(IntegerType).as("shard"))
-      .withColumn("cum", sum(col("n_tokens")).over(w).cast(LongType))
-      .select(col("doc_id"), col("shard"), col("n_tokens"),
-        expr(s"(cum - n_tokens) div $PackSize").cast(IntegerType).as("pack_id"),
-        expr(s"(cum - n_tokens) % $PackSize").cast(IntegerType).as("pack_offset"))
-      .orderBy("doc_id")
-  }
+  private def t13Pack(s: SparkSession, d: String): DataFrame =
+    packOver(s, Tables.documents(s, d).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens")))
 
   private val t13Sql =
     s"""SELECT doc_id, shard, n_tokens,
@@ -1289,39 +1277,61 @@ object TextOps {
   // per-document token accounting, the quantity a packing/budget stage
   // consumes downstream (t12/t13 today count whitespace tokens; this is
   // their trained-tokenizer upgrade).
-  private def t20BpeEncode(s: SparkSession, d: String): DataFrame = {
-    val rules = t19BpeTrain(s, d).orderBy("merge_idx")
-      .select("lhs", "rhs").collect()
-      .map(r => (r.getString(0), r.getString(1)))
-    val tokens = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+  /** (doc_id, pos, word) — positional token stream (empty tokens dropped;
+    * position gaps are harmless, only the ORDER is consumed). Shared by the
+    * t20 counts, t21 id sequences, and t22 packing.
+    */
+  private def docWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "word")))
       .where(col("word") =!= "")
-    val perDocWord = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-    val vocab = tokens.select("word").distinct()
-    val seq0 = expr(
-      s"substring(regexp_replace(word, '(.)', '$$1$BpeSep'), 1, 2 * length(word) - 1)")
-    val encoded =
-      if (rules.isEmpty) vocab.select(col("word"), seq0.as("seq"))
-      else {
-        val rulesCol = array(rules.map { case (l, r) =>
-          struct(lit(l).as("l"), lit(r).as("r")) }: _*)
-        // encode applies rules IN RANK ORDER (not an independent batch), so
-        // the fold stays per-rule — but a cheap containment pre-check skips
-        // the 6-string-op rewrite for the overwhelming majority of (word,
-        // rule) pairs: the plain l<SEP>r substring is a NECESSARY condition
-        // for the boundary-doubled pattern (doubling only inserts
-        // separators around already-adjacent symbols). At a production
-        // 32k-rule table this is the difference between 32k rewrites and
-        // 32k substring scans per word.
-        vocab.select(col("word"), seq0.as("seq"))
-          .withColumn("__rules", rulesCol)
-          .select(col("word"),
-            expr(s"aggregate(__rules, seq, (acc, p) -> " +
-              s"CASE WHEN contains(acc, concat(p.l, '$BpeSep', p.r)) THEN " +
-              s"${mergeRewriteSql("acc", "p.l", "p.r", sparkDialect = true)} " +
-              s"ELSE acc END)").as("seq"))
-      }
-    val pieces = encoded.select(col("word"),
+
+  private val seq0Expr = expr(
+    s"substring(regexp_replace(word, '(.)', '$$1$BpeSep'), 1, 2 * length(word) - 1)")
+
+  /** (word, seq) — every DISTINCT corpus word encoded by t19's trained merge
+    * table (rank-ordered exact-symbol rewrite with the containment
+    * pre-check). Memoized: the fold over the rule table is the expensive
+    * encode pass, and it is a pure function of the corpus — one artifact
+    * serves t20's counts, t21's id sequences, and t22's packing.
+    */
+  private[graft] def encodedVocab(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.getOrElseUpdate("bpe.encodedVocab", s, d) {
+      val rules = t19BpeTrain(s, d).orderBy("merge_idx")
+        .select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val vocab = docWords(s, d).select("word").distinct()
+      val encoded =
+        if (rules.isEmpty) vocab.select(col("word"), seq0Expr.as("seq"))
+        else {
+          val rulesCol = array(rules.map { case (l, r) =>
+            struct(lit(l).as("l"), lit(r).as("r")) }: _*)
+          // encode applies rules IN RANK ORDER (not an independent batch), so
+          // the fold stays per-rule — but a cheap containment pre-check skips
+          // the 6-string-op rewrite for the overwhelming majority of (word,
+          // rule) pairs: the plain l<SEP>r substring is a NECESSARY condition
+          // for the boundary-doubled pattern (doubling only inserts
+          // separators around already-adjacent symbols). At a production
+          // 32k-rule table this is the difference between 32k rewrites and
+          // 32k substring scans per word.
+          vocab.select(col("word"), seq0Expr.as("seq"))
+            .withColumn("__rules", rulesCol)
+            .select(col("word"),
+              expr(s"aggregate(__rules, seq, (acc, p) -> " +
+                s"CASE WHEN contains(acc, concat(p.l, '$BpeSep', p.r)) THEN " +
+                s"${mergeRewriteSql("acc", "p.l", "p.r", sparkDialect = true)} " +
+                s"ELSE acc END)").as("seq"))
+        }
+      val out = encoded.cache()
+      out.count()
+      out
+    }
+
+  private def t20BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val perDocWord = docWords(s, d)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val pieces = encodedVocab(s, d).select(col("word"),
       size(split(col("seq"), BpeSep)).cast("long").as("n_pieces"))
     perDocWord.join(pieces, "word")
       .groupBy("doc_id")
@@ -1330,9 +1340,12 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  private val t20Sql: String = {
+  /** Appends the tok/pdw/enc0..encN encode chain (on top of
+    * [[bpeTrainCtes]]) shared by the t20/t21/t22 oracles; returns the final
+    * encoded-vocab relation name.
+    */
+  private def bpeEncodeCtes(ctes: scala.collection.mutable.ArrayBuffer[String]): String = {
     val sep = "chr(31)"
-    val ctes = new scala.collection.mutable.ArrayBuffer[String]
     ctes ++= bpeTrainCtes
     ctes += s"""tok AS MATERIALIZED (
        |  SELECT doc_id, tok AS word
@@ -1356,11 +1369,173 @@ object TextOps {
          |  FROM enc${k - 1} e LEFT JOIN b$k b ON TRUE
          |)""".stripMargin
     }
+    s"enc$BpeMerges"
+  }
+
+  private val t20Sql: String = {
+    val sep = "chr(31)"
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    val enc = bpeEncodeCtes(ctes)
     s"""WITH ${ctes.mkString(",\n")}
        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
        |  CAST(sum(cnt * len(string_split(e.seq, $sep))) AS BIGINT) AS n_bpe_tokens
-       |FROM pdw JOIN enc$BpeMerges e USING (word)
+       |FROM pdw JOIN $enc e USING (word)
        |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // t21 — BPE TOKEN-ID SEQUENCES: the other half of encode (t20 emits
+  // per-doc token ACCOUNTING; a training pipeline feeds the model actual id
+  // sequences). Vocabulary ids are assigned exactly like a real BPE
+  // tokenizer: the base alphabet (every distinct character of the corpus
+  // vocabulary, in the engines' shared UTF-8 byte order) takes ids
+  // 0..B-1, and merge rank k takes id B+k-1 — a deterministic function of
+  // the trained table, no corpus-order dependence. If two merges produce
+  // the same surface string (possible: (a,bc) and (ab,c) both yield "abc"),
+  // the symbol resolves to the SMALLEST id, making the string->id map a
+  // function. Output is one row per document: sequence length, first/last
+  // id, and the portable 60-bit hash of the comma-joined id sequence — the
+  // hash pins the ENTIRE sequence (order included) through the oracle
+  // compare without shipping array columns through the gate.
+  //
+  // The 100-TB shape: the symbol table is a training constant (alphabet +
+  // merge count) — broadcast; words encode ONCE (the memoized encodedVocab
+  // artifact) and per-word id arrays join back to the positional token
+  // stream on the word key; per-document assembly is one doc-keyed
+  // aggregate whose state is the document's own token ids — the same
+  // per-doc boundedness as every doc-local operator here.
+  private def t21BpeIds(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashRegistry.register(s)
+    val enc = encodedVocab(s, d)
+    // base alphabet from the encoded vocab's WORDS (the set of chars is a
+    // pure function of the vocabulary; seq0's pieces are exactly the chars)
+    val chars = enc.select(explode(split(seq0Expr, BpeSep)).as("sym")).distinct()
+    val base = chars.withColumn("id",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy("sym"))
+        .cast("long") - 1)
+    val nBase = base.count() // alphabet-sized driver scalar
+    val mergedTab = t19BpeTrain(s, d)
+      .select(col("merged").as("sym"),
+        (col("merge_idx").cast("long") + lit(nBase - 1)).as("id"))
+    val symtab = base.select("sym", "id").union(mergedTab)
+      .groupBy("sym").agg(min(col("id")).as("id"))
+    val wordIds = enc
+      .select(col("word"), posexplode(split(col("seq"), BpeSep)).as(Seq("pi", "piece")))
+      .join(broadcast(symtab.withColumnRenamed("sym", "piece")), "piece")
+      .groupBy("word")
+      .agg(expr("transform(array_sort(collect_list(struct(pi, id))), p -> p.id)").as("ids"))
+    docWords(s, d).join(wordIds, "word")
+      .groupBy("doc_id")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(pos, ids))), p -> p.ids))")
+        .as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_bpe_tokens"),
+        element_at(col("ids"), 1).as("first_id"),
+        element_at(col("ids"), -1).as("last_id"),
+        expr("graft_hash60(array_join(transform(ids, i -> CAST(i AS STRING)), ','))")
+          .as("ids_h"))
+      .orderBy("doc_id")
+  }
+
+  private val t21Sql: String = {
+    val sep = "chr(31)"
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    val enc = bpeEncodeCtes(ctes)
+    val mergeUnion = (1 to BpeMerges).map(k => s"SELECT merge_idx, l, r FROM b$k")
+      .mkString(" UNION ALL ")
+    ctes += s"""chars AS (
+       |  SELECT DISTINCT unnest(string_split(seq, $sep)) AS sym FROM enc0
+       |)""".stripMargin
+    ctes += """base AS MATERIALIZED (
+       |  SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS id FROM chars
+       |)""".stripMargin
+    ctes += s"""symtab AS MATERIALIZED (
+       |  SELECT sym, min(id) AS id FROM (
+       |    SELECT sym, id FROM base
+       |    UNION ALL
+       |    SELECT l || r AS sym, nb.n + merge_idx - 1 AS id
+       |    FROM ($mergeUnion), (SELECT count(*) AS n FROM base) nb
+       |  ) GROUP BY sym
+       |)""".stripMargin
+    ctes += s"""wids AS MATERIALIZED (
+       |  SELECT word, list(id ORDER BY pi) AS ids FROM (
+       |    SELECT word, unnest(range(1, len(ps) + 1)) AS pi, unnest(ps) AS piece
+       |    FROM (SELECT word, string_split(seq, $sep) AS ps FROM $enc)
+       |  ) JOIN symtab ON piece = sym
+       |  GROUP BY word
+       |)""".stripMargin
+    ctes += """dseq AS (
+       |  SELECT doc_id, flatten(list(ids ORDER BY pos)) AS ids FROM (
+       |    SELECT doc_id, pos, word FROM (
+       |      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS word
+       |      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+       |            FROM documents))
+       |    WHERE word != ''
+       |  ) JOIN wids USING (word)
+       |  GROUP BY doc_id
+       |)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_bpe_tokens,
+       |  ids[1] AS first_id, ids[-1] AS last_id,
+       |  ${hash60Sql("array_to_string(list_transform(ids, i -> CAST(i AS VARCHAR)), ',')")} AS ids_h
+       |FROM dseq ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------------
+  // t22 — PACKING ON TRAINED-TOKENIZER COUNTS: t13's concat-then-split
+  // packing driven by the REAL per-document BPE token counts (t20) instead
+  // of whitespace token counts — the layout a training pipeline actually
+  // materializes once a tokenizer exists (pack boundaries in model-token
+  // space, not word space). Same sharded shape as t13: only
+  // (doc_id, n_tokens) pairs move, all-integer arithmetic.
+  private def packOver(s: SparkSession, counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("shard",
+        (hash60F(s, concat(lit("pack:"), col("doc_id").cast(StringType))) % PackShards)
+          .cast(IntegerType))
+      .withColumn("cum", sum(col("n_tokens")).over(w).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $PackSize").cast(IntegerType).as("pack_id"),
+        expr(s"(cum - n_tokens) % $PackSize").cast(IntegerType).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  private def t22PackBpe(s: SparkSession, d: String): DataFrame = {
+    val perDocWord = docWords(s, d)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val pieces = encodedVocab(s, d).select(col("word"),
+      size(split(col("seq"), BpeSep)).cast("long").as("n_pieces"))
+    val counts = perDocWord.join(pieces, "word")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("n_pieces")).as("n_tokens"))
+    packOver(s, counts)
+  }
+
+  private val t22Sql: String = {
+    val sep = "chr(31)"
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    val enc = bpeEncodeCtes(ctes)
+    ctes += s"""bpe_cnt AS (
+       |  SELECT doc_id, CAST(sum(cnt * len(string_split(e.seq, $sep))) AS BIGINT) AS n_tokens
+       |  FROM pdw JOIN $enc e USING (word)
+       |  GROUP BY doc_id
+       |)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT doc_id, shard, n_tokens,
+       |  CAST((cum - n_tokens) // $PackSize AS INTEGER) AS pack_id,
+       |  CAST((cum - n_tokens) % $PackSize AS INTEGER) AS pack_offset
+       |FROM (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM (
+       |    SELECT doc_id, n_tokens,
+       |      CAST(${hash60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards AS INTEGER) AS shard
+       |    FROM bpe_cnt))
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -1369,6 +1544,8 @@ object TextOps {
     "t18_bm25"         -> t18Bm25 _,
     "t19_bpe_train"    -> t19BpeTrain _,
     "t20_bpe_encode"   -> t20BpeEncode _,
+    "t21_bpe_ids"      -> t21BpeIds _,
+    "t22_pack_bpe"     -> t22PackBpe _,
     "t16_pii_redact"   -> t16PiiRedact _,
     "t15_domain_mix"   -> t15DomainMix _,
     "t10_feature_hash" -> t10FeatureHash _,
@@ -1391,6 +1568,8 @@ object TextOps {
     "t18_bm25"         -> t18Sql,
     "t19_bpe_train"    -> t19Sql,
     "t20_bpe_encode"   -> t20Sql,
+    "t21_bpe_ids"      -> t21Sql,
+    "t22_pack_bpe"     -> t22Sql,
     "t16_pii_redact"   -> t16Sql,
     "t15_domain_mix"   -> t15Sql,
     "t10_feature_hash" -> t10Sql,

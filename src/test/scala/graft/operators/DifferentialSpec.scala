@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.TestSpark
+
+/** Pins the round-10 differential-verification twins to their shipped
+  * counterparts BIT-FOR-BIT on the fixture corpus — the same in-engine
+  * compare `ScaleProbe diffv` runs at the scale rungs where the DuckDB
+  * oracles are infeasible (sf100: d9's chain OOMed DuckDB, s7's training
+  * chain blew the time cap). A twin that silently diverges here would make
+  * the sf100 "match" evidence worthless, so equality is exact set equality
+  * over every column, not a summary statistic.
+  */
+class DifferentialSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def assertSameSet(a: DataFrame, b: DataFrame, what: String): Unit = {
+    assert(a.columns.toSeq === b.columns.toSeq, s"$what: column mismatch")
+    val onlyA = a.exceptAll(b).count()
+    val onlyB = b.exceptAll(a).count()
+    assert(onlyA == 0 && onlyB == 0,
+      s"$what diverged: ${onlyA} rows only in alt, ${onlyB} only in shipped")
+  }
+
+  test("two-star CC labels chains, stars, and multiple components exactly") {
+    import spark.implicits._
+    // chain 1..6, star centered low (10 -> 11..14), star centered HIGH
+    // (25 <- 20, 25 <- 21), pair (30, 31) — plus adversarial edge order
+    val edges = Seq(
+      (6L, 5L), (2L, 1L), (3L, 4L), (5L, 4L), (2L, 3L),
+      (10L, 11L), (12L, 10L), (10L, 13L), (14L, 10L),
+      (25L, 20L), (21L, 25L),
+      (31L, 30L)).toDF("src", "dst")
+    val got = Differential.twoStarLabels(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L, 25L -> 20L,
+      30L -> 30L, 31L -> 30L)
+    assert(got === want)
+  }
+
+  test("v1 two-star components == shipped min-label propagation") {
+    assertSameSet(
+      Differential.queries("v1_cc_twostar")(spark, sf),
+      Dedup.queries("d9_dedup_groups")(spark, sf),
+      "v1 vs d9")
+  }
+
+  test("alt component frame (incl. window canonical) == shipped max_by frame") {
+    assertSameSet(
+      Differential.altComponentLabels(spark, sf),
+      Dedup.componentLabels(spark, sf),
+      "altComponentLabels vs componentLabels")
+  }
+
+  test("v2 interval-merge span union == shipped lag-window d11") {
+    assertSameSet(
+      Differential.queries("v2_spans_merge")(spark, sf),
+      Dedup.queries("d11_dup_spans")(spark, sf),
+      "v2 vs d11")
+  }
+
+  test("v3 independently trained+encoded IVF-PQ == shipped s7") {
+    assertSameSet(
+      Differential.queries("v3_ivfpq_adc")(spark, sf),
+      Similarity.queries("s7_ivfpq_ann")(spark, sf),
+      "v3 vs s7")
+  }
+}

@@ -139,7 +139,11 @@ class PlanBudgetSpec extends AnyFunSuite {
       "t18_bm25" -> Budget(7, 1),
       "t19_bpe_train" -> Budget(0, 0),
       "t1_text_stats" -> Budget(1, 0),
-      "t20_bpe_encode" -> Budget(4, 0),
+      // r10: t20 rides the memoized encodedVocab artifact (one shuffle
+      // fewer); t21/t22 are its id-sequence and packing consumers
+      "t20_bpe_encode" -> Budget(3, 0),
+      "t21_bpe_ids" -> Budget(5, 0),
+      "t22_pack_bpe" -> Budget(4, 0),
       "t2_lang_id" -> Budget(1, 0),
       "t3_fingerprint" -> Budget(1, 0),
       "t4_token_freq" -> Budget(4, 0),
@@ -150,6 +154,12 @@ class PlanBudgetSpec extends AnyFunSuite {
       "t9_tfidf" -> Budget(6, 1),
       "u1_union" -> Budget(1, 0),
       "u4_pivot_wide" -> Budget(2, 0),
+      // r10 differential twins (alt algorithms for the sf100
+      // oracle-infeasible chains); v3's BNLJ is the 5-probe x k-centroid
+      // broadcast cross, not a data cross product
+      "v1_cc_twostar" -> Budget(1, 0),
+      "v2_spans_merge" -> Budget(3, 0),
+      "v3_ivfpq_adc" -> Budget(3, 1),
       "u5_unpivot" -> Budget(3, 0),
       "u6_rollup" -> Budget(2, 0),
       "u7_grouping_sets" -> Budget(2, 0)
