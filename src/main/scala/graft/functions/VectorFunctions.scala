@@ -54,6 +54,52 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared euclidean distance — index-ascending `(x[i]-y[i])^2` accumulation,
+  * the exact IEEE sequence of [[CellTopN]]'s inner loop (and of the
+  * `aggregate(sequence(...))` fold / DuckDB's list_sum form). Exists for the
+  * DIFFERENTIAL IVF twin (`operators.Differential`): its explode-argmin
+  * assignment needs the distance as a materialized column, and the HOF fold
+  * is interpreted per element (215 s at the sf10 rung, projected to hours at
+  * sf100). The algorithm under differential test — all-pairs explode +
+  * partial-aggregated struct-min argmin, vs CellTopN's fused insertion
+  * top-k — is unchanged; only the scalar kernel compiles.
+  */
+case class SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  ${ev.value} += $d * $d;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Shared per-task decode of the broadcast centroid array: within any one
   * plan instance the `cs` argument is a constant (it rides a single-row
   * broadcast), so the struct-array is unpacked ONCE per task into primitive
@@ -287,5 +333,7 @@ object VectorFunctions {
       "graft_vecsum_dec", exprs => VecSumDec(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_cell_top", exprs => CellTopN(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_dist2", exprs => SquaredDistance(exprs(0), exprs(1)), "built-in")
   }
 }

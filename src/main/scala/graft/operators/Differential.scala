@@ -190,22 +190,23 @@ object Differential {
   // ---------------------------------------------------------------------------
   // v3 — IVF-PQ re-derived: independent Lloyd + independent encode
 
-  /** In-order squared-distance fold over `v`/`c` — the same left-to-right
+  /** In-order squared-distance kernel over `v`/`c` — the same left-to-right
     * IEEE sequence as `graft_cell_top`'s compiled loop (and the oracle's
-    * list_sum(list_transform ...)), so distances are bit-identical.
+    * list_sum(list_transform ...)), so distances are bit-identical. Compiled
+    * ([[graft.functions.SquaredDistance]]): the HOF-fold spelling of the
+    * same sum was interpreted per element and cost 215 s at the sf10 rung —
+    * the differential ALGORITHM (explode + partial-agg argmin) is the thing
+    * under test, not an interpreter tax.
     */
-  private def dist2Expr(dims: Int): Column =
-    expr(s"""aggregate(sequence(1, $dims), CAST(0.0 AS DOUBLE),
-      (acc, i) -> acc + (element_at(v, i) - element_at(c, i))
-                      * (element_at(v, i) - element_at(c, i)))""")
+  private val dist2Col: Column = expr("graft_dist2(v, c)")
 
   /** Lloyd assignment via k-row broadcast join + partial-combinable
     * struct-min argmin (ties to lowest cid — the same lexicographic
     * (dist2, cid) order as `graft_cell_top`). Returns (vec_id, cid, v).
     */
-  private def assignAlt(vecs: DataFrame, cents: DataFrame, dims: Int): DataFrame = {
+  private def assignAlt(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val best = vecs.crossJoin(broadcast(cents))
-      .withColumn("dist2", dist2Expr(dims))
+      .withColumn("dist2", dist2Col)
       .groupBy("vec_id")
       .agg(min(struct(col("dist2"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
@@ -225,11 +226,10 @@ object Differential {
       .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("c"))
       .coalesce(1)
 
-  private def kmeansAlt(vecs: DataFrame, cents0: DataFrame, iters: Int,
-      dims: Int): DataFrame = {
+  private def kmeansAlt(vecs: DataFrame, cents0: DataFrame, iters: Int): DataFrame = {
     var cents = cents0
     for (it <- 1 to iters) {
-      cents = updateAlt(assignAlt(vecs, cents, dims))
+      cents = updateAlt(assignAlt(vecs, cents))
       if (it < iters) cents = cents.localCheckpoint()
     }
     cents
@@ -255,7 +255,7 @@ object Differential {
       val train = sampleAlt(e.select("vec_id", "v"), n, k)
       val cents0 = train.orderBy("vec_id").limit(k.toInt)
         .select(col("vec_id").as("cid"), col("v").as("c"))
-      val out = kmeansAlt(train, cents0, Similarity.IvfIters, Clustering.Dims).cache()
+      val out = kmeansAlt(train, cents0, Similarity.IvfIters).cache()
       out.count()
       out
     }
@@ -268,7 +268,7 @@ object Differential {
     ArtifactCache.getOrElseUpdate("diff.ivfpq", s, d) {
       val e = Similarity.vecsD(s, d).cache()
       val cents = altCents(s, d)
-      val home = assignAlt(e.select("vec_id", "v"), cents, Clustering.Dims)
+      val home = assignAlt(e.select("vec_id", "v"), cents)
       val resid = home
         .join(e.select("vec_id", "nrm"), "vec_id")
         .join(broadcast(cents), "cid")
@@ -287,7 +287,7 @@ object Differential {
           expr(s"slice(v, ${m * sub + 1}, $sub)").as("v"))
         val cents0 = subTrain.orderBy("vec_id").limit(Similarity.PqK)
           .select(col("vec_id").as("cid"), col("v").as("c"))
-        kmeansAlt(subTrain, cents0, Similarity.IvfIters, sub)
+        kmeansAlt(subTrain, cents0, Similarity.IvfIters)
           .withColumn("cid", row_number().over(Window.orderBy("cid")).cast("long") - 1)
           .localCheckpoint()
       }
@@ -298,7 +298,7 @@ object Differential {
         val code = df.select(col("vec_id"),
             expr(s"slice(r, ${m * sub + 1}, $sub)").as("v"))
           .crossJoin(broadcast(cb))
-          .withColumn("dist2", dist2Expr(sub))
+          .withColumn("dist2", dist2Col)
           .groupBy("vec_id")
           .agg(min(struct(col("dist2"), col("cid"))).as("mm"))
           .select(col("vec_id"), col("mm.cid").as(s"code$m"))
@@ -327,7 +327,7 @@ object Differential {
     val probeW = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
     val probes = e.where(col("vec_id") >= 200 && col("vec_id") < 205)
       .crossJoin(broadcast(cents))
-      .withColumn("dist2", dist2Expr(Clustering.Dims))
+      .withColumn("dist2", dist2Col)
       .withColumn("crk", row_number().over(probeW))
       .where(col("crk") <= Similarity.NProbe)
       .select(col("vec_id").as("qid"), col("v").as("ad"), col("nrm").as("na"),
