@@ -659,7 +659,10 @@ object ScaleProbe {
       .collect().map(_.getString(0)).sorted.toSeq
     val targets = sources.zipWithIndex
       .map { case (s0, i) => s0 -> (if (i == 0) 2.0 else 1.0) }.toMap
-    val spanFrac = 0.2
+    // stacked-copy rungs: every doc's dup_frac is 1.0 (each 5-gram occurs
+    // >= K times corpus-wide), so 0.2 keeps nothing — run 1.0 there too for
+    // a non-vacuous kept/pack path (GRAFT_CURATION_SPAN overrides)
+    val spanFrac = sys.env.getOrElse("GRAFT_CURATION_SPAN", "0.2").toDouble
     val cfg = graft.api.Curation.Config(
       domainTargets = targets,
       maxDupSpanFrac = spanFrac,

@@ -150,24 +150,42 @@ def embeddings_sf1(table):
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
     os.makedirs(out_dir, exist_ok=True)
-    print(f"writing sf1 (10x {SRC}) to {out_dir}")
+    # GRAFT_SFX_TABLES: comma-separated subset (default all) — the sf100
+    # diffv rung only needs documents+embeddings; skipping the 600M-row
+    # lineitem stack saves ~15 GB of scratch disk and most of the gen time
+    only = os.environ.get("GRAFT_SFX_TABLES")
+    wanted = set(only.split(",")) if only else None
+    print(f"writing sf1 (10x {SRC}) to {out_dir}" +
+          (f" tables={sorted(wanted)}" if wanted else ""))
+
+    def want(name):
+        return wanted is None or name in wanted
 
     # dimension tables: unchanged (queries group on the 25 nations / 5 regions)
     for name in ("region", "nation"):
-        write(out_dir, name, [read(name)])
+        if want(name):
+            write(out_dir, name, [read(name)])
 
-    write(out_dir, "customer", replicate(read("customer"), {"c_custkey": STRIDE["custkey"]}))
-    write(out_dir, "supplier", replicate(read("supplier"), {"s_suppkey": STRIDE["suppkey"]}))
-    write(out_dir, "part", replicate(read("part"), {"p_partkey": STRIDE["partkey"]}))
-    write(out_dir, "orders", replicate(read("orders"), {
-        "o_orderkey": STRIDE["orderkey"], "o_custkey": STRIDE["custkey"]}))
-    write(out_dir, "lineitem", replicate(read("lineitem"), {
-        "l_orderkey": STRIDE["orderkey"], "l_partkey": STRIDE["partkey"],
-        "l_suppkey": STRIDE["suppkey"]}))
-    write(out_dir, "events", replicate(read("events"), {
-        "event_id": STRIDE["event_id"], "user_id": STRIDE["user_id"]}))
-    write(out_dir, "documents", documents_sf1(read("documents")))
-    write(out_dir, "embeddings", embeddings_sf1(read("embeddings")))
+    if want("customer"):
+        write(out_dir, "customer", replicate(read("customer"), {"c_custkey": STRIDE["custkey"]}))
+    if want("supplier"):
+        write(out_dir, "supplier", replicate(read("supplier"), {"s_suppkey": STRIDE["suppkey"]}))
+    if want("part"):
+        write(out_dir, "part", replicate(read("part"), {"p_partkey": STRIDE["partkey"]}))
+    if want("orders"):
+        write(out_dir, "orders", replicate(read("orders"), {
+            "o_orderkey": STRIDE["orderkey"], "o_custkey": STRIDE["custkey"]}))
+    if want("lineitem"):
+        write(out_dir, "lineitem", replicate(read("lineitem"), {
+            "l_orderkey": STRIDE["orderkey"], "l_partkey": STRIDE["partkey"],
+            "l_suppkey": STRIDE["suppkey"]}))
+    if want("events"):
+        write(out_dir, "events", replicate(read("events"), {
+            "event_id": STRIDE["event_id"], "user_id": STRIDE["user_id"]}))
+    if want("documents"):
+        write(out_dir, "documents", documents_sf1(read("documents")))
+    if want("embeddings"):
+        write(out_dir, "embeddings", embeddings_sf1(read("embeddings")))
     print("done")
 
 
