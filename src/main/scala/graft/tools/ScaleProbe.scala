@@ -784,19 +784,25 @@ object ScaleProbe {
       (name, ok, nB, sec)
     }
     import graft.operators.{Dedup, Differential, Similarity}
-    val results = Seq(
+    // GRAFT_DIFFV_ONLY: substring filter for resuming a partial rung (the
+    // sf100 drive pays ~20 min for d9+d11 — a heap-sized s7 retry should
+    // not re-run them); unset = all three compares.
+    val onlyFilter = sys.env.get("GRAFT_DIFFV_ONLY")
+    def wanted(name: String) = onlyFilter.forall(name.contains)
+    val results = Seq[(String, () => (String, Boolean, Long, Double))](
       // one compare for the whole d9 -> c2/c3 chain: doc_id, component,
       // kept, quality, canonical — every downstream keep/split decision is
       // a deterministic function of these
-      cmp("d9_component_chain",
+      ("d9_component_chain", () => cmp("d9_component_chain",
         Differential.altComponentLabels(spark, dir),
-        Dedup.componentLabels(spark, dir)),
-      cmp("d11_dup_spans",
+        Dedup.componentLabels(spark, dir))),
+      ("d11_dup_spans", () => cmp("d11_dup_spans",
         Differential.queries("v2_spans_merge")(spark, dir),
-        Dedup.queries("d11_dup_spans")(spark, dir)),
-      cmp("s7_ivfpq_ann",
+        Dedup.queries("d11_dup_spans")(spark, dir))),
+      ("s7_ivfpq_ann", () => cmp("s7_ivfpq_ann",
         Differential.queries("v3_ivfpq_adc")(spark, dir),
-        Similarity.queries("s7_ivfpq_ann")(spark, dir)))
+        Similarity.queries("s7_ivfpq_ann")(spark, dir))))
+      .collect { case (n, run) if wanted(n) => run() }
     val parts = results.map { case (n, ok, rows, sec) =>
       s""""$n":{"match":$ok,"rows":$rows,"sec":$sec}""" }
     println(s"""{"probe":"diff_verify","dir":"$dir","all_match":${results.forall(_._2)},${parts.mkString(",")}}""")
