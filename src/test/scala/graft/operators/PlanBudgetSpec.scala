@@ -160,6 +160,10 @@ class PlanBudgetSpec extends AnyFunSuite {
       "v1_cc_twostar" -> Budget(1, 0),
       "v2_spans_merge" -> Budget(3, 0),
       "v3_ivfpq_adc" -> Budget(3, 1),
+      // v4's BNLJ is the alphabet-sized count-strictly-smaller self-join
+      // (the windowless id assignment), not a data cross product
+      "v4_bpe_ids" -> Budget(5, 1),
+      "v5_pack_bpe" -> Budget(3, 0),
       "u5_unpivot" -> Budget(3, 0),
       "u6_rollup" -> Budget(2, 0),
       "u7_grouping_sets" -> Budget(2, 0)
