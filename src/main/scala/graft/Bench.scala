@@ -2,6 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // machine-load fingerprint, sampled BEFORE this JVM does any work: the
+    // 1-min system load average here reflects PRE-EXISTING contention only
+    // (r9 ADVICE / r10 BENCH both recorded on a contended driver; the calib
+    // brackets see steal DURING the run, this field sees steal BEFORE it).
+    // Threshold: load_start > ~2 on the 32-cpu driver, or calib > ~0.3 s,
+    // flags a dirty recording — compare against the idle sidecar instead.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -137,6 +146,8 @@ object Bench {
     // inflated, calib normal) — bracketing the suite makes steal at either
     // end visible from the JSON alone
     val calibEnd = calibOnce()
+    val loadEnd = loadAvg() // inflated by the bench itself; big deltas vs
+    // steady-state (~cpus-utilized) still expose late-run contention
     // summary fields LAST: the harness keeps only the final ~2000 chars of
     // output, so tail truncation eats the line's head — put the per-query
     // map there and let value/calib survive at the end (json.loads is
@@ -144,13 +155,13 @@ object Bench {
     // prefix-based detection)
     val prewarmList = prewarmed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","unit":"sec","queries":$qsTop,"queries_omitted":${results.size - topNames.size},"sf":"$sfDir","warm_sf":"$warmSf","prewarmed":$prewarmList,"calib":${sec(calib)},"calib_end":${sec(calibEnd)},"value":${sec(total)}}"""
+      s"""{"metric":"total","unit":"sec","queries":$qsTop,"queries_omitted":${results.size - topNames.size},"sf":"$sfDir","warm_sf":"$warmSf","prewarmed":$prewarmList,"calib":${sec(calib)},"calib_end":${sec(calibEnd)},"load_start":${sec(loadStart)},"load_end":${sec(loadEnd)},"value":${sec(total)}}"""
     // Full-fidelity record (plus cache/artifact detail) goes to a sidecar in
     // the repo: the stdout line is size-constrained and historically got
     // truncated/prefixed beyond parseability, so the file is the durable
     // artifact a later reader can trust.
     val full =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_sf":"$warmSf","prewarmed":$prewarmList,"calib":${sec(calib)},"calib_end":${sec(calibEnd)},"cached_tables":$cachedList,"artifacts":$artifacts}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_sf":"$warmSf","prewarmed":$prewarmList,"calib":${sec(calib)},"calib_end":${sec(calibEnd)},"load_start":${sec(loadStart)},"load_end":${sec(loadEnd)},"cached_tables":$cachedList,"artifacts":$artifacts}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")), full + "\n")
     catch { case _: Throwable => () }

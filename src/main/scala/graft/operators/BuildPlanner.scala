@@ -29,4 +29,20 @@ object BuildPlanner {
       s.conf.set(k, "false")
       try f finally s.conf.set(k, prev)
     }
+
+  /** Shuffle-partition override for the same small-build regime: an
+    * AQE-off build chain runs every KB-sized stage at the session's full
+    * partition count (32 tasks for a 9k-row centroid update), so task
+    * floors — not data — dominate chatty iterative builds. Same
+    * restore-in-finally / data-derived-gate contract as [[withAqeOffWhen]];
+    * at scale the conf never flips and the session count applies.
+    */
+  def withShufflePartitionsWhen[T](s: SparkSession, small: Boolean, n: Int)(f: => T): T =
+    if (!small) f
+    else {
+      val k = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(k)
+      s.conf.set(k, n.toString)
+      try f finally s.conf.set(k, prev)
+    }
 }

@@ -45,6 +45,24 @@ import graft.Tables
   */
 object Differential {
 
+  /** Eager localCheckpoint plus a release handle on the persisted RDD, so a
+    * fixed-point loop can drop the PREVIOUS round's blocks the moment the
+    * next round materializes (ADVICE r10: the v4 loop otherwise parks up to
+    * merge-count+64 vocab-sized snapshots in executor storage for the whole
+    * session, and the sf100 long drives are disk/memory-sensitive). The
+    * released RDD is never referenced again — its consumer is the next
+    * round's checkpoint, already materialized when release fires.
+    */
+  private def checkpointTracked(df: DataFrame): (DataFrame, () => Unit) = {
+    val out = df.localCheckpoint() // eager: blocks exist before we return
+    val release: () => Unit = out.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        () => { l.rdd.unpersist(blocking = false); () }
+      case _ => () => ()
+    }
+    (out, release)
+  }
+
   // ---------------------------------------------------------------------------
   // v1 — two-star connected components
 
@@ -93,19 +111,21 @@ object Differential {
     // an uncheckpointed round multiplies the plan tree ~16x — five rounds of
     // that is a million-node plan (driver OOM just rendering it). The
     // checkpointed frames are edge-set-sized.
-    var e = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var (e, releaseE) = checkpointTracked(edges0.select(col("src"), col("dst")).distinct())
     var prevCount = e.count()
     var converged = false
     var round = 0
     while (!converged) {
       round += 1
       require(round <= 50, s"two-star CC failed to converge in 50 rounds")
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val (next, releaseNext) = checkpointTracked(smallStar(largeStar(e)))
       val nextCount = next.count()
       // sets are distinct: equal counts + empty one-way anti-join ⇒ equal
       converged = nextCount == prevCount &&
         next.join(e, Seq("src", "dst"), "left_anti").isEmpty
+      releaseE() // previous round's blocks — the compare above was its last use
       e = next
+      releaseE = releaseNext
       prevCount = nextCount
     }
     // at the fixed point every non-root points at its component min; roots
@@ -211,15 +231,17 @@ object Differential {
   /** Lloyd assignment via k-row broadcast join + partial-combinable
     * struct-min argmin (ties to lowest cid — the same lexicographic
     * (dist2, cid) order as `graft_cell_top`). Returns (vec_id, cid, v).
+    * The vector rides THROUGH the aggregate (`first` over rows that all
+    * carry the same v) instead of re-joining afterwards — every round of
+    * the old argmin-then-join form paid a corpus-sized sort-merge join
+    * purely to re-attach v (part of the r10 `weak` on v3's cost).
     */
-  private def assignAlt(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val best = vecs.crossJoin(broadcast(cents))
+  private def assignAlt(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
       .withColumn("dist2", dist2Col)
       .groupBy("vec_id")
-      .agg(min(struct(col("dist2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
-    best.join(vecs, "vec_id")
-  }
+      .agg(min(struct(col("dist2"), col("cid"))).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("v"))
 
   /** Centroid update in the ORACLE's formulation: posexplode the dims,
     * exact DECIMAL(28,14) sum, cast to DOUBLE, divide by count — the
@@ -238,6 +260,57 @@ object Differential {
     var cents = cents0
     for (it <- 1 to iters) {
       cents = updateAlt(assignAlt(vecs, cents))
+      if (it < iters) cents = cents.localCheckpoint()
+    }
+    cents
+  }
+
+  // --- grouped (subspace-keyed) Lloyd: all M sub-codebooks in ONE plan ---
+  // r10 verdict "what's wrong" #1: the sequential per-subspace foldLeft ran
+  // 4 independent Lloyd chains plus 4 encode joins back-to-back (~11% of the
+  // whole sf0.1 bench, >2x its own oracle). Adding a subspace column `m`,
+  // exploding the slices once, and keying every step by (m, cid) collapses
+  // the 4 chains into one pass — same explode-argmin ALGORITHM class (the
+  // independence from the shipped `graft_cell_top` build is preserved), and
+  // bit-identical per subspace: each m's distances, memberships, and
+  // DECIMAL(28,14) means are computed over exactly the same rows by exactly
+  // the same IEEE/exact operations, only co-scheduled with the other m's.
+
+  /** (m, vec_id, v = the m-th PqSubDim-slice of `vcol`) for all M subspaces. */
+  private def subSlices(df: DataFrame, vcol: String): DataFrame = {
+    val sub = Similarity.PqSubDim
+    df.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${Similarity.PqM - 1}), " +
+          s"m -> struct(m AS m, slice($vcol, m * $sub + 1, $sub) AS v))")).as("sv"))
+      .select(col("sv.m").as("m"), col("vec_id"), col("sv.v").as("v"))
+  }
+
+  /** Grouped assign: argmin within each vector's OWN subspace — the
+    * broadcast equi-join on m replaces M sequential crossJoins; the
+    * struct-min tie-break (dist2, cid) is unchanged.
+    */
+  private def assignAltG(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.join(broadcast(cents), "m")
+      .withColumn("dist2", dist2Col)
+      .groupBy("m", "vec_id")
+      .agg(min(struct(col("dist2"), col("cid"))).as("mm"), first(col("v")).as("v"))
+      .select(col("m"), col("vec_id"), col("mm.cid").as("cid"), col("v"))
+
+  /** Grouped centroid update — [[updateAlt]] keyed by (m, cid). */
+  private def updateAltG(assigned: DataFrame): DataFrame =
+    assigned.select(col("m"), col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("m", "cid", "dim")
+      .agg((sum(col("x").cast("decimal(28,14)")).cast("double")
+        / count(lit(1))).as("mu"))
+      .groupBy("m", "cid")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, mu))), p -> p.mu)").as("c"))
+      .coalesce(1)
+
+  private def kmeansAltG(vecs: DataFrame, cents0: DataFrame, iters: Int): DataFrame = {
+    var cents = cents0
+    for (it <- 1 to iters) {
+      cents = updateAltG(assignAltG(vecs, cents))
+      // one checkpoint per round for ALL subspaces (was 4)
       if (it < iters) cents = cents.localCheckpoint()
     }
     cents
@@ -276,9 +349,15 @@ object Differential {
     ArtifactCache.getOrElseUpdate("diff.ivfpq", s, d) {
       val e = Similarity.vecsD(s, d).cache()
       val cents = altCents(s, d)
-      val home = assignAlt(e.select("vec_id", "v"), cents)
+      // home assignment with nrm riding through the argmin aggregate — the
+      // assignAlt-then-join form paid TWO corpus SMJs (v and nrm re-joins)
+      val home = e.select("vec_id", "v", "nrm").crossJoin(broadcast(cents))
+        .withColumn("dist2", dist2Col)
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("cid"))).as("m"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("v"), col("nrm"))
       val resid = home
-        .join(e.select("vec_id", "nrm"), "vec_id")
         .join(broadcast(cents), "cid")
         .select(col("vec_id"), col("cid").as("cell"), col("v"), col("nrm"),
           expr("zip_with(v, c, (x, y) -> x - y)").as("r"), col("c"))
@@ -286,35 +365,30 @@ object Differential {
       val nR = resid.count()
       val trainR = sampleAlt(resid.select(col("vec_id"), col("r").as("v")),
         nR, Similarity.PqK)
-      val M = Similarity.PqM
-      val sub = Similarity.PqSubDim
-      // per-subspace codebooks: k lowest-vec_id seeds, alt Lloyd, then the
-      // same 0-based renumbering (row_number over cid) as the shipped build
-      val codebooks = (0 until M).map { m =>
-        val subTrain = trainR.select(col("vec_id"),
-          expr(s"slice(v, ${m * sub + 1}, $sub)").as("v"))
-        val cents0 = subTrain.orderBy("vec_id").limit(Similarity.PqK)
-          .select(col("vec_id").as("cid"), col("v").as("c"))
-        kmeansAlt(subTrain, cents0, Similarity.IvfIters)
-          .withColumn("cid", row_number().over(Window.orderBy("cid")).cast("long") - 1)
-          .localCheckpoint()
-      }
-      // encode each residual sub-slice by explode-argmin against its
-      // codebook, then join the winning centroid back for reconstruction
-      val coded = (0 until M).foldLeft(resid) { (df, m) =>
-        val cb = codebooks(m)
-        val code = df.select(col("vec_id"),
-            expr(s"slice(r, ${m * sub + 1}, $sub)").as("v"))
-          .crossJoin(broadcast(cb))
-          .withColumn("dist2", dist2Col)
-          .groupBy("vec_id")
-          .agg(min(struct(col("dist2"), col("cid"))).as("mm"))
-          .select(col("vec_id"), col("mm.cid").as(s"code$m"))
-        val cbm = cb.select(col("cid").as(s"code$m"), col("c").as(s"rv$m"))
-        df.join(code, "vec_id").join(broadcast(cbm), s"code$m")
-      }
-      val out = coded
-        .withColumn("rr", expr((0 until M).map(m => s"rv$m").mkString("concat(", ", ", ")")))
+      // ALL M sub-codebooks in one grouped Lloyd (see the subSlices block
+      // above): k lowest-vec_id seeds per subspace (the same ids for every m
+      // — they are trainR's k lowest), then the same per-subspace 0-based
+      // renumbering (row_number over cid WITHIN m) as the shipped build
+      val cents0 = subSlices(trainR.orderBy("vec_id").limit(Similarity.PqK), "v")
+        .select(col("m"), col("vec_id").as("cid"), col("v").as("c"))
+      val codebook = kmeansAltG(subSlices(trainR, "v"), cents0, Similarity.IvfIters)
+        .withColumn("cid",
+          row_number().over(Window.partitionBy("m").orderBy("cid")).cast("long") - 1)
+        .localCheckpoint()
+      // encode every residual sub-slice by explode-argmin against its OWN
+      // subspace codebook (one broadcast equi-join on m), then reassemble
+      // the M winning centroids in subspace order for the reconstruction
+      val codes = subSlices(resid.select(col("vec_id"), col("r")), "r")
+        .join(broadcast(codebook), "m")
+        .withColumn("dist2", dist2Col)
+        .groupBy("m", "vec_id")
+        .agg(min(struct(col("dist2"), col("cid"))).as("mm"))
+        .select(col("m"), col("vec_id"), col("mm.cid").as("cid"))
+      val rr = codes.join(broadcast(codebook), Seq("m", "cid"))
+        .groupBy("vec_id")
+        .agg(expr("flatten(transform(array_sort(collect_list(struct(m, c))), p -> p.c))")
+          .as("rr"))
+      val out = resid.join(rr, "vec_id")
         .withColumn("rv", expr("zip_with(c, rr, (x, y) -> x + y)"))
         .withColumn("rnrm", sqrt(expr("graft_dot(rv, rv)")))
         .select("vec_id", "cell", "v", "nrm", "rv", "rnrm")
@@ -329,7 +403,15 @@ object Differential {
     * vectors) instead of `graft_cell_top`.
     */
   private def v3IvfpqAdc(s: SparkSession, d: String): DataFrame = {
-    val recon = Similarity.withSmallBuild(s, d)(altRecon(s, d))
+    // the alt chain's builds are chattier than the shipped one by design
+    // (two iterative Lloyd chains with per-round sync); below the vec floor
+    // both AQE re-planning AND 32-task floors dominate its KB-sized stages,
+    // so the build also drops to 8 shuffle partitions (restored after —
+    // never flips at scale, where the session's sizing applies)
+    val recon = Similarity.withSmallBuild(s, d) {
+      BuildPlanner.withShufflePartitionsWhen(s, Similarity.smallVecs(s, d), 8)(
+        altRecon(s, d))
+    }
     val e = Similarity.vecsD(s, d)
     val cents = altCents(s, d)
     val probeW = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
@@ -391,12 +473,26 @@ object Differential {
         .select(col("lhs").as("l"), col("rhs").as("r"),
           col("merge_idx").cast("long").as("rk"))
         .cache()
+      // ADVICE r10: the min-rank fixed-point equals the shipped rank-ordered
+      // fold only if no merge's OUTPUT string aliases a LOWER-ranked rule's
+      // lhs/rhs — e.g. rules (abc,d)@j and a later merge@k>j producing "abc"
+      // via a different decomposition would let the fixed-point resurrect
+      // rank j after the one-pass fold had moved past it. Assert it at
+      // rule-load time (driver-side, merge-count-sized — trivially bounded).
+      val rtab = rules.collect()
+        .map(r => (r.getAs[String]("l"), r.getAs[String]("r"), r.getAs[Long]("rk")))
+      val sideMinRank = rtab.iterator
+        .flatMap { case (l, r, k) => Iterator(l -> k, r -> k) }
+        .toSeq.groupMapReduce(_._1)(_._2)(math.min)
+      for ((l, r, k) <- rtab; j <- sideMinRank.get(l + r))
+        require(j >= k, s"BPE symbol aliasing: merge rank $k output '${l + r}' " +
+          s"is a rank-$j rule symbol — min-rank fixed-point would diverge " +
+          "from the rank-ordered fold on this table")
       val vocab = TextOps.docWords(s, d).select("word").distinct()
       // seq0 (the per-char split) is the shared data contract, like v2
       // shares normExpr — char-splitting must agree or nothing downstream can
-      var cur = vocab
-        .select(col("word"), split(TextOps.seq0Expr, TextOps.BpeSep).as("ps"))
-        .localCheckpoint()
+      var (cur, releaseCur) = checkpointTracked(vocab
+        .select(col("word"), split(TextOps.seq0Expr, TextOps.BpeSep).as("ps")))
       val maxRounds = TextOps.bpeMergeCount + 64
       var done = false
       var round = 0
@@ -418,14 +514,24 @@ object Differential {
         else {
           val bestRule = best.join(broadcast(rules), "rk")
             .select(col("word"), col("l"), col("r"))
-          cur = cur.join(bestRule, Seq("word"), "left")
-            .select(col("word"),
-              when(col("l").isNull, col("ps")).otherwise(mergePassExpr).as("ps"))
-            .localCheckpoint() // vocab-sized; truncates the per-round lineage
+          // vocab-sized checkpoint truncates the per-round lineage; the
+          // PREVIOUS round's blocks release as soon as this one exists
+          // (ADVICE r10 — keep only the latest snapshot, not all rounds)
+          val (next, releaseNext) = checkpointTracked(
+            cur.join(bestRule, Seq("word"), "left")
+              .select(col("word"),
+                when(col("l").isNull, col("ps")).otherwise(mergePassExpr).as("ps")))
+          releaseCur()
+          cur = next
+          releaseCur = releaseNext
         }
       }
       val out = cur.cache()
       out.count()
+      // the LAST checkpoint stays: it is the cache's recompute source if a
+      // cached partition is ever dropped (a released localCheckpoint cannot
+      // be rebuilt — its lineage is truncated). One vocab-sized snapshot.
+      rules.unpersist(blocking = false)
       out
     }
 

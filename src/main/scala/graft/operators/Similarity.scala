@@ -51,9 +51,11 @@ object Similarity {
     * [[BuildPlanner]]): below [[AqeFloorVecs]] vectors the quantizer /
     * ranking builds run AQE-off — their stages are KB-sized and per-stage
     * re-planning dominates; at scale the conf never flips. */
+  private[operators] def smallVecs(s: SparkSession, d: String): Boolean =
+    vecCounts.getOrElseUpdate((s, d), Tables.embeddings(s, d).count()) < AqeFloorVecs
+
   private[operators] def withSmallBuild[T](s: SparkSession, d: String)(f: => T): T =
-    BuildPlanner.withAqeOffWhen(s,
-      vecCounts.getOrElseUpdate((s, d), Tables.embeddings(s, d).count()) < AqeFloorVecs)(f)
+    BuildPlanner.withAqeOffWhen(s, smallVecs(s, d))(f)
 
   private[operators] def vecsD(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)

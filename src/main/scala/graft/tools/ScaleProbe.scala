@@ -809,9 +809,13 @@ object ScaleProbe {
         Differential.queries("v5_pack_bpe")(spark, dir),
         graft.operators.TextOps.queries("t22_pack_bpe")(spark, dir))))
       .collect { case (n, run) if wanted(n) => run() }
+    // ADVICE r10: a typo'd GRAFT_DIFFV_ONLY must fail loudly, not emit a
+    // vacuous all_match=true (and the empty parts list left malformed JSON)
+    require(onlyFilter.isEmpty || results.nonEmpty,
+      s"GRAFT_DIFFV_ONLY='${onlyFilter.getOrElse("")}' matched no compare names")
     val parts = results.map { case (n, ok, rows, sec) =>
       s""""$n":{"match":$ok,"rows":$rows,"sec":$sec}""" }
-    println(s"""{"probe":"diff_verify","dir":"$dir","all_match":${results.forall(_._2)},${parts.mkString(",")}}""")
+    println(s"""{"probe":"diff_verify","dir":"$dir","all_match":${results.forall(_._2)}${parts.map("," + _).mkString}}""")
     require(results.forall(_._2), "differential verification mismatch")
     spark.stop()
   }
