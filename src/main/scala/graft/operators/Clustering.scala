@@ -33,8 +33,8 @@ import graft.Tables
   */
 object Clustering {
 
-  private val K = 4
-  private val Iters = 3
+  private[operators] val K = 4
+  private[operators] val Iters = 3
   private[operators] val Dims = 64
 
   /** The k centroids collapsed to ONE broadcastable row holding a
@@ -205,7 +205,7 @@ object Clustering {
         floor(col("inertia") / col("n") * 1000000).cast("long").as("mean_dist2_fp"))
       .orderBy("cluster")
 
-  private val e1Sql = {
+  private[operators] val e1Sql = {
     val ctes = new scala.collection.mutable.ListBuffer[String]
     ctes += s"""vecs AS MATERIALIZED (
                |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -221,7 +221,7 @@ object Clustering {
        |FROM final_assign ORDER BY vec_id""".stripMargin
   }
 
-  private val e3Sql = {
+  private[operators] val e3Sql = {
     val ctes = new scala.collection.mutable.ListBuffer[String]
     ctes += s"""vecs AS MATERIALIZED (
                |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -545,29 +545,43 @@ object Differential {
     * (incl. the portable 60-bit sequence hash) is the shared result
     * contract.
     */
+  /** The per-document id sequences (doc_id, ids) of the ALT chain —
+    * memoized like the shipped [[TextOps.docIdSeqs]] because v6's pack
+    * assembly consumes it again (same tokenize-once shape, independent
+    * derivation end to end).
+    */
+  private[graft] def altDocIdSeqs(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.getOrElseUpdate("diff.docIdSeqs", s, d) {
+      graft.functions.HashRegistry.register(s)
+      val pieces = altEncodedPieces(s, d)
+      val chars = pieces
+        .select(explode(split(TextOps.seq0Expr, TextOps.BpeSep)).as("sym"))
+        .distinct()
+      val base = chars.as("a")
+        .join(chars.withColumnRenamed("sym", "lt").as("b"),
+          col("lt") < col("sym"), "left_outer")
+        .groupBy("sym").agg(count(col("lt")).as("id"))
+      val nBase = chars.count() // alphabet-sized driver scalar
+      val mergedTab = TextOps.t19BpeTrain(s, d)
+        .select(concat(col("lhs"), col("rhs")).as("sym"),
+          (col("merge_idx").cast("long") + lit(nBase - 1)).as("id"))
+      val symtab = base.select("sym", "id").union(mergedTab)
+        .groupBy("sym").agg(min(col("id")).as("id"))
+      val wordPieces = pieces
+        .select(col("word"), posexplode(col("ps")).as(Seq("pi", "sym")))
+        .join(symtab, "sym")
+      val out = TextOps.docWords(s, d).join(wordPieces, "word")
+        .groupBy("doc_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, pi, id))), t -> t.id)")
+          .as("ids"))
+        .cache()
+      out.count()
+      out
+    }
+
   private def v4BpeIds(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashRegistry.register(s)
-    val pieces = altEncodedPieces(s, d)
-    val chars = pieces
-      .select(explode(split(TextOps.seq0Expr, TextOps.BpeSep)).as("sym"))
-      .distinct()
-    val base = chars.as("a")
-      .join(chars.withColumnRenamed("sym", "lt").as("b"),
-        col("lt") < col("sym"), "left_outer")
-      .groupBy("sym").agg(count(col("lt")).as("id"))
-    val nBase = chars.count() // alphabet-sized driver scalar
-    val mergedTab = TextOps.t19BpeTrain(s, d)
-      .select(concat(col("lhs"), col("rhs")).as("sym"),
-        (col("merge_idx").cast("long") + lit(nBase - 1)).as("id"))
-    val symtab = base.select("sym", "id").union(mergedTab)
-      .groupBy("sym").agg(min(col("id")).as("id"))
-    val wordPieces = pieces
-      .select(col("word"), posexplode(col("ps")).as(Seq("pi", "sym")))
-      .join(symtab, "sym")
-    TextOps.docWords(s, d).join(wordPieces, "word")
-      .groupBy("doc_id")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, pi, id))), t -> t.id)")
-        .as("ids"))
+    altDocIdSeqs(s, d)
       .select(col("doc_id"),
         size(col("ids")).cast("long").as("n_bpe_tokens"),
         element_at(col("ids"), 1).as("first_id"),
@@ -589,7 +603,7 @@ object Differential {
     * pack_id/offset arithmetic are the shared contract; everything is
     * integer-exact.
     */
-  private def v5PackBpe(s: SparkSession, d: String): DataFrame = {
+  private def altPackLayout(s: SparkSession, d: String): DataFrame = {
     val np = altEncodedPieces(s, d)
       .select(col("word"), size(col("ps")).cast("long").as("np"))
     val counts = TextOps.docWords(s, d).join(np, "word")
@@ -618,7 +632,98 @@ object Differential {
     scanned.select(col("doc_id"), col("shard"), col("n_tokens"),
       expr(s"(cum - n_tokens) div ${TextOps.PackSize}").cast("int").as("pack_id"),
       expr(s"(cum - n_tokens) % ${TextOps.PackSize}").cast("int").as("pack_offset"))
-      .orderBy("doc_id")
+  }
+
+  private def v5PackBpe(s: SparkSession, d: String): DataFrame =
+    altPackLayout(s, d).orderBy("doc_id")
+
+  // ---------------------------------------------------------------------------
+  // v7/v8 — clustering re-derived: alt Lloyd for e1/e3
+
+  /** Differential twin of `Clustering.finalAssign`: same seeds (K lowest
+    * vec_ids) and iteration count, but every step by the ALT machinery —
+    * explode-argmin assignment (crossJoin + struct-min aggregate vs the
+    * shipped zero-shuffle `graft_cell_top` projection) and posexplode +
+    * DECIMAL(28,14)-sum centroid means (the oracle formulation, vs the
+    * shipped compiled `graft_vecsum_dec` aggregate). Distances come from
+    * the same in-order IEEE kernel (`graft_dist2` ≡ `graft_cell_top`'s
+    * loop), so the final (vec_id, cid, dist2) frame is bit-identical.
+    * e1's oracle DID run at sf100 (r9), but DuckDB degrades at the rung —
+    * the twin makes the clustering family self-verifying there too (r10
+    * verdict #6).
+    */
+  private[graft] def altFinalAssign(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.getOrElseUpdate("diff.kmeans", s, d) {
+      Similarity.withSmallBuild(s, d) {
+        BuildPlanner.withShufflePartitionsWhen(s, Similarity.smallVecs(s, d), 8) {
+          graft.functions.VectorFunctions.register(s)
+          val vecs = Tables.embeddings(s, d)
+            .select(col("vec_id"),
+              expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          val cents0 = vecs.orderBy("vec_id").limit(Clustering.K)
+            .select(col("vec_id").as("cid"), col("v").as("c"))
+          val cents = kmeansAlt(vecs, cents0, Clustering.Iters)
+          val out = vecs.crossJoin(broadcast(cents))
+            .withColumn("dist2", dist2Col)
+            .groupBy("vec_id")
+            .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+            .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist2").as("dist2"))
+            .cache()
+          out.count()
+          out
+        }
+      }
+    }
+
+  private def v7Kmeans(s: SparkSession, d: String): DataFrame =
+    altFinalAssign(s, d)
+      .select(col("vec_id"), col("cid").as("cluster"),
+        floor(col("dist2") * 1000000).cast("long").as("dist2_fp"))
+      .orderBy("vec_id")
+
+  private def v8Inertia(s: SparkSession, d: String): DataFrame =
+    altFinalAssign(s, d)
+      .groupBy(col("cid").as("cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("dist2").cast("decimal(28,14)")).cast("double").as("inertia"))
+      .select(col("cluster"), col("n"),
+        floor(col("inertia") * 1000000).cast("long").as("inertia_fp"),
+        floor(col("inertia") / col("n") * 1000000).cast("long").as("mean_dist2_fp"))
+      .orderBy("cluster")
+
+  // ---------------------------------------------------------------------------
+  // v6 — materialized pack sequences via FLAT TOKEN-LEVEL assembly
+
+  /** Differential twin of t23: per-doc ids from the alt encode chain
+    * ([[altDocIdSeqs]] — min-rank fixed-point, count-based alphabet ids),
+    * the pack layout from the alt mapPartitions scan ([[v5PackBpe]]), and
+    * the per-pack arrays assembled by EXPLODING EVERY TOKEN to its own row
+    * with a global stream position (gpos = pack start + offset-in-doc) and
+    * re-aggregating by floor(gpos / P) — vs the shipped doc-local
+    * slice-per-pack split that never leaves array space. Pack membership,
+    * ordering, and the final projection (incl. the 60-bit sequence hash)
+    * are the shared result contract; everything is integer arithmetic.
+    */
+  private def v6PackSequences(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashRegistry.register(s)
+    val P = TextOps.PackSize
+    val toks = altDocIdSeqs(s, d)
+      .select(col("doc_id"), posexplode(col("ids")).as(Seq("ti", "id")))
+    altPackLayout(s, d).join(toks, "doc_id")
+      .select(col("shard"), col("doc_id"), col("id"),
+        (col("pack_id").cast("long") * P + col("pack_offset") + col("ti")).as("gpos"))
+      .withColumn("pk", expr(s"CAST(gpos div $P AS INT)"))
+      .groupBy("shard", "pk")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        expr("transform(array_sort(collect_list(struct(gpos, id))), t -> t.id)").as("ids"))
+      .select(col("shard"), col("pk").as("pack_id"), col("n_docs"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        element_at(col("ids"), 1).as("first_id"),
+        element_at(col("ids"), -1).as("last_id"),
+        expr("graft_hash60(array_join(transform(ids, i -> CAST(i AS STRING)), ','))")
+          .as("ids_h"))
+      .orderBy("shard", "pack_id")
   }
 
   // ---------------------------------------------------------------------------
@@ -628,7 +733,10 @@ object Differential {
     "v2_spans_merge" -> v2SpansMerge _,
     "v3_ivfpq_adc"   -> v3IvfpqAdc _,
     "v4_bpe_ids"     -> v4BpeIds _,
-    "v5_pack_bpe"    -> v5PackBpe _)
+    "v5_pack_bpe"    -> v5PackBpe _,
+    "v6_pack_sequences" -> v6PackSequences _,
+    "v7_kmeans"      -> v7Kmeans _,
+    "v8_inertia"     -> v8Inertia _)
 
   /** The twins satisfy the SAME result contracts as their shipped
     * counterparts, so they reuse the shipped oracles verbatim — the driver
@@ -639,5 +747,8 @@ object Differential {
     "v2_spans_merge" -> Dedup.d11Sql,
     "v3_ivfpq_adc"   -> Similarity.s7Sql,
     "v4_bpe_ids"     -> TextOps.t21Sql,
-    "v5_pack_bpe"    -> TextOps.t22Sql)
+    "v5_pack_bpe"    -> TextOps.t22Sql,
+    "v6_pack_sequences" -> TextOps.t23Sql,
+    "v7_kmeans"      -> Clustering.e1Sql,
+    "v8_inertia"     -> Clustering.e3Sql)
 }

@@ -1405,30 +1405,44 @@ object TextOps {
   // stream on the word key; per-document assembly is one doc-keyed
   // aggregate whose state is the document's own token ids — the same
   // per-doc boundedness as every doc-local operator here.
+  /** The per-document id-sequence frame (doc_id, ids) behind t21 — memoized
+    * because t23's pack assembly consumes exactly this frame again (the 100
+    * TB analogue: a pipeline tokenizes once and materializes the id column;
+    * every downstream layout reads it, nobody re-derives it).
+    */
+  private[graft] def docIdSeqs(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.getOrElseUpdate("text.docIdSeqs", s, d) {
+      graft.functions.HashRegistry.register(s)
+      val enc = encodedVocab(s, d)
+      // base alphabet from the encoded vocab's WORDS (the set of chars is a
+      // pure function of the vocabulary; seq0's pieces are exactly the chars)
+      val chars = enc.select(explode(split(seq0Expr, BpeSep)).as("sym")).distinct()
+      val base = chars.withColumn("id",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("sym"))
+          .cast("long") - 1)
+      val nBase = base.count() // alphabet-sized driver scalar
+      val mergedTab = t19BpeTrain(s, d)
+        .select(col("merged").as("sym"),
+          (col("merge_idx").cast("long") + lit(nBase - 1)).as("id"))
+      val symtab = base.select("sym", "id").union(mergedTab)
+        .groupBy("sym").agg(min(col("id")).as("id"))
+      val wordIds = enc
+        .select(col("word"), posexplode(split(col("seq"), BpeSep)).as(Seq("pi", "piece")))
+        .join(broadcast(symtab.withColumnRenamed("sym", "piece")), "piece")
+        .groupBy("word")
+        .agg(expr("transform(array_sort(collect_list(struct(pi, id))), p -> p.id)").as("ids"))
+      val out = docWords(s, d).join(wordIds, "word")
+        .groupBy("doc_id")
+        .agg(expr("flatten(transform(array_sort(collect_list(struct(pos, ids))), p -> p.ids))")
+          .as("ids"))
+        .cache()
+      out.count()
+      out
+    }
+
   private def t21BpeIds(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashRegistry.register(s)
-    val enc = encodedVocab(s, d)
-    // base alphabet from the encoded vocab's WORDS (the set of chars is a
-    // pure function of the vocabulary; seq0's pieces are exactly the chars)
-    val chars = enc.select(explode(split(seq0Expr, BpeSep)).as("sym")).distinct()
-    val base = chars.withColumn("id",
-      row_number().over(org.apache.spark.sql.expressions.Window.orderBy("sym"))
-        .cast("long") - 1)
-    val nBase = base.count() // alphabet-sized driver scalar
-    val mergedTab = t19BpeTrain(s, d)
-      .select(col("merged").as("sym"),
-        (col("merge_idx").cast("long") + lit(nBase - 1)).as("id"))
-    val symtab = base.select("sym", "id").union(mergedTab)
-      .groupBy("sym").agg(min(col("id")).as("id"))
-    val wordIds = enc
-      .select(col("word"), posexplode(split(col("seq"), BpeSep)).as(Seq("pi", "piece")))
-      .join(broadcast(symtab.withColumnRenamed("sym", "piece")), "piece")
-      .groupBy("word")
-      .agg(expr("transform(array_sort(collect_list(struct(pi, id))), p -> p.id)").as("ids"))
-    docWords(s, d).join(wordIds, "word")
-      .groupBy("doc_id")
-      .agg(expr("flatten(transform(array_sort(collect_list(struct(pos, ids))), p -> p.ids))")
-        .as("ids"))
+    docIdSeqs(s, d)
       .select(col("doc_id"),
         size(col("ids")).cast("long").as("n_bpe_tokens"),
         element_at(col("ids"), 1).as("first_id"),
@@ -1539,7 +1553,131 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // t23 — MATERIALIZED PACK SEQUENCES: the missing hop between t21 (per-doc
+  // token-id sequences) and t22 (pack layout) — the actual per-pack id
+  // arrays a training job memory-maps. Each document occupies the
+  // half-open token range [g, g + n_tokens) of its shard's stream, where
+  // g = pack_id * PackSize + pack_offset reconstructs the shard-local
+  // cumulative start from t22's own columns; the doc's ids split across
+  // packs floor(g/P) .. floor((g+n-1)/P) by pure doc-local arithmetic
+  // (slice indices), and each pack reassembles its pieces in stream order.
+  //
+  // The 100-TB shape: the only rows that move are (doc_id, ids) — payload-
+  // dominated, not key-dominated — and they move ONCE, into a per-(shard,
+  // pack) aggregation whose state is bounded by PackSize ids per group plus
+  // piece fan-out (n_tokens/PackSize + 1 rows per doc). No window over the
+  // corpus, no driver assembly; shards stay independent streams exactly as
+  // in packOver, so shard-parallelism carries over.
+  private def t23PackSequences(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashRegistry.register(s)
+    val P = PackSize
+    val layout = t22PackBpe(s, d) // (doc_id, shard, n_tokens, pack_id, pack_offset)
+    val pieces = layout.join(docIdSeqs(s, d), "doc_id")
+      .withColumn("g", col("pack_id").cast("long") * P + col("pack_offset"))
+      .select(col("shard"), col("g"), col("ids"),
+        explode(expr(s"sequence(pack_id, CAST((g + n_tokens - 1) div $P AS INT))")).as("p"))
+      .select(col("shard"), col("p").as("pack_id"), col("g"),
+        expr(s"slice(ids, CAST(greatest(p * ${P}L - g, 0) + 1 AS INT), " +
+          s"CAST(least((p + 1) * ${P}L, g + size(ids)) - greatest(p * ${P}L, g) AS INT))")
+          .as("piece"))
+    pieces
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("flatten(transform(array_sort(collect_list(struct(g, piece))), t -> t.piece))")
+          .as("ids"))
+      .select(col("shard"), col("pack_id"), col("n_docs"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        element_at(col("ids"), 1).as("first_id"),
+        element_at(col("ids"), -1).as("last_id"),
+        expr("graft_hash60(array_join(transform(ids, i -> CAST(i AS STRING)), ','))")
+          .as("ids_h"))
+      .orderBy("shard", "pack_id")
+  }
+
+  private[graft] val t23Sql: String = {
+    val sep = "chr(31)"
+    val P = PackSize
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    val enc = bpeEncodeCtes(ctes)
+    // t21's per-doc id sequences (dseq) and t22's layout, verbatim — t23 is
+    // exactly their join, so the oracle re-states both chains
+    val mergeUnion = (1 to BpeMerges).map(k => s"SELECT merge_idx, l, r FROM b$k")
+      .mkString(" UNION ALL ")
+    ctes += s"""chars AS (
+       |  SELECT DISTINCT unnest(string_split(seq, $sep)) AS sym FROM enc0
+       |)""".stripMargin
+    ctes += """base AS MATERIALIZED (
+       |  SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS id FROM chars
+       |)""".stripMargin
+    ctes += s"""symtab AS MATERIALIZED (
+       |  SELECT sym, min(id) AS id FROM (
+       |    SELECT sym, id FROM base
+       |    UNION ALL
+       |    SELECT l || r AS sym, nb.n + merge_idx - 1 AS id
+       |    FROM ($mergeUnion), (SELECT count(*) AS n FROM base) nb
+       |  ) GROUP BY sym
+       |)""".stripMargin
+    ctes += s"""wids AS MATERIALIZED (
+       |  SELECT word, list(id ORDER BY pi) AS ids FROM (
+       |    SELECT word, unnest(range(1, len(ps) + 1)) AS pi, unnest(ps) AS piece
+       |    FROM (SELECT word, string_split(seq, $sep) AS ps FROM $enc)
+       |  ) JOIN symtab ON piece = sym
+       |  GROUP BY word
+       |)""".stripMargin
+    ctes += """dseq AS MATERIALIZED (
+       |  SELECT doc_id, flatten(list(ids ORDER BY pos)) AS ids FROM (
+       |    SELECT doc_id, pos, word FROM (
+       |      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS word
+       |      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+       |            FROM documents))
+       |    WHERE word != ''
+       |  ) JOIN wids USING (word)
+       |  GROUP BY doc_id
+       |)""".stripMargin
+    ctes += s"""bpe_cnt AS (
+       |  SELECT doc_id, CAST(sum(cnt * len(string_split(e.seq, $sep))) AS BIGINT) AS n_tokens
+       |  FROM pdw JOIN $enc e USING (word)
+       |  GROUP BY doc_id
+       |)""".stripMargin
+    ctes += s"""layout AS (
+       |  SELECT doc_id, shard,
+       |    CAST((cum - n_tokens) // $P AS INTEGER) AS pack_id,
+       |    CAST((cum - n_tokens) % $P AS INTEGER) AS pack_offset
+       |  FROM (
+       |    SELECT doc_id, shard, n_tokens,
+       |      CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |    FROM (
+       |      SELECT doc_id, n_tokens,
+       |        CAST(${hash60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards AS INTEGER) AS shard
+       |      FROM bpe_cnt))
+       |)""".stripMargin
+    ctes += s"""pack_pieces AS (
+       |  SELECT shard, CAST(p AS INTEGER) AS pack_id, g,
+       |    list_slice(ids, greatest(p * $P - g, 0) + 1,
+       |               least((p + 1) * $P, g + len(ids)) - g) AS piece
+       |  FROM (
+       |    SELECT l.shard, d.ids,
+       |      CAST(l.pack_id AS BIGINT) * $P + l.pack_offset AS g,
+       |      unnest(range(CAST(l.pack_id AS BIGINT),
+       |        (CAST(l.pack_id AS BIGINT) * $P + l.pack_offset + len(d.ids) - 1) // $P + 1)) AS p
+       |    FROM layout l JOIN dseq d USING (doc_id))
+       |)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT shard, pack_id, n_docs,
+       |  CAST(len(ids) AS BIGINT) AS n_tokens,
+       |  ids[1] AS first_id, ids[-1] AS last_id,
+       |  ${hash60Sql("array_to_string(list_transform(ids, i -> CAST(i AS VARCHAR)), ',')")} AS ids_h
+       |FROM (
+       |  SELECT shard, pack_id, count(*) AS n_docs, flatten(list(piece ORDER BY g)) AS ids
+       |  FROM pack_pieces GROUP BY shard, pack_id
+       |)
+       |ORDER BY shard, pack_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_pack_sequences" -> t23PackSequences _,
     "t17_source_cap"   -> t17SourceCap _,
     "t18_bm25"         -> t18Bm25 _,
     "t19_bpe_train"    -> t19BpeTrain _,
@@ -1564,6 +1702,7 @@ object TextOps {
     "t9_tfidf"              -> t9Tfidf _)
 
   val oracles: Map[String, String] = Map(
+    "t23_pack_sequences" -> t23Sql,
     "t17_source_cap"   -> t17Sql,
     "t18_bm25"         -> t18Sql,
     "t19_bpe_train"    -> t19Sql,

@@ -807,7 +807,20 @@ object ScaleProbe {
         graft.operators.TextOps.queries("t21_bpe_ids")(spark, dir))),
       ("t22_pack_bpe", () => cmp("t22_pack_bpe",
         Differential.queries("v5_pack_bpe")(spark, dir),
-        graft.operators.TextOps.queries("t22_pack_bpe")(spark, dir))))
+        graft.operators.TextOps.queries("t22_pack_bpe")(spark, dir))),
+      // r11: the materialized pack tensors (slice-split vs token-explode
+      // assembly, both rungs of the chain independently derived) ...
+      ("t23_pack_sequences", () => cmp("t23_pack_sequences",
+        Differential.queries("v6_pack_sequences")(spark, dir),
+        graft.operators.TextOps.queries("t23_pack_sequences")(spark, dir))),
+      // ... and the clustering family (alt Lloyd vs cell_top/vecsum_dec) —
+      // e1's oracle ran at sf100 in r9 but DuckDB degrades at the rung
+      ("e1_kmeans", () => cmp("e1_kmeans",
+        Differential.queries("v7_kmeans")(spark, dir),
+        graft.operators.Clustering.queries("e1_kmeans")(spark, dir))),
+      ("e3_inertia", () => cmp("e3_inertia",
+        Differential.queries("v8_inertia")(spark, dir),
+        graft.operators.Clustering.queries("e3_inertia")(spark, dir))))
       .collect { case (n, run) if wanted(n) => run() }
     // ADVICE r10: a typo'd GRAFT_DIFFV_ONLY must fail loudly, not emit a
     // vacuous all_match=true (and the empty parts list left malformed JSON)

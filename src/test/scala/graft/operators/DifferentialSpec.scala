@@ -86,6 +86,27 @@ class DifferentialSpec extends AnyFunSuite {
       "v5 vs t22")
   }
 
+  test("v6 token-explode pack assembly == shipped t23 slice split") {
+    assertSameSet(
+      Differential.queries("v6_pack_sequences")(spark, sf),
+      TextOps.queries("t23_pack_sequences")(spark, sf),
+      "v6 vs t23")
+  }
+
+  test("v7 alt-Lloyd assignment == shipped e1 cell_top/vecsum_dec chain") {
+    assertSameSet(
+      Differential.queries("v7_kmeans")(spark, sf),
+      Clustering.queries("e1_kmeans")(spark, sf),
+      "v7 vs e1")
+  }
+
+  test("v8 alt-Lloyd inertia == shipped e3") {
+    assertSameSet(
+      Differential.queries("v8_inertia")(spark, sf),
+      Clustering.queries("e3_inertia")(spark, sf),
+      "v8 vs e3")
+  }
+
   test("min-rank encoder handles chained, overlapping, and aliasing merges") {
     import spark.implicits._
     // an adversarial rule table exercised directly against the shipped

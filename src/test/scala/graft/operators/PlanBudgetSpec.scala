@@ -142,8 +142,12 @@ class PlanBudgetSpec extends AnyFunSuite {
       // r10: t20 rides the memoized encodedVocab artifact (one shuffle
       // fewer); t21/t22 are its id-sequence and packing consumers
       "t20_bpe_encode" -> Budget(3, 0),
-      "t21_bpe_ids" -> Budget(5, 0),
+      // r11: t21 rides the memoized docIdSeqs artifact (t23 is its second
+      // consumer — tokenize once, read everywhere); t23 assembles per-pack
+      // id arrays from that artifact plus t22's layout
+      "t21_bpe_ids" -> Budget(1, 0),
       "t22_pack_bpe" -> Budget(4, 0),
+      "t23_pack_sequences" -> Budget(4, 0),
       "t2_lang_id" -> Budget(1, 0),
       "t3_fingerprint" -> Budget(1, 0),
       "t4_token_freq" -> Budget(4, 0),
@@ -162,8 +166,15 @@ class PlanBudgetSpec extends AnyFunSuite {
       "v3_ivfpq_adc" -> Budget(3, 1),
       // v4's BNLJ is the alphabet-sized count-strictly-smaller self-join
       // (the windowless id assignment), not a data cross product
-      "v4_bpe_ids" -> Budget(5, 1),
+      // r11: v4 rides the alt docIdSeqs artifact (shared with v6), so the
+      // alphabet BNLJ and the assembly shuffles price into the build
+      "v4_bpe_ids" -> Budget(1, 0),
       "v5_pack_bpe" -> Budget(3, 0),
+      "v6_pack_sequences" -> Budget(5, 0),
+      // r11 clustering twins: alt Lloyd artifact (explode-argmin +
+      // posexplode DECIMAL means) serves both views
+      "v7_kmeans" -> Budget(1, 0),
+      "v8_inertia" -> Budget(2, 0),
       "u5_unpivot" -> Budget(3, 0),
       "u6_rollup" -> Budget(2, 0),
       "u7_grouping_sets" -> Budget(2, 0)
