@@ -37,6 +37,11 @@ import graft.Tables
   *  - v5 — t22's trained-tokenizer packing with an imperative per-shard
   *    mapPartitions prefix scan (vs the shipped window cumsum), counts off
   *    the v4 encode chain.
+  *  - v6 (r11) — t23's materialized pack sequences by flat token-level
+  *    explode/re-aggregate (vs the shipped doc-local slice split), riding
+  *    the v4 ids + v5 layout so the whole chain is independently derived.
+  *  - v7/v8 (r11) — e1/e3 re-derived by the alt Lloyd (explode-argmin +
+  *    posexplode DECIMAL means vs `graft_cell_top`/`graft_vecsum_dec`).
   *
   * All three are wired as ORACLED queries (reusing the shipped oracles —
   * same result contract), so the sf0.01 driver gate checks the twins

@@ -1600,8 +1600,13 @@ object TextOps {
     val P = PackSize
     val ctes = new scala.collection.mutable.ArrayBuffer[String]
     val enc = bpeEncodeCtes(ctes)
-    // t21's per-doc id sequences (dseq) and t22's layout, verbatim — t23 is
-    // exactly their join, so the oracle re-states both chains
+    // The oracle assembles packs at TOKEN level (each token joined to its
+    // global stream position, per-pack string_agg/arg_min over scalars) —
+    // NOT by re-stating t21's dseq CTE: the per-doc list assembly is the
+    // known non-spillable DuckDB shape (t21's own oracle is borderline at
+    // sf10 and infeasible at sf100), and t23's pack lists would double it.
+    // Token-level state is the data itself (the growing per-pack strings),
+    // so this formulation gates sf10 where the list form bad-allocates.
     val mergeUnion = (1 to BpeMerges).map(k => s"SELECT merge_idx, l, r FROM b$k")
       .mkString(" UNION ALL ")
     ctes += s"""chars AS (
@@ -1625,16 +1630,6 @@ object TextOps {
        |  ) JOIN symtab ON piece = sym
        |  GROUP BY word
        |)""".stripMargin
-    ctes += """dseq AS MATERIALIZED (
-       |  SELECT doc_id, flatten(list(ids ORDER BY pos)) AS ids FROM (
-       |    SELECT doc_id, pos, word FROM (
-       |      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS word
-       |      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-       |            FROM documents))
-       |    WHERE word != ''
-       |  ) JOIN wids USING (word)
-       |  GROUP BY doc_id
-       |)""".stripMargin
     ctes += s"""bpe_cnt AS (
        |  SELECT doc_id, CAST(sum(cnt * len(string_split(e.seq, $sep))) AS BIGINT) AS n_tokens
        |  FROM pdw JOIN $enc e USING (word)
@@ -1653,26 +1648,43 @@ object TextOps {
        |        CAST(${hash60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards AS INTEGER) AS shard
        |      FROM bpe_cnt))
        |)""".stripMargin
-    ctes += s"""pack_pieces AS (
-       |  SELECT shard, CAST(p AS INTEGER) AS pack_id, g,
-       |    list_slice(ids, greatest(p * $P - g, 0) + 1,
-       |               least((p + 1) * $P, g + len(ids)) - g) AS piece
-       |  FROM (
-       |    SELECT l.shard, d.ids,
-       |      CAST(l.pack_id AS BIGINT) * $P + l.pack_offset AS g,
-       |      unnest(range(CAST(l.pack_id AS BIGINT),
-       |        (CAST(l.pack_id AS BIGINT) * $P + l.pack_offset + len(d.ids) - 1) // $P + 1)) AS p
-       |    FROM layout l JOIN dseq d USING (doc_id))
+    // per-doc word stream with each word's in-doc token start (scalar
+    // window — np only; the id lists join in AFTER, so the window operator
+    // never materializes a list column: the e2 spill lesson)
+    ctes += """t23_dw AS (
+       |  SELECT doc_id, pos, word FROM (
+       |    SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS word
+       |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+       |          FROM documents))
+       |  WHERE word != ''
+       |)""".stripMargin
+    ctes += """t23_ws AS (
+       |  SELECT doc_id, pos, word,
+       |    CAST(sum(np) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - np AS BIGINT) AS wstart
+       |  FROM (SELECT d.doc_id, d.pos, d.word, len(w.ids) AS np
+       |        FROM t23_dw d JOIN wids w USING (word))
+       |)""".stripMargin
+    ctes += """t23_tok AS (
+       |  SELECT s.doc_id, s.wstart + u.pi - 1 AS ti, u.id
+       |  FROM t23_ws s JOIN (
+       |    SELECT word, unnest(range(1, len(ids) + 1)) AS pi, unnest(ids) AS id
+       |    FROM wids) u USING (word)
+       |)""".stripMargin
+    ctes += s"""t23_gtok AS (
+       |  SELECT l.shard, CAST((l.g + t.ti) // $P AS INTEGER) AS pack_id,
+       |    l.g + t.ti AS gpos, t.id, t.doc_id
+       |  FROM t23_tok t JOIN (
+       |    SELECT doc_id, shard, CAST(pack_id AS BIGINT) * $P + pack_offset AS g
+       |    FROM layout) l USING (doc_id)
        |)""".stripMargin
     s"""WITH ${ctes.mkString(",\n")}
-       |SELECT shard, pack_id, n_docs,
-       |  CAST(len(ids) AS BIGINT) AS n_tokens,
-       |  ids[1] AS first_id, ids[-1] AS last_id,
-       |  ${hash60Sql("array_to_string(list_transform(ids, i -> CAST(i AS VARCHAR)), ',')")} AS ids_h
-       |FROM (
-       |  SELECT shard, pack_id, count(*) AS n_docs, flatten(list(piece ORDER BY g)) AS ids
-       |  FROM pack_pieces GROUP BY shard, pack_id
-       |)
+       |SELECT shard, pack_id, count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS n_tokens,
+       |  arg_min(id, gpos) AS first_id, arg_max(id, gpos) AS last_id,
+       |  ${hash60Sql("string_agg(CAST(id AS VARCHAR), ',' ORDER BY gpos)")} AS ids_h
+       |FROM t23_gtok
+       |GROUP BY shard, pack_id
        |ORDER BY shard, pack_id""".stripMargin
   }
 
