@@ -155,6 +155,21 @@ def main():
     # lineitem stack saves ~15 GB of scratch disk and most of the gen time
     only = os.environ.get("GRAFT_SFX_TABLES")
     wanted = set(only.split(",")) if only else None
+    # GRAFT_SFX_COLS: optional per-table column projection, e.g.
+    #   GRAFT_SFX_COLS="lineitem=l_orderkey,l_suppkey,l_extendedprice"
+    # Kept columns are byte-identical to the full generation (projection
+    # happens BEFORE replication; strides apply only to present columns).
+    # Exists for disk-bounded rungs: full lineitem at K=3000 is ~32 GB on a
+    # ~94 GB box while the graph chain reads exactly three of its columns.
+    cols_env = os.environ.get("GRAFT_SFX_COLS", "")
+    proj = {}
+    for part in filter(None, cols_env.split(";")):
+        t, cs = part.split("=", 1)
+        proj[t] = cs.split(",")
+
+    def base(name):
+        t = read(name)
+        return t.select(proj[name]) if name in proj else t
     print(f"writing sf1 (10x {SRC}) to {out_dir}" +
           (f" tables={sorted(wanted)}" if wanted else ""))
 
@@ -176,9 +191,12 @@ def main():
         write(out_dir, "orders", replicate(read("orders"), {
             "o_orderkey": STRIDE["orderkey"], "o_custkey": STRIDE["custkey"]}))
     if want("lineitem"):
-        write(out_dir, "lineitem", replicate(read("lineitem"), {
-            "l_orderkey": STRIDE["orderkey"], "l_partkey": STRIDE["partkey"],
-            "l_suppkey": STRIDE["suppkey"]}))
+        li = base("lineitem")
+        offs = {c: s for c, s in (("l_orderkey", STRIDE["orderkey"]),
+                                  ("l_partkey", STRIDE["partkey"]),
+                                  ("l_suppkey", STRIDE["suppkey"]))
+                if c in li.column_names}
+        write(out_dir, "lineitem", replicate(li, offs))
     if want("events"):
         write(out_dir, "events", replicate(read("events"), {
             "event_id": STRIDE["event_id"], "user_id": STRIDE["user_id"]}))
