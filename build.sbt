@@ -37,4 +37,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // extra -D flags for the forked main (e.g. the scale rungs pass
+  // -Dgraft.graph.pairsDir=<bucketed-ingest artifact> to Verify/ScaleProbe)
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+").toSeq)

@@ -57,9 +57,17 @@ object Curation {
       // NEAR-DUP COMPONENT hash, so near-duplicates can never straddle
       // train and a held-out split. Tags only — `kept` is unaffected; the
       // training cut is `kept AND split = 'train'`.
-      splitPcts: (Int, Int) = (5, 10))
+      splitPcts: (Int, Int) = (5, 10),
+      // Materialize per-pack token-id tensors (r11 verdict #2): when true,
+      // pack layout counts come from the trained-BPE id sequences (t21's
+      // docIdSeqs artifact — pack boundaries in model-token space, exactly
+      // t22's semantics) and Result.tensors carries the per-(shard, pack)
+      // id arrays assembled through t23's oracle-checked core, so each
+      // written shard dir is loader-ready without re-derivation.
+      packIds: Boolean = false)
 
-  final case class Result(ledger: DataFrame, snapshot: DataFrame, packs: DataFrame)
+  final case class Result(ledger: DataFrame, snapshot: DataFrame, packs: DataFrame,
+      tensors: Option[DataFrame] = None)
 
   def run(spark: SparkSession, dir: String, cfg: Config = Config()): Result = {
     val docs = Tables.documents(spark, dir)
@@ -180,20 +188,53 @@ object Curation {
       if (cfg.redact) keptDocs.withColumn("text", TextOps.redactPii(col("text")))
       else keptDocs
 
-    // pack the KEPT docs only (t13's sharded concat-then-split layout)
-    val wPack = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packs = snapshot
-      .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
-        (TextOps.hash60F(spark, concat(lit("pack:"), col("doc_id").cast(StringType)))
-          % cfg.packShards).cast(IntegerType).as("shard"))
-      .withColumn("cum", sum(col("n_tokens")).over(wPack).cast(LongType))
-      .select(col("doc_id"), col("shard"), col("n_tokens"),
-        expr(s"(cum - n_tokens) div ${cfg.packSize}").cast(IntegerType).as("pack_id"),
-        expr(s"(cum - n_tokens) % ${cfg.packSize}").cast(IntegerType).as("pack_offset"))
+    // pack the KEPT docs only (t13's sharded concat-then-split layout).
+    // Counts: whitespace tokens by default; with packIds, the trained-BPE
+    // sequence lengths (t22 semantics — pack boundaries in model-token
+    // space), so the layout agrees exactly with the materialized tensors.
+    val keptSeqs =
+      if (cfg.packIds)
+        Some(snapshot.select("doc_id").join(TextOps.docIdSeqs(spark, dir), "doc_id"))
+      else None
+    val packCounts = keptSeqs match {
+      case Some(seqs) => seqs.select(col("doc_id"), size(col("ids")).as("n_tokens"))
+      case None => snapshot.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    }
+    def layoutOf(cs: DataFrame): DataFrame = {
+      val wPack = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cs.withColumn("shard",
+          (TextOps.hash60F(spark, concat(lit("pack:"), col("doc_id").cast(StringType)))
+            % cfg.packShards).cast(IntegerType))
+        .withColumn("cum", sum(col("n_tokens")).over(wPack).cast(LongType))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          expr(s"(cum - n_tokens) div ${cfg.packSize}").cast(IntegerType).as("pack_id"),
+          expr(s"(cum - n_tokens) % ${cfg.packSize}").cast(IntegerType).as("pack_offset"))
+    }
+    // Incremental pack APPEND behind admitBatch (r11 verdict #3): the
+    // standing corpus packs once in (shard, doc_id) order; the admitted
+    // batch continues each shard's stream from its last (pack_id, offset)
+    // via t24's oracle-checked packAppend — the standing layout never
+    // re-derives when a batch lands, only the delta moves.
+    val packs = cfg.admitBatch match {
+      case Some((m, r)) =>
+        val standing = layoutOf(packCounts.where(col("doc_id") % m =!= r))
+        standing.unionByName(TextOps.packAppend(spark, standing,
+          packCounts.where(col("doc_id") % m === r).select("doc_id", "n_tokens"),
+          cfg.packSize, cfg.packShards))
+      case None => layoutOf(packCounts)
+    }
 
-    Result(ledger, snapshot, packs)
+    // loader-ready per-pack id tensors over the curated layout — t23's
+    // assembly core verbatim (oracle-checked there), real arrays retained
+    val tensors = keptSeqs.map { seqs =>
+      TextOps.assemblePacks(packs, seqs.select("doc_id", "ids"), cfg.packSize)
+        .select(col("shard"), col("pack_id"), col("n_docs"),
+          size(col("ids")).cast(LongType).as("n_tokens"), col("ids"))
+    }
+
+    Result(ledger, snapshot, packs, tensors)
   }
 
   /** Deterministic partitioned-parquet layout of a snapshot result under
@@ -205,6 +246,8 @@ object Curation {
     *   outDir/snapshot/shard=N/  the kept (optionally redacted) documents,
     *                             physically partitioned by their PACK shard
     *   outDir/packs/shard=N/     the training layout, same shard dirs
+    *   outDir/tensors/shard=N/   (packIds only) the materialized per-pack
+    *                             token-id arrays, same shard dirs
     *
     * The snapshot rides the pack shard so each shard directory is a
     * self-contained training unit (docs + their pack coordinates co-located
@@ -231,13 +274,32 @@ object Curation {
       .repartition(packShards, col("shard"))
       .sortWithinPartitions("shard", "doc_id")
       .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/packs")
-    def parts(t: String): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
-        else if (f.getName.startsWith("part-")) 1L else 0L
-      walk(new java.io.File(s"$outDir/$t"))
+    // materialized per-pack id tensors ride the same shard dirs — the file
+    // a loader memory-maps sits next to the layout that indexes it
+    res.tensors.foreach { t =>
+      t.repartition(packShards, col("shard"))
+        .sortWithinPartitions("shard", "pack_id")
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/tensors")
     }
-    Seq("ledger", "snapshot", "packs").map(t => t -> parts(t)).toMap
+    val spark = res.ledger.sparkSession
+    tableNames(res).map(t => t -> countParts(spark, s"$outDir/$t")).toMap
+  }
+
+  private def tableNames(res: Result): Seq[String] =
+    Seq("ledger", "snapshot", "packs") ++ res.tensors.map(_ => "tensors")
+
+  /** Part-file count under `dir`, walked via the directory's own Hadoop
+    * FileSystem (r11 ADVICE: a java.io.File walk silently returns 0 on any
+    * non-local outDir — hdfs://, s3a:// — exactly the object stores the
+    * 100-TB story targets).
+    */
+  private def countParts(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(path, true)
+    var n = 0L
+    while (it.hasNext) if (it.next().getPath.getName.startsWith("part-")) n += 1
+    n
   }
 
   /** [[run]] + [[write]] in one call. */

@@ -42,6 +42,11 @@ import graft.Tables
   *    the v4 ids + v5 layout so the whole chain is independently derived.
   *  - v7/v8 (r11) — e1/e3 re-derived by the alt Lloyd (explode-argmin +
   *    posexplode DECIMAL means vs `graft_cell_top`/`graft_vecsum_dec`).
+  *  - v9/v10 (r12) — n1/n2's integer PageRank re-derived from the shared
+  *    pair artifact with full-outer-join degrees and explode-both-
+  *    directions rounds (vs the materialized bidirected edge cache), so
+  *    the graph family has in-engine evidence at the rungs where the
+  *    oracle's billions-of-pairs materialized CTEs cannot run.
   *
   * All three are wired as ORACLED queries (reusing the shipped oracles —
   * same result contract), so the sf0.01 driver gate checks the twins
@@ -58,7 +63,14 @@ object Differential {
     * released RDD is never referenced again — its consumer is the next
     * round's checkpoint, already materialized when release fires.
     */
-  private def checkpointTracked(df: DataFrame): (DataFrame, () => Unit) = {
+  /** localCheckpoint + a release thunk that unpersists the checkpoint's RDD
+    * blocks. Exposed package-private so DifferentialSpec can assert the
+    * LogicalRDD match actually fires (ADVICE r11: if a future Spark version
+    * wraps the post-checkpoint plan, release would silently degrade to a
+    * no-op and the r10 storage-accumulation regression would return with no
+    * signal — the spec pins that release() really drops the blocks).
+    */
+  private[operators] def checkpointTracked(df: DataFrame): (DataFrame, () => Unit) = {
     val out = df.localCheckpoint() // eager: blocks exist before we return
     val release: () => Unit = out.queryExecution.logical match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
@@ -732,8 +744,110 @@ object Differential {
   }
 
   // ---------------------------------------------------------------------------
+  // v9/v10 (r12) — the PageRank family's twins, closing the graph chain's
+  // fourth decade where both the direct-join edge build (disk) and the
+  // DuckDB oracle (materialized billions-of-pairs CTEs) are infeasible.
+  // Same shared oracle-checked artifact as every twin family (the weighted
+  // pair frame — n1/n2's own hash-gated build, or the bucketed-ingest
+  // parquet at the rungs), INDEPENDENT algorithm: degrees via a FULL OUTER
+  // JOIN of per-direction counts (vs the bidirected-union groupBy), each
+  // round a SINGLE pass over the UNDIRECTED pairs joined with the rank
+  // frame on BOTH endpoints, every pair exploding into its two directed
+  // contributions (vs n1's materialized bidirected edge cache + one
+  // directed join). Integer fixed-point arithmetic is order-free, so the
+  // term multisets — hence every rank — are bit-identical by construction.
+
+  private val PrScale = 1000000000000L // 10^12 fixed-point, == GraphOps
+  private val PrIters = 3
+
+  /** The alt degree frame: per-direction counts full-outer-joined. On the
+    * bipartite graph both sides are non-overlapping id spaces, so the
+    * coalesce arms are exact.
+    */
+  private def altDeg(pairs: DataFrame, weighted: Boolean): DataFrame = {
+    val (aggS, aggD) =
+      if (weighted) (sum(col("w")).as("c1"), sum(col("w")).as("c2"))
+      else (count(lit(1)).as("c1"), count(lit(1)).as("c2"))
+    pairs.groupBy(col("src").as("node")).agg(aggS)
+      .join(pairs.groupBy(col("dst").as("node")).agg(aggD), Seq("node"), "full_outer")
+      .select(col("node"),
+        (coalesce(col("c1"), lit(0L)) + coalesce(col("c2"), lit(0L))).as("outdeg"))
+  }
+
+  private def prTop20Alt(r: DataFrame): DataFrame = {
+    val label = when(col("node") % 2 === 0, concat(lit("c:"), expr("node div 2").cast("string")))
+      .otherwise(concat(lit("s:"), expr("(node - 1) div 2").cast("string")))
+    r.select(label.as("node"), col("r"))
+      .orderBy(col("r").desc, col("node"))
+      .limit(20)
+      .select(col("node"), col("r").as("rank_fp"), expr("r div 10000").as("rank_e8"))
+  }
+
+  /** One explode-both-directions fixed-point run; `weighted` selects n2's
+    * split-multiplication share formula (bit-exact floor(r*w/W)).
+    */
+  private def altRankFrame(s: SparkSession, d: String, weighted: Boolean): DataFrame = {
+    val pairs = GraphOps.weightedPairs(s, d)
+    // node-sized; flattened once (and memoized — v9/v10 run back to back in
+    // the suite) so the per-round deg rejoin reads a materialized frame
+    // instead of re-aggregating the pair volume
+    val deg = ArtifactCache.getOrElseUpdate(
+        if (weighted) "diff.graphWdeg" else "diff.graphDeg", s, d) {
+      altDeg(pairs, weighted).localCheckpoint()
+    }
+    val meta = deg.agg(count(lit(1)), sum(col("outdeg"))).first()
+    val nNodes = meta.getLong(0)
+    // each undirected pair carries two directed edges; in weighted mode
+    // outdeg sums cents, so derive the edge count from the pair frame
+    val nEdges = if (weighted) 2L * pairs.count() else meta.getLong(1)
+    val tele = (PrScale / nNodes * 15L) / 100L
+    BuildPlanner.withAqeOffWhen(s, nEdges < 10000000L) {
+    BuildPlanner.withShufflePartitionsWhen(s, nEdges < 10000000L, 8) {
+      var (r, release) = checkpointTracked(
+        deg.select(col("node"), col("outdeg"), lit(PrScale / nNodes).as("r")))
+      for (_ <- 1 to PrIters) {
+        val rs = r.select(col("node").as("src"), col("r").as("r_s"), col("outdeg").as("wo_s"))
+        val rd = r.select(col("node").as("dst"), col("r").as("r_d"), col("outdeg").as("wo_d"))
+        val contribs = pairs.join(rs, "src").join(rd, "dst")
+          .select(explode(expr(
+            if (weighted)
+              "array(struct(dst AS node, (r_s div wo_s) * w + ((r_s % wo_s) * w) div wo_s AS share)," +
+              " struct(src AS node, (r_d div wo_d) * w + ((r_d % wo_d) * w) div wo_d AS share))"
+            else
+              "array(struct(dst AS node, r_s div wo_s AS share)," +
+              " struct(src AS node, r_d div wo_d AS share))")).as("t"))
+          .select(col("t.node").as("node"), col("t.share").as("share"))
+          .groupBy("node").agg(sum(col("share")).as("contrib"))
+        val (next, releaseNext) = checkpointTracked(contribs
+          .join(deg, "node")
+          .select(col("node"), col("outdeg"),
+            (lit(tele) + expr("(85 * contrib) div 100")).as("r")))
+        release()
+        r = next; release = releaseNext
+      }
+      r.select("node", "r")
+    }
+    }
+  }
+
+  /** Full-frame accessors for the scale-rung compares (diffv matches every
+    * node's rank, not just the 20 displayed rows).
+    */
+  private[graft] def v9RankFrame(s: SparkSession, d: String): DataFrame =
+    altRankFrame(s, d, weighted = false)
+  private[graft] def v10RankFrame(s: SparkSession, d: String): DataFrame =
+    altRankFrame(s, d, weighted = true)
+
+  private def v9PageRank(s: SparkSession, d: String): DataFrame =
+    prTop20Alt(v9RankFrame(s, d))
+  private def v10WeightedPageRank(s: SparkSession, d: String): DataFrame =
+    prTop20Alt(v10RankFrame(s, d))
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v9_pagerank"    -> v9PageRank _,
+    "v10_weighted_pagerank" -> v10WeightedPageRank _,
     "v1_cc_twostar"  -> v1CcTwostar _,
     "v2_spans_merge" -> v2SpansMerge _,
     "v3_ivfpq_adc"   -> v3IvfpqAdc _,
@@ -748,6 +862,8 @@ object Differential {
     * gate then independently confirms both implementations against DuckDB.
     */
   val oracles: Map[String, String] = Map(
+    "v9_pagerank"    -> GraphOps.n1SqlShared,
+    "v10_weighted_pagerank" -> GraphOps.n2SqlShared,
     "v1_cc_twostar"  -> Dedup.d9Sql,
     "v2_spans_merge" -> Dedup.d11Sql,
     "v3_ivfpq_adc"   -> Similarity.s7Sql,

@@ -287,7 +287,12 @@ object GraphOps {
         expr("r div 10000").as("rank_e8"))
   }
 
-  private def n1PageRank(s: SparkSession, d: String): DataFrame = {
+  /** The full converged (3-round) rank frame (node, r) — n1's result
+    * before the top-20 presentation cut. Exposed for the differential rank
+    * compare (`ScaleProbe diffv`): at the scale rungs the v9 twin matches
+    * this WHOLE frame, not just the 20 displayed rows.
+    */
+  private[graft] def n1RankFrame(s: SparkSession, d: String): DataFrame = {
     // Per-round localCheckpoint measured AGAIN in round 7 against a fully
     // nested 3-round plan and a checkpoint-every-2nd variant (sf0.1, idle):
     // 5.98 s vs 7.16 s vs 7.02 s — the flat identical-shape rounds (codegen
@@ -296,9 +301,12 @@ object GraphOps {
     BuildPlanner.withAqeOffWhen(s, g.nEdges < AqeFloorEdges) {
       var r = prInit(g)
       for (_ <- 1 to Iters) r = prRound(g, r)
-      prTop20(r)
+      r.select("node", "r")
     }
   }
+
+  private def n1PageRank(s: SparkSession, d: String): DataFrame =
+    prTop20(n1RankFrame(s, d))
 
   /** Convergence-driven twin of n1: the same float-free fixed-point round,
     * iterated until the largest per-node rank change drops below `epsFp`
@@ -349,7 +357,7 @@ object GraphOps {
     }
   }
 
-  private val n1Sql = {
+  private[operators] val n1SqlShared: String = {
     val iters = (1 to Iters).map { i =>
       val prev = s"r${i - 1}"
       // the graph is BIDIRECTED, so every node receives contributions — the
@@ -408,16 +416,88 @@ object GraphOps {
     * the DECIMAL(18,2) cast. Cached and shared: n1 projects the keys (the
     * group keys ARE its distinct pairs), n2 consumes the weights.
     */
-  private def weightedPairs(s: SparkSession, d: String): DataFrame =
+  private[operators] def weightedPairs(s: SparkSession, d: String): DataFrame =
     ArtifactCache.getOrElseUpdate("graph.weightedPairs", s, d) {
-      Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-        .agg(expr("CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT)").as("w"))
-        .cache()
+      sys.props.get("graft.graph.pairsDir") match {
+        case Some(dir) =>
+          // Pre-built bucketed-ingest artifact (see buildPairsBucketed):
+          // the parquet IS the cache — columnar re-scans are cheap, while
+          // a .cache() of a billions-of-pairs frame would double the scale
+          // rung's disk footprint beside the edge cache.
+          s.read.parquet(dir)
+        case None =>
+          Tables.orders(s, d)
+            .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+            .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+            .agg(pairWeight)
+            .cache()
+      }
     }
 
-  private def n2WeightedPageRank(s: SparkSession, d: String): DataFrame = {
+  /** Integer-cents edge weight — DECIMAL(18,2)-routed so both engines and
+    * both build paths (direct join, bucketed ingest) agree bit-for-bit.
+    */
+  private def pairWeight =
+    expr("CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT)").as("w")
+
+  /** Bucketed co-located edge build (r11 verdict #1): writes orders and
+    * lineitem bucketed + sorted on the orderkey, joins them EXCHANGE-FREE
+    * (SortMergeJoin over co-located buckets — BucketingSpec's recipe at the
+    * graph build's scale bottleneck), aggregates the weighted pairs, and
+    * lands them as a plain-parquet artifact that `graft.graph.pairsDir`
+    * serves to every rank query. This removes the ~3B-row join shuffle
+    * whose spill blew the sf300 disk envelope: the only remaining wide op
+    * in the build is the pair aggregate itself (map-side combined).
+    *
+    * At 100 TB this is the standing ingest layout: fact tables land
+    * bucketed by their join key once at write time, so the edge build —
+    * and every other orderkey join — never pays a shuffle again.
+    *
+    * Returns (pair count, zero-exchange-join flag) — the flag is asserted
+    * by BucketedGraphSpec and recorded by the scale probe.
+    */
+  def buildPairsBucketed(s: SparkSession, d: String, outDir: String,
+      buckets: Int = 64): (Long, Boolean) = {
+    val ord = "graft_b_orders"; val li = "graft_b_lineitem"
+    s.sql(s"DROP TABLE IF EXISTS $ord")
+    s.sql(s"DROP TABLE IF EXISTS $li")
+    // repartition on the bucket expression BEFORE bucketBy: repartition's
+    // HashPartitioning is the same murmur3-pmod bucketing uses, so each
+    // write task holds exactly one bucket → ONE sorted file per bucket and
+    // the join streams merge-sorted with neither Exchange NOR Sort. This is
+    // "pay the shuffle once at write time": two sequential table-sized
+    // shuffles here, freed at write completion, replace the join-time
+    // shuffle whose spill (both sides + sort, co-resident) blew the rung.
+    Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .repartition(buckets, col("o_orderkey"))
+      .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$outDir/b_orders")
+      .mode("overwrite").saveAsTable(ord)
+    Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice")
+      .repartition(buckets, col("l_orderkey"))
+      .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$outDir/b_lineitem")
+      .mode("overwrite").saveAsTable(li)
+    val pairs = s.table(ord)
+      .join(s.table(li), col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(pairWeight)
+    // audit the STATIC physical plan (pre-AQE — the co-location property
+    // is compile-time; touching finalPhysicalPlan here would re-execute):
+    // the bucketed join must not shuffle its inputs, so the pair
+    // aggregate's single exchange is the only one allowed
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.children.map(exchanges).sum +
+        (if (p.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) 1 else 0)
+    val colocated = exchanges(pairs.queryExecution.sparkPlan) <= 1
+    pairs.write.mode("overwrite").parquet(s"$outDir/pairs")
+    s.sql(s"DROP TABLE IF EXISTS $ord")
+    s.sql(s"DROP TABLE IF EXISTS $li")
+    (s.read.parquet(s"$outDir/pairs").count(), colocated)
+  }
+
+  /** n2's full rank frame (node, r) — see [[n1RankFrame]]. */
+  private[graft] def n2RankFrame(s: SparkSession, d: String): DataFrame = {
     // same round-7 shape as n1: in broadcast mode dst's weight-out rides
     // the fat edge frame (one broadcast + one map-side-combined aggregate
     // per round); in thin-edge scale mode the round re-acquires wout via
@@ -449,20 +529,14 @@ object GraphOps {
           (lit(teleport(nNodes)) + expr("(85 * contrib) div 100")).as("r"))
         .localCheckpoint()
     }
-    val label = when(col("node") % 2 === 0, concat(lit("c:"), expr("node div 2").cast("string")))
-      .otherwise(concat(lit("s:"), expr("(node - 1) div 2").cast("string")))
-    r.select(label.as("node"), col("r"))
-      .orderBy(col("r").desc, col("node"))
-      .limit(20)
-      .select(col("node"), col("r").as("rank_fp"),
-        // integer 1e-8 rank units (rank_fp div 10^4), not round(double, 8):
-        // k/10^12 quotients are the exact population whose shortest decimal
-        // repr rounds apart from the binary value (o6 precedent)
-        expr("r div 10000").as("rank_e8"))
+    r.select("node", "r")
     }
   }
 
-  private val n2Sql = {
+  private def n2WeightedPageRank(s: SparkSession, d: String): DataFrame =
+    prTop20(n2RankFrame(s, d))
+
+  private[operators] val n2SqlShared: String = {
     val iters = (1 to Iters).map { i =>
       val prev = s"wr${i - 1}"
       // bidirected graph: the aggregate's key set is the node set, so the
@@ -529,6 +603,6 @@ object GraphOps {
     "n2_weighted_pagerank" -> n2WeightedPageRank _)
 
   val oracles: Map[String, String] = Map(
-    "n1_pagerank" -> n1Sql,
-    "n2_weighted_pagerank" -> n2Sql)
+    "n1_pagerank" -> n1SqlShared,
+    "n2_weighted_pagerank" -> n2SqlShared)
 }

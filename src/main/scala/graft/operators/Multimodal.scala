@@ -402,7 +402,180 @@ object Multimodal {
       |    i -> (i % 997 + 1) * sm[CAST(i AS INTEGER) + 1])) AS BIGINT) AS possum
       |FROM s ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // m6 — PERCEPTUAL IMAGE DEDUP (r11 verdict #5): dHash fingerprints over
+  // the REAL decoded pixel streams, then d7's banded-hamming blocking. Each
+  // doc's canonical 18x16 gray image (text bytes, cyclic — m4's pixelsFor)
+  // is encoded at scale s = 1 + doc_id % 3 (nearest-neighbor upscale to
+  // 18s x 16s, real BMP-8 or PNG-gray bytes), decoded back by ImageCodec,
+  // and average-pooled onto the 9x8 dHash grid: bit (gy*8+gx) is set iff
+  // cell (gx,gy)'s sum exceeds cell (gx+1,gy)'s. The grid divides every
+  // scaled dimension (9|18s, 8|16s), so an upscaled cell sum is exactly
+  // s^2 x the canonical cell sum and every comparison — hence the whole
+  // 64-bit fingerprint — is SCALE-INVARIANT: the same content at three
+  // resolutions hashes identically, which is the property a perceptual
+  // hash exists to provide (and what the oracle exploits: it re-derives
+  // the fingerprint arithmetically from the CANONICAL pixel stream, so a
+  // decoder or pooling bug at any scale cannot hash-match).
+  //
+  // Pairing is d7's shape verbatim: 4 x 16-bit bands of the fingerprint
+  // (pigeonhole: hamming <= 3 shares an unchanged band; the <= 6 threshold
+  // keeps recall via multi-band collisions exactly as d7), keep-list
+  // bounded at 4 x 2^16 = 262144 rows regardless of corpus size (broadcast
+  // is structurally safe), bucket cap prunes degenerate bands. Scale shape
+  // = d7's: banded and capped, never all-pairs.
+  private val DHashGridW = 9
+  private val DHashGridH = 8
+  private val CanonW = 18
+  private val CanonH = 16
+  private val DHashMaxBucket = 64
+  private val DHashMaxHamming = 6
+
+  /** 64-bit dHash of a decoded gray image whose dims the 9x8 grid divides:
+    * average-pool (sums — counts are equal per cell) and compare adjacent
+    * columns. All-integer, so engines agree bit-for-bit.
+    */
+  private[operators] def dhashOf(w: Int, h: Int, px: Array[Byte]): Long = {
+    val cw = w / DHashGridW; val ch = h / DHashGridH
+    require(cw * DHashGridW == w && ch * DHashGridH == h,
+      s"dHash pooling needs grid-divisible dims, got ${w}x$h")
+    val sums = Array.ofDim[Long](DHashGridH, DHashGridW)
+    var y = 0
+    while (y < h) {
+      val row = sums(y / ch); val off = y * w
+      var x = 0
+      while (x < w) { row(x / cw) += (px(off + x) & 0xff).toLong; x += 1 }
+      y += 1
+    }
+    var fp = 0L
+    var gy = 0
+    while (gy < DHashGridH) {
+      var gx = 0
+      while (gx < DHashGridW - 1) {
+        if (sums(gy)(gx) > sums(gy)(gx + 1)) fp |= (1L << (gy * 8 + gx))
+        gx += 1
+      }
+      gy += 1
+    }
+    fp
+  }
+
+  /** (media_id, media): the canonical content encoded at per-doc scale as
+    * real image bytes — the corpus the perceptual-dedup stage decodes.
+    */
+  def scaledMediaTable(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType)))
+    val src = Tables.documents(s, d)
+      // same ASCII-only drift guard as m4 (bytes here, codepoints in the oracle)
+      .where(length(col("text")) >= 1 && octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), col("text"))
+    val rdd = src.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val canon = pixelsFor(r.getString(1).getBytes("UTF-8"), CanonW * CanonH)
+        val sc = (1 + id % 3).toInt
+        val w = CanonW * sc; val h = CanonH * sc
+        val pix = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          val crow = (y / sc) * CanonW; val off = y * w
+          var x = 0
+          while (x < w) { pix(off + x) = canon(crow + x / sc); x += 1 }
+          y += 1
+        }
+        val bytes =
+          if (id % 2 == 0) graft.ingest.ImageCodec.encodeBmp8Gray(w, h, pix)
+          else graft.ingest.ImageCodec.encodePng(w, h, 1, pix)
+        Row(id, bytes)
+      }
+    }
+    s.createDataFrame(rdd, schema)
+  }
+
+  /** Decode + fingerprint stage over the opaque binary column. */
+  def imageDhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dhash", LongType)))
+    val rdd = media.select("media_id", "media").rdd.mapPartitions { it =>
+      it.map { r =>
+        val dec = graft.ingest.ImageCodec.decode(r.getAs[Array[Byte]](1))
+        require(dec.channels == 1, s"dHash stage expects gray, got ${dec.channels}")
+        Row(r.getLong(0), dhashOf(dec.width, dec.height, dec.pixels))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  private def m6PhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sims = imageDhash(scaledMediaTable(s, d)).cache()
+    val bands = sims.select(col("media_id"), col("dhash"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(dhash, b * 16) & 65535)"))
+        .as(Seq("band_idx", "band_key")))
+    val keep = bands.groupBy("band_idx", "band_key").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") >= 2 && col("bsz") <= DHashMaxBucket)
+      .select("band_idx", "band_key")
+    // structurally bounded keep-list (4 bands x 2^16 keys max) — broadcast
+    // is safe for the same reason as d7's, and unlike the MinHash list
+    val pruned = bands.join(broadcast(keep), Seq("band_idx", "band_key"))
+    val a = pruned.as("a"); val b = pruned.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"),
+        expr("bit_count(a.dhash ^ b.dhash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= DHashMaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val m6Sql = {
+    val nPix = CanonW * CanonH
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, length(text) AS len,
+       |    list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))) AS bs
+       |  FROM documents WHERE length(text) >= 1 AND strlen(text) = length(text)
+       |), cells AS (
+       |  SELECT media_id, (u.j % $CanonW) // 2 AS gx, (u.j // $CanonW) // 2 AS gy,
+       |    CAST(sum(bs[CAST(u.j % len AS INTEGER) + 1]) AS BIGINT) AS s
+       |  FROM m, (SELECT unnest(range(0, $nPix)) AS j) u
+       |  GROUP BY 1, 2, 3
+       |), fp AS MATERIALIZED (
+       |  -- bit 63 contributes as -2^63 so the HUGEINT sum lands exactly on
+       |  -- the signed 64-bit value Spark's Long bit-or produces
+       |  SELECT a.media_id, CAST(sum(CASE
+       |      WHEN a.s <= b.s THEN 0::HUGEINT
+       |      WHEN a.gy * 8 + a.gx = 63 THEN -9223372036854775808::HUGEINT
+       |      ELSE (1::HUGEINT << CAST(a.gy * 8 + a.gx AS INTEGER)) END) AS BIGINT) AS dhash
+       |  FROM cells a JOIN cells b
+       |    ON a.media_id = b.media_id AND a.gy = b.gy AND b.gx = a.gx + 1
+       |  WHERE a.gx < ${DHashGridW - 1}
+       |  GROUP BY a.media_id
+       |), bands AS MATERIALIZED (
+       |  SELECT media_id, dhash, r.range AS band_idx,
+       |    (dhash >> CAST(r.range * 16 AS INTEGER)) & 65535 AS band_key
+       |  FROM fp, range(0, 4) r
+       |), keep AS (
+       |  SELECT band_idx, band_key FROM bands GROUP BY band_idx, band_key
+       |  HAVING count(*) BETWEEN 2 AND $DHashMaxBucket
+       |), cand AS (
+       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b,
+       |    CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+       |  FROM bands a
+       |       JOIN keep k ON a.band_idx = k.band_idx AND a.band_key = k.band_key
+       |       JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |         AND a.media_id < b.media_id
+       |)
+       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= $DHashMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_phash_pairs"  -> m6PhashPairs _,
     "m1_binary_meta"  -> m1BinaryMeta _,
     "m2_frame_sample" -> m2FrameSample _,
     "m3_features"     -> m3Features _,
@@ -410,6 +583,7 @@ object Multimodal {
     "m5_decoded_audio" -> m5DecodedAudio _)
 
   val oracles: Map[String, String] = Map(
+    "m6_phash_pairs"  -> m6Sql,
     "m1_binary_meta"  -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "m3_features"     -> m3Sql,

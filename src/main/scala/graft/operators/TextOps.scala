@@ -1569,11 +1569,21 @@ object TextOps {
   // piece fan-out (n_tokens/PackSize + 1 rows per doc). No window over the
   // corpus, no driver assembly; shards stay independent streams exactly as
   // in packOver, so shard-parallelism carries over.
-  private def t23PackSequences(s: SparkSession, d: String): DataFrame = {
-    graft.functions.HashRegistry.register(s)
-    val P = PackSize
-    val layout = t22PackBpe(s, d) // (doc_id, shard, n_tokens, pack_id, pack_offset)
-    val pieces = layout.join(docIdSeqs(s, d), "doc_id")
+  /** t23's assembly core, reusable over ANY (layout, id-sequence) pair —
+    * r12: `api.Curation` materializes loader-ready pack tensors over the
+    * curated corpus through exactly this path, so the sink cannot drift
+    * from the oracle-checked t23 semantics. `layout` carries (doc_id,
+    * shard, n_tokens, pack_id, pack_offset), `seqs` carries (doc_id, ids);
+    * returns one row per (shard, pack_id) with the materialized id array.
+    *
+    * The `n_tokens > 0` guard makes the doc-local explode's invariant
+    * explicit (ADVICE r11): Spark's sequence(a, b) with b < a emits a
+    * DESCENDING sequence, so a zero-token doc would otherwise fabricate
+    * spurious pack pieces with negative slice lengths instead of
+    * contributing nothing.
+    */
+  private[graft] def assemblePacks(layout: DataFrame, seqs: DataFrame, P: Int): DataFrame = {
+    val pieces = layout.where(col("n_tokens") > 0).join(seqs, "doc_id")
       .withColumn("g", col("pack_id").cast("long") * P + col("pack_offset"))
       .select(col("shard"), col("g"), col("ids"),
         explode(expr(s"sequence(pack_id, CAST((g + n_tokens - 1) div $P AS INT))")).as("p"))
@@ -1586,6 +1596,12 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         expr("flatten(transform(array_sort(collect_list(struct(g, piece))), t -> t.piece))")
           .as("ids"))
+  }
+
+  private def t23PackSequences(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashRegistry.register(s)
+    val layout = t22PackBpe(s, d) // (doc_id, shard, n_tokens, pack_id, pack_offset)
+    assemblePacks(layout, docIdSeqs(s, d), PackSize)
       .select(col("shard"), col("pack_id"), col("n_docs"),
         size(col("ids")).cast("long").as("n_tokens"),
         element_at(col("ids"), 1).as("first_id"),
@@ -1688,7 +1704,94 @@ object TextOps {
        |ORDER BY shard, pack_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // t24 — INCREMENTAL PACK APPEND (r11 verdict #3): an admitted batch today
+  // implied re-packing the corpus; real pipelines append to the STANDING
+  // pack layout, continuing each shard's token stream from its last
+  // (pack_id, offset). packAppend derives each shard's resume position from
+  // the standing layout ALONE (max over pack_id*P + pack_offset + n_tokens —
+  // the cumsum is strictly increasing, so the max is the shard's token
+  // total), then windows only the new docs: the standing corpus never moves
+  // again. The oracle is the full RE-PACK of the concatenated corpus
+  // (window ordered (is_new, doc_id) per shard, filtered to the new batch) —
+  // append == re-pack is exactly the invariant a production append must
+  // keep, checked engine-vs-engine through two genuinely different routes.
+  //
+  // The 100-TB shape: the standing side contributes one shard-count-sized
+  // aggregate (16 rows — structurally bounded, broadcast); only the DELTA
+  // batch is windowed and moved. All-integer arithmetic, engine-exact.
+  private val AppendMod = 5L  // == d12's incremental-batch (modulus, residue)
+  private val AppendRes = 4L
+
+  /** Per-shard resume positions of a standing pack layout: the shard's
+    * token total, read off its own columns (no re-scan of the corpus).
+    */
+  private[graft] def packResume(standing: DataFrame, P: Int): DataFrame =
+    standing.groupBy("shard")
+      .agg(max(col("pack_id").cast("long") * P + col("pack_offset") + col("n_tokens"))
+        .as("base"))
+
+  /** Append `newCounts` (doc_id, n_tokens) to the stream positions in
+    * `bases` (shard, base): returns layout rows for the NEW docs only, each
+    * shard's stream continuing from its base. Shards absent from `bases`
+    * start at position 0. The micro-batch form: a streaming appender holds
+    * the 16-row base frame as its only state.
+    */
+  private[graft] def packAppendFrom(s: SparkSession, bases: DataFrame,
+      newCounts: DataFrame, P: Int, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    newCounts
+      .withColumn("shard",
+        (hash60F(s, concat(lit("pack:"), col("doc_id").cast(StringType))) % shards)
+          .cast(IntegerType))
+      .withColumn("cum", sum(col("n_tokens")).over(w).cast(LongType))
+      // shard-count-sized (<= `shards` rows): structurally bounded broadcast
+      .join(broadcast(bases), Seq("shard"), "left")
+      .withColumn("g", coalesce(col("base"), lit(0L)) + col("cum") - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"g div $P").cast(IntegerType).as("pack_id"),
+        expr(s"g % $P").cast(IntegerType).as("pack_offset"))
+  }
+
+  /** Append `newCounts` to a standing pack LAYOUT: the resume positions are
+    * read off the layout's own columns (see [[packResume]]), the standing
+    * corpus itself never moves again.
+    */
+  private[graft] def packAppend(s: SparkSession, standing: DataFrame,
+      newCounts: DataFrame, P: Int, shards: Int): DataFrame =
+    packAppendFrom(s, packResume(standing, P), newCounts, P, shards)
+
+  private def t24PackAppend(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    val standing = packOver(s, counts.where(col("doc_id") % AppendMod =!= AppendRes))
+    packAppend(s, standing, counts.where(col("doc_id") % AppendMod === AppendRes),
+      PackSize, PackShards)
+      .orderBy("doc_id")
+  }
+
+  private val t24Sql =
+    s"""SELECT doc_id, shard, n_tokens, pack_id, pack_offset FROM (
+       |  SELECT doc_id, shard, n_tokens, is_new,
+       |    CAST((cum - n_tokens) // $PackSize AS INTEGER) AS pack_id,
+       |    CAST((cum - n_tokens) % $PackSize AS INTEGER) AS pack_offset
+       |  FROM (
+       |    SELECT doc_id, shard, n_tokens, is_new,
+       |      CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY is_new, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |    FROM (
+       |      SELECT doc_id,
+       |        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+       |        CAST(${hash60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards AS INTEGER) AS shard,
+       |        doc_id % $AppendMod = $AppendRes AS is_new
+       |      FROM documents)))
+       |WHERE is_new
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_pack_append" -> t24PackAppend _,
     "t23_pack_sequences" -> t23PackSequences _,
     "t17_source_cap"   -> t17SourceCap _,
     "t18_bm25"         -> t18Bm25 _,
@@ -1714,6 +1817,7 @@ object TextOps {
     "t9_tfidf"              -> t9Tfidf _)
 
   val oracles: Map[String, String] = Map(
+    "t24_pack_append" -> t24Sql,
     "t23_pack_sequences" -> t23Sql,
     "t17_source_cap"   -> t17Sql,
     "t18_bm25"         -> t18Sql,

@@ -307,6 +307,46 @@ object StreamOps {
     w.start()
   }
 
+  /** Streaming pack materialization (r12 stretch): each micro-batch of
+    * (doc_id, n_tokens) rows appends to the standing pack layout through
+    * t24's oracle-checked `packAppendFrom`, emitting that batch's layout
+    * DELTA to the sink. The only cross-batch state is the 16-row per-shard
+    * resume frame, advanced on the driver after each batch — exactly the
+    * state a production appender checkpoints. Within a shard, arrival
+    * order IS pack order (the append semantic): a feed whose slices arrive
+    * in doc_id order reproduces the batch re-pack bit-for-bit
+    * (StreamingPackSpec pins 3-cut parity vs `TextOps.packAppend`).
+    */
+  def packStream(newCounts: DataFrame, standing: DataFrame,
+      packSize: Int, shards: Int, checkpoint: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = newCounts.sparkSession
+    import graft.operators.TextOps
+    // driver-held resume positions, seeded from the standing layout
+    val bases = scala.collection.mutable.Map[Int, Long]() ++
+      TextOps.packResume(standing, packSize).collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+    val w = newCounts.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import spark.implicits._
+        val baseDf = bases.toSeq.toDF("shard", "base")
+        val delta = TextOps
+          .packAppendFrom(spark, baseDf, batch.select("doc_id", "n_tokens"),
+            packSize, shards)
+          .localCheckpoint() // one deterministic materialization: the sink
+                             // and the base advance must see the same rows
+        delta.groupBy("shard")
+          .agg(max(col("pack_id").cast("long") * packSize + col("pack_offset")
+            + col("n_tokens")).as("end"))
+          .collect()
+          .foreach(r => bases(r.getInt(0)) = r.getLong(1))
+        sink(delta, id)
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   /** Run any batch-or-stream transform over a parquet directory as a stream
     * into an in-memory table; returns the collected result (test/demo
     * harness for stream/batch parity).

@@ -52,6 +52,9 @@ object ScaleProbe {
         if (args.length > 1) args(1).toInt else 1000000,
         if (args.length > 2) args(2).toInt else 200000,
         if (args.length > 3) args(3).toInt else 8)
+    else if (args.headOption.contains("graphbuild"))
+      runGraphBuild(args(1), args(2),
+        if (args.length > 3) args(3).toInt else 64)
     else if (args.headOption.contains("curation"))
       runCuration(if (args.length > 1) args(1) else "/root/testdata/sf0.01")
     else if (args.headOption.contains("diffv"))
@@ -650,6 +653,31 @@ object ScaleProbe {
   //      span_ok↔d11 at the configured threshold, temp_kept↔t11;
   //   4. pack layout invariants over the kept snapshot (offsets within the
   //      window, per-shard token conservation, one row per kept doc).
+  // ---------------------------------------------------------------------------
+  // Mode 10 (r12) — BUCKETED CO-LOCATED EDGE BUILD: lands the weighted pair
+  // artifact via GraphOps.buildPairsBucketed (orders/lineitem bucketed on
+  // the orderkey, exchange-free join) so the rank queries at a scale rung
+  // read it through -Dgraft.graph.pairsDir and the ~NB-row join shuffle
+  // that blew the sf300 disk envelope never happens. The bucketed table
+  // copies (outDir/b_orders, outDir/b_lineitem) are build scaffolding — the
+  // operator deletes them (and may delete the raw orders/lineitem) once
+  // this prints its JSON; only outDir/pairs is served.
+  private def runGraphBuild(dir: String, outDir: String, buckets: Int): Unit = {
+    val spark = session()
+    // the pair aggregate shuffles ~|lineitem| partially-combined rows: at
+    // the probe default of 32 partitions a 1.8B-row rung packs ~50M rows
+    // per reduce task — follow the bucket count instead (the same
+    // granularity the write shuffles already use)
+    spark.conf.set("spark.sql.shuffle.partitions", math.max(32, buckets).toString)
+    val t0 = System.nanoTime()
+    val (nPairs, colocated) =
+      graft.operators.GraphOps.buildPairsBucketed(spark, dir, outDir, buckets)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"""{"probe":"graph_bucketed_build","dir":"$dir","out":"$outDir","buckets":$buckets,"pairs":$nPairs,"colocated_join":$colocated,"sec":$sec}""")
+    require(colocated, "bucketed build shuffled its join inputs")
+    spark.stop()
+  }
+
   private def runCuration(dir: String): Unit = {
     val spark = session()
     val docs = graft.Tables.documents(spark, dir)
@@ -669,7 +697,10 @@ object ScaleProbe {
       redact = true,
       maxPerSource = 10, // == t17's CapPerSource, so the ledger column is
                          // comparable against the oracled query verbatim
-      admitBatch = Some((5L, 4L))) // == d12's (modulus, residue)
+      admitBatch = Some((5L, 4L)), // == d12's (modulus, residue)
+      // r12: BPE-space layout + materialized per-pack id tensors (t23's
+      // assembly over the curated corpus); GRAFT_CURATION_IDS=0 disables
+      packIds = sys.env.getOrElse("GRAFT_CURATION_IDS", "1") != "0")
     val t0 = System.nanoTime()
     val res = graft.api.Curation.run(spark, dir, cfg)
     val ledger = res.ledger.cache()
@@ -737,6 +768,20 @@ object ScaleProbe {
         max(col("pack_id").cast("long") * cfg.packSize + col("pack_offset")
           + col("n_tokens")).as("endpos"))
       .where(col("tot") =!= col("endpos")).count())
+    // r12: materialized tensors must carry exactly the layout's tokens —
+    // per shard, the concatenated pack arrays hold sum(n_tokens) ids and
+    // every pack except the shard's last is exactly packSize long
+    res.tensors.foreach { tens =>
+      val t = tens.cache()
+      check("tensor_token_conservation", t.groupBy("shard")
+        .agg(sum(col("n_tokens")).as("tens_tot")).as("a")
+        .join(packs.groupBy("shard").agg(sum(col("n_tokens")).as("lay_tot")).as("b"), "shard")
+        .where(col("tens_tot") =!= col("lay_tot")).count())
+      check("tensor_packs_full_except_last", t.as("t")
+        .join(t.groupBy("shard").agg(max(col("pack_id")).as("last")).as("m"), "shard")
+        .where(col("pack_id") =!= col("last") &&
+          col("n_tokens") =!= cfg.packSize.toLong).count())
+    }
 
     val keptBy = ledger.agg(
       count(lit(1)), count(when(col("q_pass"), 1)), count(when(col("is_keeper"), 1)),
@@ -761,7 +806,18 @@ object ScaleProbe {
       val sec = (System.nanoTime() - tw) / 1e9
       val fjson = files.toSeq.sortBy(_._1)
         .map { case (t, n) => s""""$t":$n""" }.mkString(",")
-      println(s"""{"probe":"curation_write","out":"$outDir","files":{$fjson},"sec":$sec}""")
+      // r12: the tensor table's on-disk footprint — the bytes a training
+      // loader actually maps (recorded per verdict #2's done-criteria)
+      val tensorBytes = files.keySet.find(_ == "tensors").map { _ =>
+        val p = new org.apache.hadoop.fs.Path(s"$outDir/tensors")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val it = fs.listFiles(p, true)
+        var b = 0L
+        while (it.hasNext) { val f = it.next(); if (f.getPath.getName.startsWith("part-")) b += f.getLen }
+        b
+      }.getOrElse(0L)
+      val tensorRows = res.tensors.map(_.count()).getOrElse(0L)
+      println(s"""{"probe":"curation_write","out":"$outDir","files":{$fjson},"tensor_rows":$tensorRows,"tensor_bytes":$tensorBytes,"sec":$sec}""")
     }
     spark.stop()
   }
@@ -831,7 +887,16 @@ object ScaleProbe {
         graft.operators.Clustering.queries("e1_kmeans")(spark, dir))),
       ("e3_inertia", () => cmp("e3_inertia",
         Differential.queries("v8_inertia")(spark, dir),
-        graft.operators.Clustering.queries("e3_inertia")(spark, dir))))
+        graft.operators.Clustering.queries("e3_inertia")(spark, dir))),
+      // r12: the graph family — FULL rank frames (every node, not the
+      // 20-row presentation cut); at the bucketed-ingest rungs set
+      // -Dgraft.graph.pairsDir so both sides read the landed pair artifact
+      ("n1_pagerank", () => cmp("n1_pagerank",
+        Differential.v9RankFrame(spark, dir),
+        graft.operators.GraphOps.n1RankFrame(spark, dir))),
+      ("n2_pagerank", () => cmp("n2_pagerank",
+        Differential.v10RankFrame(spark, dir),
+        graft.operators.GraphOps.n2RankFrame(spark, dir))))
       .collect { case (n, run) if wanted(n) => run() }
     // ADVICE r10: a typo'd GRAFT_DIFFV_ONLY must fail loudly, not emit a
     // vacuous all_match=true (and the empty parts list left malformed JSON)

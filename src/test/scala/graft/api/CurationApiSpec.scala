@@ -222,4 +222,85 @@ class CurationApiSpec extends AnyFunSuite {
     }
     assert(digest(out) === digest(out2), "snapshot write is not byte-stable")
   }
+
+  test("packIds + admitBatch: appended BPE layout and materialized tensors " +
+      "match a driver-side re-pack, and the write digest covers the ids") {
+    import org.apache.spark.sql.functions.col
+    val cfg = Curation.Config(packIds = true, admitBatch = Some((5L, 4L)))
+    val res = Curation.run(spark, sf, cfg)
+    val P = cfg.packSize
+
+    val seqs = graft.operators.TextOps.docIdSeqs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val packs = res.packs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+        r.getAs[Int]("n_tokens"), r.getAs[Int]("pack_id"), r.getAs[Int]("pack_offset")))
+    assert(packs.nonEmpty)
+    // layout counts are the BPE sequence lengths, not whitespace counts
+    packs.foreach { case (id, _, n, _, _) =>
+      assert(n === seqs(id).size, s"doc $id: layout count is not the BPE length")
+    }
+    // append semantics: the layout equals a full re-pack of each shard's
+    // stream in (is_new, doc_id) order — standing docs first, batch appended
+    packs.groupBy(_._2).foreach { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (r._1 % 5 == 4, r._1)).foreach { case (id, _, n, packId, off) =>
+        assert(packId === (cum / P).toInt, s"doc $id in shard $shard: pack_id")
+        assert(off === (cum % P).toInt, s"doc $id in shard $shard: pack_offset")
+        cum += n
+      }
+    }
+    // tensors == the same shard streams cut into P-sized chunks
+    val tensors = res.tensors.get.collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Int]("pack_id")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getSeq[Long](4)))
+      .toMap
+    val reference = packs.groupBy(_._2).flatMap { case (shard, rows) =>
+      val docs = rows.map(_._1).sortBy(id => (id % 5 == 4, id))
+      val stream = docs.flatMap(seqs(_))
+      stream.grouped(P).zipWithIndex.map { case (chunk, pi) =>
+        (shard, pi) -> chunk.toSeq
+      }
+    }
+    assert(tensors.keySet === reference.keySet, "tensor pack key sets differ")
+    reference.foreach { case (k, chunk) =>
+      val (nDocs, nTokens, ids) = tensors(k)
+      assert(ids === chunk, s"$k: tensor ids differ")
+      assert(nTokens === chunk.size.toLong, s"$k: n_tokens")
+      assert(nDocs >= 1L, s"$k: n_docs")
+    }
+
+    // write round-trip: the tensors table lands in the shard dirs, the ids
+    // column survives parquet, and a second write is byte-stable (the
+    // digest pin now covers the materialized ids)
+    val out = java.nio.file.Files.createTempDirectory("curation_tensors").toString
+    val files = Curation.write(res, out, cfg.packShards)
+    assert(files.keySet === Set("ledger", "snapshot", "packs", "tensors"))
+    assert(files("tensors") > 0)
+    val back = spark.read.parquet(s"$out/tensors")
+      .select(col("shard").cast("int").as("shard"), col("pack_id"),
+        col("n_docs"), col("n_tokens"), col("ids"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getSeq[Long](4)))
+      .toMap
+    assert(back === tensors, "written tensors differ from returned frame")
+    val out2 = java.nio.file.Files.createTempDirectory("curation_tensors2").toString
+    Curation.write(res, out2, cfg.packShards)
+    def digest(root: String): Map[String, Seq[String]] = {
+      val base = java.nio.file.Paths.get(root)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else if (f.getName.startsWith("part-")) Seq(f) else Seq.empty
+      walk(new java.io.File(root))
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          base.relativize(f.toPath.getParent).toString ->
+            md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+              .map("%02x".format(_)).mkString
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    }
+    assert(digest(out) === digest(out2), "tensor write is not byte-stable")
+  }
 }

@@ -132,4 +132,23 @@ class DifferentialSpec extends AnyFunSuite {
       assert(r.getSeq[String](0) === r.getSeq[String](1))
     }
   }
+
+  test("checkpointTracked's release actually unpersists the checkpoint blocks") {
+    // ADVICE r11: the LogicalRDD match must FIRE on this Spark version —
+    // if a future version wraps the post-checkpoint plan, release degrades
+    // to a no-op and the fixed-point loops silently re-accumulate storage.
+    import spark.implicits._
+    val (out, release) = Differential.checkpointTracked(
+      Seq(1L, 2L, 3L).toDF("x"))
+    val rdd = out.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      case other => fail(s"post-checkpoint plan is not a bare LogicalRDD: $other")
+    }
+    assert(out.count() === 3L)
+    assert(rdd.getStorageLevel !== org.apache.spark.storage.StorageLevel.NONE,
+      "checkpoint RDD should be persisted before release")
+    release()
+    assert(rdd.getStorageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "release() must unpersist the checkpoint RDD — the no-op branch fired")
+  }
 }

@@ -89,6 +89,7 @@ class PlanBudgetSpec extends AnyFunSuite {
       "m3_features" -> Budget(1, 0),
       "m4_decoded_features" -> Budget(1, 0),
       "m5_decoded_audio" -> Budget(1, 0),
+      "m6_phash_pairs" -> Budget(4, 0),
       "n1_pagerank" -> Budget(0, 0),
       "n2_weighted_pagerank" -> Budget(0, 0),
       "o3_topk" -> Budget(0, 0),
@@ -148,6 +149,7 @@ class PlanBudgetSpec extends AnyFunSuite {
       "t21_bpe_ids" -> Budget(1, 0),
       "t22_pack_bpe" -> Budget(4, 0),
       "t23_pack_sequences" -> Budget(4, 0),
+      "t24_pack_append" -> Budget(3, 0),
       "t2_lang_id" -> Budget(1, 0),
       "t3_fingerprint" -> Budget(1, 0),
       "t4_token_freq" -> Budget(4, 0),
@@ -158,9 +160,13 @@ class PlanBudgetSpec extends AnyFunSuite {
       "t9_tfidf" -> Budget(6, 1),
       "u1_union" -> Budget(1, 0),
       "u4_pivot_wide" -> Budget(2, 0),
+      "u5_unpivot" -> Budget(3, 0),
+      "u6_rollup" -> Budget(2, 0),
+      "u7_grouping_sets" -> Budget(2, 0),
       // r10 differential twins (alt algorithms for the sf100
       // oracle-infeasible chains); v3's BNLJ is the 5-probe x k-centroid
       // broadcast cross, not a data cross product
+      "v10_weighted_pagerank" -> Budget(0, 0),
       "v1_cc_twostar" -> Budget(1, 0),
       "v2_spans_merge" -> Budget(3, 0),
       "v3_ivfpq_adc" -> Budget(3, 1),
@@ -175,9 +181,9 @@ class PlanBudgetSpec extends AnyFunSuite {
       // posexplode DECIMAL means) serves both views
       "v7_kmeans" -> Budget(1, 0),
       "v8_inertia" -> Budget(2, 0),
-      "u5_unpivot" -> Budget(3, 0),
-      "u6_rollup" -> Budget(2, 0),
-      "u7_grouping_sets" -> Budget(2, 0)
+      // r12 graph twins: rank rounds checkpoint-flattened, so the warm
+      // plan is the 20-row presentation sort over a LogicalRDD
+      "v9_pagerank" -> Budget(0, 0)
     )
 
   test("plan budgets: every query within recorded shuffle/BNLJ ceilings; no Cartesian, no ScalaUDF") {

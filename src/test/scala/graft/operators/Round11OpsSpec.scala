@@ -16,7 +16,7 @@ import graft.core.TestSpark
 class Round11OpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
-  private val P = 256 // TextOps.PackSize
+  private val P = TextOps.PackSize // the engine's constant, not a copy of it
 
   private lazy val t23 = TextOps.queries("t23_pack_sequences")(spark, sf)
     .collect()

@@ -106,28 +106,39 @@ def replicate(table, offsets):
 
 
 def documents_sf1(table):
+    # tolerate a GRAFT_SFX_COLS projection: doc_id+text are required (the
+    # near-dup suffix construction needs them), lang/source/n_chars ride
+    # along only when present — in their source column order
+    cols = table.column_names
     texts = table.column("text").to_pylist()
     doc_ids = table.column("doc_id").to_pylist()
-    langs = table.column("lang")
-    sources = table.column("source")
-    n_chars = table.column("n_chars").to_pylist()
+    n_chars = table.column("n_chars").to_pylist() if "n_chars" in cols else None
     for k in range(K):
         if k % 2 == 1:
             suffix = f" r{k}"
             t_texts = pa.array([t + suffix for t in texts], type=pa.string())
-            t_chars = pa.array([n + len(suffix) for n in n_chars], type=pa.int64())
+            t_chars = (pa.array([n + len(suffix) for n in n_chars], type=pa.int64())
+                       if n_chars is not None else None)
         else:
             t_texts = pa.array(texts, type=pa.string())
-            t_chars = pa.array(n_chars, type=pa.int64())
+            t_chars = pa.array(n_chars, type=pa.int64()) if n_chars is not None else None
         t_ids = pa.array([d + k * STRIDE["doc_id"] for d in doc_ids], type=pa.int64())
-        yield pa.table(
-            {"doc_id": t_ids, "text": t_texts, "lang": langs,
-             "source": sources, "n_chars": t_chars})
+        out = {}
+        for c in cols:
+            if c == "doc_id":
+                out[c] = t_ids
+            elif c == "text":
+                out[c] = t_texts
+            elif c == "n_chars":
+                out[c] = t_chars
+            else:
+                out[c] = table.column(c)
+        yield pa.table(out)
 
 
 def embeddings_sf1(table):
     ids = np.asarray(table.column("vec_id").to_pylist(), dtype=np.int64)
-    labels = table.column("label")
+    labels = table.column("label") if "label" in table.column_names else None
     emb = np.array(table.column("embedding").to_pylist(), dtype=np.float64)
     n, dim = emb.shape
     dims = np.arange(dim, dtype=np.int64)
@@ -141,10 +152,11 @@ def embeddings_sf1(table):
         flat = pa.array(vecs.reshape(-1), type=pa.float32())
         lists = pa.ListArray.from_arrays(
             pa.array(np.arange(0, (n + 1) * dim, dim), type=pa.int32()), flat)
-        yield pa.table({
-            "vec_id": pa.array(ids + k * STRIDE["vec_id"], type=pa.int64()),
-            "embedding": lists,
-            "label": labels})
+        out = {"vec_id": pa.array(ids + k * STRIDE["vec_id"], type=pa.int64()),
+               "embedding": lists}
+        if labels is not None:
+            out["label"] = labels
+        yield pa.table(out)
 
 
 def main():
@@ -166,10 +178,32 @@ def main():
     for part in filter(None, cols_env.split(";")):
         t, cs = part.split("=", 1)
         proj[t] = cs.split(",")
+    consumed = set()
+
+    # stride-carrying columns per table: projecting one OUT would silently
+    # skip its offset and make replicas share key values — refuse loudly
+    KEYCOLS = {
+        "customer": ["c_custkey"], "supplier": ["s_suppkey"],
+        "part": ["p_partkey"], "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey"],  # l_partkey/l_suppkey offset only if kept
+        "events": ["event_id", "user_id"],
+        "documents": ["doc_id"], "embeddings": ["vec_id"],
+    }
 
     def base(name):
         t = read(name)
-        return t.select(proj[name]) if name in proj else t
+        if name not in proj:
+            return t
+        consumed.add(name)
+        missing = [c for c in proj[name] if c not in t.column_names]
+        if missing:
+            raise ValueError(f"GRAFT_SFX_COLS: {name} has no column(s) {missing}")
+        dropped_keys = [c for c in KEYCOLS.get(name, []) if c not in proj[name]]
+        if dropped_keys:
+            raise ValueError(
+                f"GRAFT_SFX_COLS: projection for {name} drops stride key "
+                f"column(s) {dropped_keys} — replicas would share key values")
+        return t.select(proj[name])
     print(f"writing sf1 (10x {SRC}) to {out_dir}" +
           (f" tables={sorted(wanted)}" if wanted else ""))
 
@@ -179,16 +213,16 @@ def main():
     # dimension tables: unchanged (queries group on the 25 nations / 5 regions)
     for name in ("region", "nation"):
         if want(name):
-            write(out_dir, name, [read(name)])
+            write(out_dir, name, [base(name)])
 
     if want("customer"):
-        write(out_dir, "customer", replicate(read("customer"), {"c_custkey": STRIDE["custkey"]}))
+        write(out_dir, "customer", replicate(base("customer"), {"c_custkey": STRIDE["custkey"]}))
     if want("supplier"):
-        write(out_dir, "supplier", replicate(read("supplier"), {"s_suppkey": STRIDE["suppkey"]}))
+        write(out_dir, "supplier", replicate(base("supplier"), {"s_suppkey": STRIDE["suppkey"]}))
     if want("part"):
-        write(out_dir, "part", replicate(read("part"), {"p_partkey": STRIDE["partkey"]}))
+        write(out_dir, "part", replicate(base("part"), {"p_partkey": STRIDE["partkey"]}))
     if want("orders"):
-        write(out_dir, "orders", replicate(read("orders"), {
+        write(out_dir, "orders", replicate(base("orders"), {
             "o_orderkey": STRIDE["orderkey"], "o_custkey": STRIDE["custkey"]}))
     if want("lineitem"):
         li = base("lineitem")
@@ -198,12 +232,17 @@ def main():
                 if c in li.column_names}
         write(out_dir, "lineitem", replicate(li, offs))
     if want("events"):
-        write(out_dir, "events", replicate(read("events"), {
+        write(out_dir, "events", replicate(base("events"), {
             "event_id": STRIDE["event_id"], "user_id": STRIDE["user_id"]}))
     if want("documents"):
-        write(out_dir, "documents", documents_sf1(read("documents")))
+        write(out_dir, "documents", documents_sf1(base("documents")))
     if want("embeddings"):
-        write(out_dir, "embeddings", embeddings_sf1(read("embeddings")))
+        write(out_dir, "embeddings", embeddings_sf1(base("embeddings")))
+    unconsumed = set(proj) - consumed
+    if unconsumed:
+        raise ValueError(
+            f"GRAFT_SFX_COLS names table(s) not generated this run: "
+            f"{sorted(unconsumed)} (check GRAFT_SFX_TABLES / spelling)")
     print("done")
 
 
