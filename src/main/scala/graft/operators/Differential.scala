@@ -808,7 +808,13 @@ object Differential {
       for (_ <- 1 to PrIters) {
         val rs = r.select(col("node").as("src"), col("r").as("r_s"), col("outdeg").as("wo_s"))
         val rd = r.select(col("node").as("dst"), col("r").as("r_d"), col("outdeg").as("wo_d"))
-        val contribs = pairs.join(rs, "src").join(rd, "dst")
+        // hash-build on the node-sized rank side: the pair volume streams
+        // through both joins without the SMJ sort spill that would double
+        // the rung's scratch footprint (physical strategy only — the
+        // term multiset, hence every rank, is unchanged)
+        val contribs = pairs
+          .join(rs.hint("shuffle_hash"), "src")
+          .join(rd.hint("shuffle_hash"), "dst")
           .select(explode(expr(
             if (weighted)
               "array(struct(dst AS node, (r_s div wo_s) * w + ((r_s % wo_s) * w) div wo_s AS share)," +
@@ -823,6 +829,11 @@ object Differential {
           .select(col("node"), col("outdeg"),
             (lit(tele) + expr("(85 * contrib) div 100")).as("r")))
         release()
+        // at rung scale each round leaves ~2 pair-volume shuffles behind;
+        // their files free only after a driver GC collects the dead
+        // dependencies — sweep NOW instead of waiting for the periodic
+        // timer (the sf300 envelope died twice on accumulated rounds)
+        if (nEdges >= 10000000L) System.gc()
         r = next; release = releaseNext
       }
       r.select("node", "r")

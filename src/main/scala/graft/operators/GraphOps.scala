@@ -150,13 +150,100 @@ object GraphOps {
     */
   private def jointDeg(s: SparkSession, d: String): DataFrame =
     ArtifactCache.getOrElseUpdate("graph.deg", s, d) {
-      val pairs = weightedPairs(s, d)
+      edgesDirProp match {
+        case Some(dir) =>
+          // disk-edge mode: the degree frame was landed by
+          // buildEdgesBucketed — node-sized, cache it like the built one
+          s.read.parquet(s"$dir/deg").cache()
+        case None =>
+          val pairs = weightedPairs(s, d)
+          val bidir = pairs.union(
+            pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+          bidir.groupBy(col("src").as("node"))
+            .agg(count(lit(1)).as("outdeg"), sum(col("w")).as("wout"))
+            .cache()
+      }
+    }
+
+  /** Fourth-decade edge layout (r12): when set, the bidirected edge frame
+    * is a BUCKETED PARQUET TABLE on disk (built once by
+    * [[buildEdgesBucketed]]) instead of an executor cache. At sf300 the
+    * thin cache — 3.5B (src,dst,w) rows — outgrows memory-plus-disk beside
+    * its own lineage-pinned repartition shuffle; the bucketed scan feeds
+    * every round hash-partitioned on src with ZERO edge movement and zero
+    * resident cache, which is the 100-TB layout anyway: the standing edge
+    * artifact lives as bucketed columnar storage, and rank jobs stream it.
+    */
+  private def edgesDirProp = sys.props.get("graft.graph.edgesDir")
+
+  private val EdgesTable = "graft_b_edges"
+
+  /** Register the landed edge table in this session's catalog (fresh
+    * processes have an empty in-memory catalog; the DDL just points at the
+    * existing bucketed part files).
+    */
+  private def registerEdgeTable(s: SparkSession, dir: String): Unit = {
+    val buckets = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "edges.buckets"))).trim.toInt
+    if (!s.catalog.tableExists(EdgesTable))
+      s.sql(s"""CREATE TABLE $EdgesTable (src BIGINT, dst BIGINT, w BIGINT)
+               |USING parquet CLUSTERED BY (src) INTO $buckets BUCKETS
+               |LOCATION '$dir/edges'""".stripMargin)
+  }
+
+  /** Land the bidirected edge artifact as a src-bucketed parquet table plus
+    * the node-sized degree frame under `outDir`, for serving through
+    * `graft.graph.edgesDir`. The two directions write as two sequential
+    * bucket-partitioned passes (peak scratch = one direction's shuffle, not
+    * the union's), each repartitioned to one task per bucket; the rank
+    * join only needs hash-clustering — not sortedness — so the two files
+    * per bucket are fine (shuffle-hash build side is the rank frame).
+    * Returns (nNodes, nEdges).
+    */
+  def buildEdgesBucketed(s: SparkSession, d: String, outDir: String,
+      buckets: Int = 256, phase: String = "all"): (Long, Long) = {
+    val pairs = weightedPairs(s, d)
+    def in(p: String) = phase == "all" || phase == p
+    if (in("deg")) {
       val bidir = pairs.union(
         pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       bidir.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("outdeg"), sum(col("w")).as("wout"))
-        .cache()
+        .write.mode("overwrite").parquet(s"$outDir/deg")
     }
+    if (in("fwd")) {
+      s.sql(s"DROP TABLE IF EXISTS $EdgesTable")
+      pairs.repartition(buckets, col("src"))
+        .write.bucketBy(buckets, "src")
+        .option("path", s"$outDir/edges")
+        .mode("overwrite").saveAsTable(EdgesTable)
+      // let the ContextCleaner release this pass's shuffle before the next
+      // table-sized pass piles its own on top (the two passes' scratch
+      // co-residing is what breaks a tight disk envelope)
+      System.gc(); Thread.sleep(10000)
+    }
+    if (in("rev")) {
+      // a FRESH process has an empty in-memory catalog: without this DDL,
+      // mode("append").saveAsTable silently CREATES a new table at the path
+      // and the forward half's files are replaced — leaving a
+      // one-directional graph whose rounds drain to empty (the sf300 rung
+      // hit exactly this). Register the existing table first so the append
+      // is a true insert.
+      if (!s.catalog.tableExists(EdgesTable))
+        s.sql(s"""CREATE TABLE $EdgesTable (src BIGINT, dst BIGINT, w BIGINT)
+                 |USING parquet CLUSTERED BY (src) INTO $buckets BUCKETS
+                 |LOCATION '$outDir/edges'""".stripMargin)
+      pairs.select(col("dst").as("src"), col("src").as("dst"), col("w"))
+        .repartition(buckets, col("src"))
+        .write.bucketBy(buckets, "src")
+        .mode("append").saveAsTable(EdgesTable)
+      java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "edges.buckets"),
+        buckets.toString.getBytes)
+    }
+    val meta = s.read.parquet(s"$outDir/deg")
+      .agg(count(lit(1)), sum(col("outdeg"))).first()
+    (meta.getLong(0), meta.getLong(1))
+  }
 
   /** ONE joint bidirected edge frame serving both variants — fat
     * (src, dst, w, dst_outdeg, dst_wout) in broadcast mode, THIN
@@ -168,6 +255,26 @@ object GraphOps {
     */
   private def jointEdges(s: SparkSession, d: String): DataFrame =
     ArtifactCache.getOrElseUpdate("graph.edges", s, d) {
+      edgesDirProp match {
+        case Some(dir) => diskEdges(s, d, dir)
+        case None => builtEdges(s, d)
+      }
+    }
+
+  /** Disk-edge mode: the bidirected frame IS the bucketed table —
+    * hash-clustered on src, so every round's rank join plans with zero
+    * edge-side exchange (the thin-mode round code runs verbatim on it).
+    */
+  private def diskEdges(s: SparkSession, d: String, dir: String): DataFrame = {
+    registerEdgeTable(s, dir)
+    val deg = jointDeg(s, d)
+    val meta = deg.agg(count(lit(1)), sum(col("outdeg"))).first()
+    graphMeta((s, d)) = GraphMeta(meta.getLong(0), meta.getLong(1),
+      fatEdges = false)
+    s.table(EdgesTable)
+  }
+
+  private def builtEdges(s: SparkSession, d: String): DataFrame = {
       val pairs = weightedPairs(s, d)
       val deg = jointDeg(s, d)
       // ONE eager action replaces round 7's pairs.count() + deg.count()

@@ -55,6 +55,16 @@ object ScaleProbe {
     else if (args.headOption.contains("graphbuild"))
       runGraphBuild(args(1), args(2),
         if (args.length > 3) args(3).toInt else 64)
+    else if (args.headOption.contains("graphedges"))
+      runGraphEdges(args(1), args(2),
+        if (args.length > 3) args(3).toInt else 256,
+        if (args.length > 4) args(4) else "all")
+    else if (args.headOption.contains("repack"))
+      runRepack(args(1), args(2))
+    else if (args.headOption.contains("rankdump"))
+      runRankDump(args(1), args(2))
+    else if (args.headOption.contains("rankcmp"))
+      runRankCmp(args(1), args(2))
     else if (args.headOption.contains("curation"))
       runCuration(if (args.length > 1) args(1) else "/root/testdata/sf0.01")
     else if (args.headOption.contains("diffv"))
@@ -678,6 +688,81 @@ object ScaleProbe {
     spark.stop()
   }
 
+  // Mode 11 (r12) — DISK-RESIDENT BIDIRECTED EDGE ARTIFACT: lands the
+  // src-bucketed edge table + degree frame (GraphOps.buildEdgesBucketed)
+  // that `-Dgraft.graph.edgesDir` serves to the rank rounds. At the sf300
+  // rung the thin edge CACHE (3.5B rows) exceeded memory+disk beside its
+  // lineage-pinned repartition shuffle; the bucketed table is scanned per
+  // round with zero edge movement and zero resident cache. Respects
+  // -Dgraft.graph.pairsDir for the pair source (the bucketed-ingest leg).
+  // Modes 12/13 (r12) — the graph diffv STAGED for a tight disk envelope:
+  // `rankdump` computes the TWIN rank frames (v9/v10 — pairs-based, no edge
+  // table needed) and lands them as parquet while only the pair artifact
+  // occupies the disk; `rankcmp` later computes the SHIPPED n1/n2 rank
+  // frames over the disk-edge artifact and compares against the dumps.
+  // Same evidence as one diffv process (full-frame bit-equality), but the
+  // twin's join scratch and the 2x-edge table never co-reside.
+  private def runRankDump(dir: String, outDir: String): Unit = {
+    val spark = session()
+    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      val rows = spark.read.parquet(s"$outDir/$name").count()
+      println(s"""{"probe":"rank_dump","which":"$name","rows":$rows,"sec":${(System.nanoTime() - t0) / 1e9}}""")
+      System.gc()
+    }
+    dump("v9", graft.operators.Differential.v9RankFrame(spark, dir))
+    dump("v10", graft.operators.Differential.v10RankFrame(spark, dir))
+    spark.stop()
+  }
+
+  private def runRankCmp(dir: String, dumpDir: String): Unit = {
+    val spark = session()
+    def cmp(name: String, shipped: => org.apache.spark.sql.DataFrame): Boolean = {
+      val t0 = System.nanoTime()
+      val b = shipped
+      val a = spark.read.parquet(s"$dumpDir/$name")
+      val nA = a.count(); val nB = b.count()
+      val onlyA = a.exceptAll(b).count(); val onlyB = b.exceptAll(a).count()
+      val ok = nA == nB && onlyA == 0 && onlyB == 0
+      println(s"""{"probe":"rank_cmp","which":"$name","rows_alt":$nA,"rows_shipped":$nB,"only_alt":$onlyA,"only_shipped":$onlyB,"match":$ok,"sec":${(System.nanoTime() - t0) / 1e9}}""")
+      System.gc()
+      ok
+    }
+    val ok1 = cmp("v9", graft.operators.GraphOps.n1RankFrame(spark, dir))
+    val ok2 = cmp("v10", graft.operators.GraphOps.n2RankFrame(spark, dir))
+    require(ok1 && ok2, "graph rank-frame differential mismatch")
+    spark.stop()
+  }
+
+  /** Re-encode a parquet directory with zstd (disk-envelope tool: the rung
+    * artifacts are read many times and disk-bound — zstd buys ~30% of the
+    * envelope back for decode cost that is noise next to the IO).
+    */
+  private def runRepack(inDir: String, outDir: String): Unit = {
+    val spark = session()
+    spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+    val t0 = System.nanoTime()
+    val df = spark.read.parquet(inDir)
+    df.write.mode("overwrite").parquet(outDir)
+    val rows = spark.read.parquet(outDir).count()
+    println(s"""{"probe":"repack","in":"$inDir","out":"$outDir","rows":$rows,"sec":${(System.nanoTime() - t0) / 1e9}}""")
+    spark.stop()
+  }
+
+  private def runGraphEdges(dir: String, outDir: String, buckets: Int,
+      phase: String = "all"): Unit = {
+    val spark = session()
+    spark.conf.set("spark.sql.shuffle.partitions", math.max(32, buckets).toString)
+    spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+    val t0 = System.nanoTime()
+    val (nNodes, nEdges) =
+      graft.operators.GraphOps.buildEdgesBucketed(spark, dir, outDir, buckets, phase)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"""{"probe":"graph_edge_build","dir":"$dir","out":"$outDir","buckets":$buckets,"phase":"$phase","nodes":$nNodes,"edges":$nEdges,"sec":$sec}""")
+    spark.stop()
+  }
+
   private def runCuration(dir: String): Unit = {
     val spark = session()
     val docs = graft.Tables.documents(spark, dir)
@@ -855,7 +940,9 @@ object ScaleProbe {
     // sf100 drive pays ~20 min for d9+d11 — a heap-sized s7 retry should
     // not re-run them); unset = all three compares.
     val onlyFilter = sys.env.get("GRAFT_DIFFV_ONLY")
-    def wanted(name: String) = onlyFilter.forall(name.contains)
+    // '|'-separated substring alternatives, e.g. 'd9|e1_kmeans|pagerank'
+    def wanted(name: String) =
+      onlyFilter.forall(_.split('|').exists(f => f.nonEmpty && name.contains(f)))
     val results = Seq[(String, () => (String, Boolean, Long, Double))](
       // one compare for the whole d9 -> c2/c3 chain: doc_id, component,
       // kept, quality, canonical — every downstream keep/split decision is
