@@ -58,6 +58,13 @@ object Curation {
       // train and a held-out split. Tags only — `kept` is unaffected; the
       // training cut is `kept AND split = 'train'`.
       splitPcts: (Int, Int) = (5, 10),
+      // Perceptual image near-dup gate (r12 verdict #6): drop any doc whose
+      // decoded image dHash-pairs (m6's banded-hamming artifact) with a
+      // SMALLER doc_id — keep-first over the pair set, the d8-style
+      // keep-list rule (pairwise, not connected components: every dropped
+      // doc has a surviving earlier near-twin). Off by default: the stage
+      // decodes every image once.
+      imageDedup: Boolean = false,
       // Materialize per-pack token-id tensors (r11 verdict #2): when true,
       // pack layout counts come from the trained-BPE id sequences (t21's
       // docIdSeqs artifact — pack boundaries in model-token space, exactly
@@ -139,6 +146,21 @@ object Curation {
             .select("doc_id").withColumn("cap_kept", lit(true)), Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("cap_kept"), lit(false)).as("cap_kept"))
 
+    // perceptual image near-dup gate (m6's pair artifact, keep-first) —
+    // identity when disabled, so the decode pass only runs when asked for.
+    // The doc_b side of the pair set is exactly the drop set: pairs carry
+    // doc_a < doc_b, so the earliest member of every near-dup group survives
+    val imgOk =
+      if (!cfg.imageDedup)
+        docs.select("doc_id").withColumn("img_kept", lit(true))
+      else
+        docs.select("doc_id")
+          .join(graft.operators.Multimodal.phashPairArtifact(spark, dir)
+            .select(col("doc_b").as("doc_id")).distinct()
+            .withColumn("img_dup", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (coalesce(col("img_dup"), lit(false)) === false).as("img_kept"))
+
     // incremental-batch admission (d12's verdict core) — identity when
     // disabled; standing-corpus docs are vacuously admitted
     val admitOk = cfg.admitBatch match {
@@ -157,6 +179,7 @@ object Curation {
       .join(quality, "doc_id")
       .join(capOk, "doc_id")
       .join(spanOk, "doc_id")
+      .join(imgOk, "doc_id")
       .join(admitOk, "doc_id")
       .join(keepers, "doc_id").join(keeperIds, "fp")
       .join(contaminated, Seq("doc_id"), "left")
@@ -174,14 +197,14 @@ object Curation {
       .withColumn("kept",
         col("q_pass") && col("is_keeper") && col("clean") && col("canonical") &&
           col("sampled") && col("temp_kept") && col("mix_kept") && col("span_ok") &&
-          col("cap_kept") && col("admitted") && !col("is_eval"))
+          col("cap_kept") && col("img_kept") && col("admitted") && !col("is_eval"))
       // c3's leakage-safe split tag, off the component column the canonical
       // join already carries — row-local hash arithmetic, zero extra cost
       .withColumn("split",
         graft.operators.CurationOps.splitCol(cfg.splitPcts._1, cfg.splitPcts._2))
       .select("doc_id", "lang", "quality", "q_pass", "is_keeper", "clean",
         "component", "canonical", "sampled", "temp_kept", "mix_kept", "span_ok",
-        "cap_kept", "is_new", "admitted", "is_eval", "split", "kept")
+        "cap_kept", "img_kept", "is_new", "admitted", "is_eval", "split", "kept")
 
     val keptDocs = docs.join(ledger.where(col("kept")).select("doc_id"), "doc_id")
     val snapshot =
@@ -192,12 +215,27 @@ object Curation {
     // Counts: whitespace tokens by default; with packIds, the trained-BPE
     // sequence lengths (t22 semantics — pack boundaries in model-token
     // space), so the layout agrees exactly with the materialized tensors.
+    //
+    // The ids tokenize the SNAPSHOT text — post-redaction when redact is on
+    // (r12 ADVICE high: ids off the raw corpus would land the scrubbed PII
+    // in invertible BPE form right next to the redacted text). Without
+    // redaction the snapshot text IS the corpus text, so the memoized
+    // docIdSeqs artifact serves unchanged.
     val keptSeqs =
-      if (cfg.packIds)
+      if (!cfg.packIds) None
+      else if (cfg.redact)
+        Some(TextOps.idSeqsOf(spark, dir, snapshot.select("doc_id", "text")))
+      else
         Some(snapshot.select("doc_id").join(TextOps.docIdSeqs(spark, dir), "doc_id"))
-      else None
     val packCounts = keptSeqs match {
-      case Some(seqs) => seqs.select(col("doc_id"), size(col("ids")).as("n_tokens"))
+      case Some(seqs) =>
+        // LEFT join (r12 ADVICE low): a kept doc with no id row (whitespace-
+        // only text tokenizes to nothing) stays in the layout at n_tokens=0,
+        // preserving the one-layout-row-per-kept-doc invariant; assemblePacks
+        // drops zero-count rows from the tensors, where they carry nothing.
+        snapshot.select("doc_id")
+          .join(seqs.select(col("doc_id"), size(col("ids")).as("n")), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("n"), lit(0)).as("n_tokens"))
       case None => snapshot.select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).as("n_tokens"))
     }

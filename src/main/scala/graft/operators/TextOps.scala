@@ -1298,35 +1298,41 @@ object TextOps {
     */
   private[graft] def encodedVocab(s: SparkSession, d: String): DataFrame =
     ArtifactCache.getOrElseUpdate("bpe.encodedVocab", s, d) {
-      val rules = t19BpeTrain(s, d).orderBy("merge_idx")
-        .select("lhs", "rhs").collect()
-        .map(r => (r.getString(0), r.getString(1)))
-      val vocab = docWords(s, d).select("word").distinct()
-      val encoded =
-        if (rules.isEmpty) vocab.select(col("word"), seq0Expr.as("seq"))
-        else {
-          val rulesCol = array(rules.map { case (l, r) =>
-            struct(lit(l).as("l"), lit(r).as("r")) }: _*)
-          // encode applies rules IN RANK ORDER (not an independent batch), so
-          // the fold stays per-rule — but a cheap containment pre-check skips
-          // the 6-string-op rewrite for the overwhelming majority of (word,
-          // rule) pairs: the plain l<SEP>r substring is a NECESSARY condition
-          // for the boundary-doubled pattern (doubling only inserts
-          // separators around already-adjacent symbols). At a production
-          // 32k-rule table this is the difference between 32k rewrites and
-          // 32k substring scans per word.
-          vocab.select(col("word"), seq0Expr.as("seq"))
-            .withColumn("__rules", rulesCol)
-            .select(col("word"),
-              expr(s"aggregate(__rules, seq, (acc, p) -> " +
-                s"CASE WHEN contains(acc, concat(p.l, '$BpeSep', p.r)) THEN " +
-                s"${mergeRewriteSql("acc", "p.l", "p.r", sparkDialect = true)} " +
-                s"ELSE acc END)").as("seq"))
-        }
-      val out = encoded.cache()
+      val out = encodeVocabWith(s, d, docWords(s, d).select("word").distinct()).cache()
       out.count()
       out
     }
+
+  /** Rank-ordered encode of a DISTINCT-word `vocab` frame by dir-`d`'s
+    * trained merge table — the fold behind [[encodedVocab]], factored out so
+    * vocabularies the training corpus never produced (e.g. post-redaction
+    * tokens, see [[idSeqsOf]]) encode through the identical rule sequence.
+    */
+  private def encodeVocabWith(s: SparkSession, d: String, vocab: DataFrame): DataFrame = {
+    val rules = t19BpeTrain(s, d).orderBy("merge_idx")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    if (rules.isEmpty) vocab.select(col("word"), seq0Expr.as("seq"))
+    else {
+      val rulesCol = array(rules.map { case (l, r) =>
+        struct(lit(l).as("l"), lit(r).as("r")) }: _*)
+      // encode applies rules IN RANK ORDER (not an independent batch), so
+      // the fold stays per-rule — but a cheap containment pre-check skips
+      // the 6-string-op rewrite for the overwhelming majority of (word,
+      // rule) pairs: the plain l<SEP>r substring is a NECESSARY condition
+      // for the boundary-doubled pattern (doubling only inserts
+      // separators around already-adjacent symbols). At a production
+      // 32k-rule table this is the difference between 32k rewrites and
+      // 32k substring scans per word.
+      vocab.select(col("word"), seq0Expr.as("seq"))
+        .withColumn("__rules", rulesCol)
+        .select(col("word"),
+          expr(s"aggregate(__rules, seq, (acc, p) -> " +
+            s"CASE WHEN contains(acc, concat(p.l, '$BpeSep', p.r)) THEN " +
+            s"${mergeRewriteSql("acc", "p.l", "p.r", sparkDialect = true)} " +
+            s"ELSE acc END)").as("seq"))
+    }
+  }
 
   private def t20BpeEncode(s: SparkSession, d: String): DataFrame = {
     val perDocWord = docWords(s, d)
@@ -1414,18 +1420,7 @@ object TextOps {
     ArtifactCache.getOrElseUpdate("text.docIdSeqs", s, d) {
       graft.functions.HashRegistry.register(s)
       val enc = encodedVocab(s, d)
-      // base alphabet from the encoded vocab's WORDS (the set of chars is a
-      // pure function of the vocabulary; seq0's pieces are exactly the chars)
-      val chars = enc.select(explode(split(seq0Expr, BpeSep)).as("sym")).distinct()
-      val base = chars.withColumn("id",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("sym"))
-          .cast("long") - 1)
-      val nBase = base.count() // alphabet-sized driver scalar
-      val mergedTab = t19BpeTrain(s, d)
-        .select(col("merged").as("sym"),
-          (col("merge_idx").cast("long") + lit(nBase - 1)).as("id"))
-      val symtab = base.select("sym", "id").union(mergedTab)
-        .groupBy("sym").agg(min(col("id")).as("id"))
+      val (symtab, _) = trainedSymtab(s, d)
       val wordIds = enc
         .select(col("word"), posexplode(split(col("seq"), BpeSep)).as(Seq("pi", "piece")))
         .join(broadcast(symtab.withColumnRenamed("sym", "piece")), "piece")
@@ -1439,6 +1434,66 @@ object TextOps {
       out.count()
       out
     }
+
+  /** (symtab(sym, id), nBase) for dir-`d`'s trained tokenizer — the base
+    * alphabet comes from the encoded vocab's WORDS (the set of chars is a
+    * pure function of the vocabulary; seq0's pieces are exactly the chars),
+    * merge rank k takes id nBase+k-1, ties resolve to the smallest id.
+    */
+  private def trainedSymtab(s: SparkSession, d: String): (DataFrame, Long) = {
+    val enc = encodedVocab(s, d)
+    val chars = enc.select(explode(split(seq0Expr, BpeSep)).as("sym")).distinct()
+    val base = chars.withColumn("id",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy("sym"))
+        .cast("long") - 1)
+    val nBase = base.count() // alphabet-sized driver scalar
+    val mergedTab = t19BpeTrain(s, d)
+      .select(col("merged").as("sym"),
+        (col("merge_idx").cast("long") + lit(nBase - 1)).as("id"))
+    (base.select("sym", "id").union(mergedTab)
+      .groupBy("sym").agg(min(col("id")).as("id")), nBase)
+  }
+
+  /** (doc_id, ids) over an ARBITRARY (doc_id, text) frame, encoded by the
+    * tokenizer TRAINED on dir `d` — the deploy-time shape: train once on the
+    * corpus, apply to whatever text a stage hands you. The curation sink
+    * uses this to tokenize the POST-REDACTION snapshot (r12 ADVICE: ids
+    * derived from the raw corpus would carry scrubbed PII in invertible
+    * form right next to the redacted text).
+    *
+    * Words the training corpus already encoded ride the memoized
+    * [[encodedVocab]] artifact; only the NOVEL vocabulary (redaction
+    * markers and the words redaction rewrote) pays the rule fold — at 100 TB
+    * redaction touches a bounded token set, so the incremental encode is a
+    * marker-vocabulary-sized stage, not a second corpus pass. Symbols
+    * outside the trained alphabet map to the UNK id (nBase + nMerges, one
+    * past the trained id space) — the byte-fallback-less tokenizer contract,
+    * engine-reproducible because it is a pure function of the trained table.
+    */
+  private[graft] def idSeqsOf(s: SparkSession, d: String, docs: DataFrame): DataFrame = {
+    graft.functions.HashRegistry.register(s)
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "word")))
+      .where(col("word") =!= "")
+    val vocab = words.select("word").distinct()
+    val trained = encodedVocab(s, d)
+    val novel = vocab.join(trained.select("word"), Seq("word"), "left_anti")
+    val enc = vocab.join(trained, Seq("word"))
+      .unionByName(encodeVocabWith(s, d, novel))
+    val (symtab, nBase) = trainedSymtab(s, d)
+    val unkId = nBase + BpeMerges
+    val wordIds = enc
+      .select(col("word"), posexplode(split(col("seq"), BpeSep)).as(Seq("pi", "piece")))
+      .join(broadcast(symtab.withColumnRenamed("sym", "piece")), Seq("piece"), "left")
+      .select(col("word"), col("pi"), coalesce(col("id"), lit(unkId)).as("id"))
+      .groupBy("word")
+      .agg(expr("transform(array_sort(collect_list(struct(pi, id))), p -> p.id)").as("ids"))
+    words.join(wordIds, "word")
+      .groupBy("doc_id")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(pos, ids))), p -> p.ids))")
+        .as("ids"))
+  }
 
   private def t21BpeIds(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashRegistry.register(s)

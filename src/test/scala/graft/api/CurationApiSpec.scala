@@ -167,6 +167,22 @@ class CurationApiSpec extends AnyFunSuite {
     assert(tags.contains("test") && tags.contains("train"))
   }
 
+  test("imageDedup knob drops exactly m6's doc_b side (keep-first over the pair artifact)") {
+    // default config: stage disabled, img_kept vacuously true everywhere
+    assert(result.ledger.collect().forall(_.getAs[Boolean]("img_kept")))
+    val gated = Curation.run(spark, sf, Curation.Config(imageDedup = true))
+    val imgKept = gated.ledger.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("img_kept"), r.getAs[Boolean]("kept"))).toMap
+    val m6Drop = graft.operators.Multimodal.queries("m6_phash_pairs")(spark, sf)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    assert(m6Drop.nonEmpty, "m6 finds no perceptual pairs at this SF — weak fixture")
+    imgKept.foreach { case (id, (ok, kept)) =>
+      assert(ok === !m6Drop.contains(id), s"img_kept drift for doc $id")
+      if (kept) assert(ok, s"doc $id kept despite a surviving earlier image near-twin")
+    }
+  }
+
   test("redact knob scrubs snapshot text through the t16 patterns") {
     val redacted = Curation.run(spark, sf, Curation.Config(redact = true))
     val plain = result.snapshot.select("doc_id", "text").collect()
@@ -302,5 +318,78 @@ class CurationApiSpec extends AnyFunSuite {
         .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     }
     assert(digest(out) === digest(out2), "tensor write is not byte-stable")
+  }
+
+  test("packIds + redact: tensors tokenize the REDACTED snapshot, and a " +
+      "whitespace-only kept doc stays in the layout at n_tokens=0") {
+    // The shipped corpora carry no PII (redaction is a no-op there — pinned
+    // above), so the leak-path pin needs its own corpus: every third doc
+    // gets a synthetic email appended (t16's pattern), plus one whitespace-
+    // only doc that tokenizes to nothing (the dropped-row path).
+    val docs0 = graft.Tables.documents(spark, sf)
+    val maxId = docs0.agg(max("doc_id")).first().getLong(0)
+    val laced = docs0.withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.org"))).otherwise(col("text")))
+    val wsRow = docs0.limit(1)
+      .withColumn("doc_id", lit(maxId + 1))
+      .withColumn("lang", lit("wsonly")) // unique lang -> temp rate 1e6, kept
+      .withColumn("text", lit("   "))
+    val dir = java.nio.file.Files.createTempDirectory("curation_pii").toString
+    laced.unionByName(wsRow).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val cfg = Curation.Config(redact = true, packIds = true,
+      samplePct = 100, qualityThreshold = 0.0, evalModulus = 1000003L)
+    val res = Curation.run(spark, dir, cfg)
+    val kept = res.ledger.where(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.exists(id => id % 3 == 0 && id <= maxId),
+      "no PII-laced doc survived the gates — fixture too aggressive")
+    assert(kept.contains(maxId + 1), "whitespace-only doc must survive the gates")
+
+    // what the tensors MUST contain: the trained tokenizer applied to the
+    // post-redaction text (spec-side redaction, independent of Curation's)
+    val redactedKept = graft.Tables.documents(spark, dir)
+      .where(col("doc_id").isin(kept.toSeq: _*))
+      .select(col("doc_id"), graft.operators.TextOps.redactPii(col("text")).as("text"))
+    val expSeqs = graft.operators.TextOps.idSeqsOf(spark, dir, redactedKept)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // ...and what they must NOT contain: the raw-corpus encode of PII docs
+    val rawSeqs = graft.operators.TextOps.docIdSeqs(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val piiKept = kept.filter(id => id % 3 == 0 && id <= maxId)
+    piiKept.foreach { id =>
+      assert(expSeqs(id) !== rawSeqs(id),
+        s"doc $id: redaction left the token stream unchanged — vacuous pin")
+    }
+
+    val packs = res.packs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+        r.getAs[Int]("n_tokens"), r.getAs[Int]("pack_id"), r.getAs[Int]("pack_offset")))
+    // one layout row per kept doc, INCLUDING the token-less one (r12 ADVICE)
+    assert(packs.map(_._1).toSet === kept)
+    val wsRowOut = packs.find(_._1 == maxId + 1).get
+    assert(wsRowOut._3 === 0, "whitespace-only doc must lay out at n_tokens=0")
+    // layout counts are the REDACTED sequence lengths
+    packs.foreach { case (id, _, n, _, _) =>
+      assert(n === expSeqs.getOrElse(id, Seq.empty).size,
+        s"doc $id: layout count is not the redacted-text BPE length")
+    }
+    // tensors == the redacted shard streams cut into P-sized chunks: the
+    // materialized ids are exactly the post-redaction encode, nothing else
+    val P = cfg.packSize
+    val tensors = res.tensors.get.collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Int]("pack_id")) -> r.getSeq[Long](4))
+      .toMap
+    val reference = packs.groupBy(_._2).flatMap { case (shard, rows) =>
+      val stream = rows.map(_._1).sorted.flatMap(id => expSeqs.getOrElse(id, Seq.empty))
+      stream.grouped(P).zipWithIndex.map { case (chunk, pi) => (shard, pi) -> chunk.toSeq }
+    }
+    assert(tensors.keySet === reference.keySet, "tensor pack key sets differ")
+    reference.foreach { case (k, chunk) =>
+      assert(tensors(k) === chunk, s"$k: tensor ids differ from the redacted encode")
+    }
   }
 }
