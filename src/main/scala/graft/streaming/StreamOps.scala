@@ -311,11 +311,22 @@ object StreamOps {
     * (doc_id, n_tokens) rows appends to the standing pack layout through
     * t24's oracle-checked `packAppendFrom`, emitting that batch's layout
     * DELTA to the sink. The only cross-batch state is the 16-row per-shard
-    * resume frame, advanced on the driver after each batch — exactly the
-    * state a production appender checkpoints. Within a shard, arrival
-    * order IS pack order (the append semantic): a feed whose slices arrive
-    * in doc_id order reproduces the batch re-pack bit-for-bit
-    * (StreamingPackSpec pins 3-cut parity vs `TextOps.packAppend`).
+    * resume frame. Within a shard, arrival order IS pack order (the append
+    * semantic): a feed whose slices arrive in doc_id order reproduces the
+    * batch re-pack bit-for-bit (StreamingPackSpec pins 3-cut parity vs
+    * `TextOps.packAppend`).
+    *
+    * Restart contract (r12 ADVICE): WITH a `checkpoint`, the resume frame is
+    * durably versioned per batch under `<checkpoint>/graft-pack-bases/` —
+    * batch `id` always computes from the state batch `id-1` committed (seed
+    * from `standing` only when no prior state exists), so a restarted query
+    * continues after the deltas already emitted, and a REPLAYED batch id
+    * recomputes the identical delta instead of double-advancing (the sink
+    * keeps the usual foreachBatch idempotence contract: dedupe by batch id).
+    * The 16-row state file is written AFTER the sink call, temp+rename, via
+    * the checkpoint's own Hadoop FileSystem (object-store-safe). Without a
+    * checkpoint the frame lives on the driver and the stream is
+    * session-only — not restart-safe, by construction.
     */
   def packStream(newCounts: DataFrame, standing: DataFrame,
       packSize: Int, shards: Int, checkpoint: Option[String] = None)
@@ -323,28 +334,75 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = newCounts.sparkSession
     import graft.operators.TextOps
-    // driver-held resume positions, seeded from the standing layout
-    val bases = scala.collection.mutable.Map[Int, Long]() ++
+    import org.apache.hadoop.fs.Path
+    val stateDir = checkpoint.map(c => new Path(c, "graft-pack-bases"))
+    val fs = stateDir.map(_.getFileSystem(spark.sessionState.newHadoopConf()))
+    def seed(): Map[Int, Long] =
       TextOps.packResume(standing, packSize).collect()
-        .map(r => r.getInt(0) -> r.getLong(1))
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // driver-held resume positions (the session-only mode's only state;
+    // in checkpointed mode just a warm-start of the per-batch file read)
+    val bases = scala.collection.mutable.Map[Int, Long]() ++ seed()
     val w = newCounts.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         import spark.implicits._
-        val baseDf = bases.toSeq.toDF("shard", "base")
+        val input: Map[Int, Long] = (stateDir, fs) match {
+          case (Some(dir), Some(f)) =>
+            // the latest committed state STRICTLY BEFORE this batch: a
+            // replayed id re-reads its predecessor, never its own output
+            val prior =
+              if (f.exists(dir))
+                f.listStatus(dir).iterator.map(_.getPath.getName)
+                  .collect { case BasesName(n) => n.toLong }.filter(_ < id)
+                  .maxOption
+              else None
+            prior.map(p => readBases(f, new Path(dir, s"bases-$p")))
+              .getOrElse(seed())
+          case _ => bases.toMap
+        }
+        val baseDf = input.toSeq.toDF("shard", "base")
         val delta = TextOps
           .packAppendFrom(spark, baseDf, batch.select("doc_id", "n_tokens"),
             packSize, shards)
           .localCheckpoint() // one deterministic materialization: the sink
                              // and the base advance must see the same rows
-        delta.groupBy("shard")
+        val advanced = delta.groupBy("shard")
           .agg(max(col("pack_id").cast("long") * packSize + col("pack_offset")
             + col("n_tokens")).as("end"))
-          .collect()
-          .foreach(r => bases(r.getInt(0)) = r.getLong(1))
+          .collect().map(r => r.getInt(0) -> r.getLong(1))
         sink(delta, id)
+        (stateDir, fs) match {
+          case (Some(dir), Some(f)) => writeBases(f, dir, id, input ++ advanced)
+          case _ => advanced.foreach { case (sh, b) => bases(sh) = b }
+        }
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
+  }
+
+  private val BasesName = "bases-([0-9]+)".r
+
+  private def readBases(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Map[Int, Long] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty)
+      .map { l => val a = l.split(','); a(0).toInt -> a(1).toLong }.toMap
+    finally in.close()
+  }
+
+  private def writeBases(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, id: Long, m: Map[Int, Long]): Unit = {
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".bases-$id.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(m.toSeq.sortBy(_._1)
+      .map { case (s, b) => s"$s,$b" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, s"bases-$id")
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"could not commit pack resume state $dst")
   }
 
   /** Run any batch-or-stream transform over a parquet directory as a stream
