@@ -130,6 +130,11 @@ object GraphOps {
     * shuffles real volume) the conf never flips. */
   private val AqeFloorEdges = 10000000L
 
+  /** Edge-artifact row count above which the bucketed build pauses between
+    * its two table-sized write passes for a ContextCleaner sweep (the
+    * disk-envelope rungs); below it the pause is pure suite latency. */
+  private val PausePassRows = 100000000L
+
   /** Graph constants observed while materializing the joint graph state,
     * plus the edge-cache LAYOUT decided then: `fatEdges` records which frame
     * was actually built (fat + coalesced vs thin + src-hash-partitioned), so
@@ -219,8 +224,12 @@ object GraphOps {
         .mode("overwrite").saveAsTable(EdgesTable)
       // let the ContextCleaner release this pass's shuffle before the next
       // table-sized pass piles its own on top (the two passes' scratch
-      // co-residing is what breaks a tight disk envelope)
-      System.gc(); Thread.sleep(10000)
+      // co-residing is what breaks a tight disk envelope). Disk-envelope
+      // mitigation only — gated on the written artifact's size so unit-test
+      // and small builds don't pay the 10 s pause (r12 ADVICE; same
+      // data-derived gating as the rank loop's per-round System.gc())
+      val written = s.read.parquet(s"$outDir/edges").count()
+      if (written >= PausePassRows) { System.gc(); Thread.sleep(10000) }
     }
     if (in("rev")) {
       // a FRESH process has an empty in-memory catalog: without this DDL,
