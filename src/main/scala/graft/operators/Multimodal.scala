@@ -510,28 +510,39 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  private def m6PhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sims = imageDhash(scaledMediaTable(s, d)).cache()
-    val bands = sims.select(col("media_id"), col("dhash"),
-      posexplode(expr("transform(sequence(0, 3), b -> shiftright(dhash, b * 16) & 65535)"))
-        .as(Seq("band_idx", "band_key")))
-    val keep = bands.groupBy("band_idx", "band_key").agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") >= 2 && col("bsz") <= DHashMaxBucket)
-      .select("band_idx", "band_key")
-    // structurally bounded keep-list (4 bands x 2^16 keys max) — broadcast
-    // is safe for the same reason as d7's, and unlike the MinHash list
-    val pruned = bands.join(broadcast(keep), Seq("band_idx", "band_key"))
-    val a = pruned.as("a"); val b = pruned.as("b")
-    a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"),
-        expr("bit_count(a.dhash ^ b.dhash)").as("hamming"))
-      .distinct()
-      .where(col("hamming") <= DHashMaxHamming)
-      .orderBy("doc_a", "doc_b")
-  }
+  /** The m6 perceptual near-dup PAIR artifact (doc_a < doc_b, hamming <=
+    * threshold) — memoized so the oracle-checked query and the curation
+    * image gate ([[graft.api.Curation.Config.imageDedup]]) consume the SAME
+    * verdicts (c2's artifact-sharing discipline).
+    */
+  private[graft] def phashPairArtifact(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.getOrElseUpdate("mm.phashPairs", s, d) {
+      val sims = imageDhash(scaledMediaTable(s, d)).cache()
+      val bands = sims.select(col("media_id"), col("dhash"),
+        posexplode(expr("transform(sequence(0, 3), b -> shiftright(dhash, b * 16) & 65535)"))
+          .as(Seq("band_idx", "band_key")))
+      val keep = bands.groupBy("band_idx", "band_key").agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") >= 2 && col("bsz") <= DHashMaxBucket)
+        .select("band_idx", "band_key")
+      // structurally bounded keep-list (4 bands x 2^16 keys max) — broadcast
+      // is safe for the same reason as d7's, and unlike the MinHash list
+      val pruned = bands.join(broadcast(keep), Seq("band_idx", "band_key"))
+      val a = pruned.as("a"); val b = pruned.as("b")
+      val out = a.join(b,
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"),
+          expr("bit_count(a.dhash ^ b.dhash)").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= DHashMaxHamming)
+        .cache()
+      out.count()
+      out
+    }
+
+  private def m6PhashPairs(s: SparkSession, d: String): DataFrame =
+    phashPairArtifact(s, d).orderBy("doc_a", "doc_b")
 
   private val m6Sql = {
     val nPix = CanonW * CanonH

@@ -783,6 +783,10 @@ object ScaleProbe {
       maxPerSource = 10, // == t17's CapPerSource, so the ledger column is
                          // comparable against the oracled query verbatim
       admitBatch = Some((5L, 4L)), // == d12's (modulus, residue)
+      // r13: perceptual image near-dup gate (m6's pair artifact);
+      // GRAFT_CURATION_IMG=1 enables (off by default so pre-r13 rung
+      // evidence stays comparable)
+      imageDedup = sys.env.getOrElse("GRAFT_CURATION_IMG", "0") != "0",
       // r12: BPE-space layout + materialized per-pack id tensors (t23's
       // assembly over the curated corpus); GRAFT_CURATION_IDS=0 disables
       packIds = sys.env.getOrElse("GRAFT_CURATION_IDS", "1") != "0")
@@ -805,7 +809,7 @@ object ScaleProbe {
     check("kept_implies_all_gates", ledger.where(col("kept") &&
       !(col("q_pass") && col("is_keeper") && col("clean") && col("canonical") &&
         col("sampled") && col("temp_kept") && col("mix_kept") && col("span_ok") &&
-        col("cap_kept") && col("admitted") && !col("is_eval"))).count())
+        col("cap_kept") && col("img_kept") && col("admitted") && !col("is_eval"))).count())
     def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
     check("q_pass_eq_t5", ledger.select(col("doc_id"), col("q_pass"))
       .join(q("t5_quality_filter").select(col("doc_id"), col("kept")), "doc_id")
@@ -838,6 +842,13 @@ object ScaleProbe {
       val mine = ledger.where(col("temp_kept")).select("doc_id")
       val t11 = q("t11_temp_sample").select("doc_id")
       mine.exceptAll(t11).count() + t11.exceptAll(mine).count()
+    })
+    // r13: with the image gate on, the dropped set must equal m6's doc_b
+    // side verbatim (the keep-first rule over the oracle-checked pairs)
+    if (cfg.imageDedup) check("img_kept_eq_m6", {
+      val dropped = ledger.where(!col("img_kept")).select("doc_id")
+      val m6 = q("m6_phash_pairs").select(col("doc_b").as("doc_id")).distinct()
+      dropped.exceptAll(m6).count() + m6.exceptAll(dropped).count()
     })
     val packs = res.packs.cache()
     val nKept = ledger.where(col("kept")).count()
