@@ -347,17 +347,7 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         import spark.implicits._
         val input: Map[Int, Long] = (stateDir, fs) match {
-          case (Some(dir), Some(f)) =>
-            // the latest committed state STRICTLY BEFORE this batch: a
-            // replayed id re-reads its predecessor, never its own output
-            val prior =
-              if (f.exists(dir))
-                f.listStatus(dir).iterator.map(_.getPath.getName)
-                  .collect { case BasesName(n) => n.toLong }.filter(_ < id)
-                  .maxOption
-              else None
-            prior.map(p => readBases(f, new Path(dir, s"bases-$p")))
-              .getOrElse(seed())
+          case (Some(dir), Some(f)) => priorBases(f, dir, id).getOrElse(seed())
           case _ => bases.toMap
         }
         val baseDf = input.toSeq.toDF("shard", "base")
@@ -382,6 +372,23 @@ object StreamOps {
 
   private val BasesName = "bases-([0-9]+)".r
 
+  /** The latest resume state committed STRICTLY BEFORE batch `id` under
+    * `dir` (None if no prior state exists): a replayed id re-reads its
+    * predecessor, never its own output — the idempotence half of the
+    * restart contract, shared by [[packStream]] and
+    * [[graft.api.Curation.stream]].
+    */
+  private[graft] def priorBases(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, id: Long): Option[Map[Int, Long]] = {
+    val prior =
+      if (fs.exists(dir))
+        fs.listStatus(dir).iterator.map(_.getPath.getName)
+          .collect { case BasesName(n) => n.toLong }.filter(_ < id)
+          .maxOption
+      else None
+    prior.map(p => readBases(fs, new org.apache.hadoop.fs.Path(dir, s"bases-$p")))
+  }
+
   private def readBases(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Map[Int, Long] = {
     val in = fs.open(p)
@@ -391,7 +398,9 @@ object StreamOps {
     finally in.close()
   }
 
-  private def writeBases(fs: org.apache.hadoop.fs.FileSystem,
+  /** Commit the post-batch resume state for `id` (temp+rename; overwrite-
+    * safe, so a replayed batch re-commits identical content). */
+  private[graft] def writeBases(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, id: Long, m: Map[Int, Long]): Unit = {
     fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".bases-$id.tmp")
