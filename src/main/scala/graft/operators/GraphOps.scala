@@ -598,14 +598,13 @@ object GraphOps {
       .join(s.table(li), col("o_orderkey") === col("l_orderkey"))
       .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .agg(pairWeight)
-    // audit the STATIC physical plan (pre-AQE — the co-location property
-    // is compile-time; touching finalPhysicalPlan here would re-execute):
-    // the bucketed join must not shuffle its inputs, so the pair
-    // aggregate's single exchange is the only one allowed
-    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int =
-      p.children.map(exchanges).sum +
-        (if (p.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) 1 else 0)
-    val colocated = exchanges(pairs.queryExecution.sparkPlan) <= 1
+    // audit the statically PREPARED physical plan (EnsureRequirements
+    // applied explicitly, no execution): the bucketed join must not shuffle
+    // its inputs, so the pair aggregate's single exchange is the only one
+    // allowed. r13 fix: the earlier audit counted exchanges on the bare
+    // sparkPlan, which NEVER contains any (EnsureRequirements is what
+    // inserts them at executedPlan time) — the flag was vacuously true.
+    val colocated = Dedup.ensuredExchanges(pairs) <= 1
     pairs.write.mode("overwrite").parquet(s"$outDir/pairs")
     s.sql(s"DROP TABLE IF EXISTS $ord")
     s.sql(s"DROP TABLE IF EXISTS $li")

@@ -65,6 +65,9 @@ object ScaleProbe {
       runRankDump(args(1), args(2))
     else if (args.headOption.contains("rankcmp"))
       runRankCmp(args(1), args(2))
+    else if (args.headOption.contains("dedupbands"))
+      runDedupBands(args(1), args(2),
+        if (args.length > 3) args(3).toInt else 64)
     else if (args.headOption.contains("curation"))
       runCuration(if (args.length > 1) args(1) else "/root/testdata/sf0.01")
     else if (args.headOption.contains("diffv"))
@@ -760,6 +763,46 @@ object ScaleProbe {
       graft.operators.GraphOps.buildEdgesBucketed(spark, dir, outDir, buckets, phase)
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"""{"probe":"graph_edge_build","dir":"$dir","out":"$outDir","buckets":$buckets,"phase":"$phase","nodes":$nNodes,"edges":$nEdges,"sec":$sec}""")
+    spark.stop()
+  }
+
+  // Mode 14 (r13) — BUCKETED LSH BAND ARTIFACT: the dedup family's analogue
+  // of the graph family's bucketed ingest. Computes the direct scoredPairs
+  // artifact (the baseline, with its band shuffle), lands the signature +
+  // bucketed band layout via Dedup.buildBandsBucketed, re-derives the same
+  // scored pairs through -Dgraft.dedup.bandsDir, and requires bit-identical
+  // pair sets — recording the serve plan's static exchange count (must be
+  // <= 1: the candidate distinct) beside the direct build's wall.
+  private def runDedupBands(dir: String, outDir: String, buckets: Int): Unit = {
+    val spark = session()
+    spark.conf.set("spark.sql.shuffle.partitions", math.max(32, buckets).toString)
+    val t0 = System.nanoTime()
+    val direct = graft.operators.Dedup.scoredPairs(spark, dir)
+    direct.write.mode("overwrite").parquet(s"$outDir/pairs_direct")
+    val directSec = (System.nanoTime() - t0) / 1e9
+    graft.operators.ArtifactCache.invalidate(spark, dir)
+    System.gc()
+    val t1 = System.nanoTime()
+    val (nBands, colocated, nEx) =
+      graft.operators.Dedup.buildBandsBucketed(spark, dir, outDir, buckets)
+    val buildSec = (System.nanoTime() - t1) / 1e9
+    sys.props(graft.operators.Dedup.BandsDirProp) = outDir
+    try {
+      val t2 = System.nanoTime()
+      val served = graft.operators.Dedup.scoredPairs(spark, dir)
+      val nServed = served.count()
+      val servedSec = (System.nanoTime() - t2) / 1e9
+      val a = spark.read.parquet(s"$outDir/pairs_direct")
+      val onlyA = a.exceptAll(served).count()
+      val onlyB = served.exceptAll(a).count()
+      val ok = onlyA == 0 && onlyB == 0 && nServed == a.count()
+      println(s"""{"probe":"dedup_bucketed_bands","dir":"$dir","out":"$outDir","buckets":$buckets,"bands":$nBands,"pairs":$nServed,"colocated_pair_plan":$colocated,"serve_exchanges":$nEx,"only_direct":$onlyA,"only_served":$onlyB,"match":$ok,"direct_sec":$directSec,"build_sec":$buildSec,"served_sec":$servedSec}""")
+      require(ok, "bandsDir-served scored pairs differ from the direct build")
+      require(colocated, "bucketed band pair plan shuffled its inputs")
+    } finally {
+      sys.props -= graft.operators.Dedup.BandsDirProp
+      graft.operators.ArtifactCache.invalidate(spark, dir)
+    }
     spark.stop()
   }
 
