@@ -68,6 +68,11 @@ object ScaleProbe {
     else if (args.headOption.contains("dedupbands"))
       runDedupBands(args(1), args(2),
         if (args.length > 3) args(3).toInt else 64)
+    else if (args.headOption.contains("curstream"))
+      runCurStream(
+        if (args.length > 1) args(1).toInt else 1000000,
+        if (args.length > 2) args(2).toInt else 200000,
+        if (args.length > 3) args(3).toInt else 8)
     else if (args.headOption.contains("curation"))
       runCuration(if (args.length > 1) args(1) else "/root/testdata/sf0.01")
     else if (args.headOption.contains("diffv"))
@@ -763,6 +768,133 @@ object ScaleProbe {
       graft.operators.GraphOps.buildEdgesBucketed(spark, dir, outDir, buckets, phase)
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"""{"probe":"graph_edge_build","dir":"$dir","out":"$outDir","buckets":$buckets,"phase":"$phase","nodes":$nNodes,"edges":$nEdges,"sec":$sec}""")
+    spark.stop()
+  }
+
+  // Mode 15 (r13) — COMPOSED CURATION STREAM AT VOLUME: `Curation.stream`
+  // (admission verdicts feeding pack deltas per micro-batch, r12 stretch #8)
+  // driven as a checkpointed file stream against a synthesized standing
+  // corpus, with a HARD STOP + RESTART mid-feed — the admit probe's shape
+  // with the pack half composed in. Checks, all in-engine:
+  //   1. every feed doc admitted exactly once across the restart;
+  //   2. every 4th feed doc is an EXACT standing clone → is_dup=1 AND
+  //      absent from every pack delta (rejects never enter the layout);
+  //   3. per-shard token conservation: each shard's final end position ==
+  //      its standing total + the admitted batch tokens routed to it, and
+  //      the union delta is gapless under the (batch, doc_id) append order;
+  //   4. docs/s for both phases (the composed front door's throughput).
+  private def runCurStream(nStanding: Int, nFeed: Int, slices: Int): Unit = {
+    val spark = session()
+    val root = s"/tmp/graft_scaleprobe_curstream_${nStanding}_$nFeed"
+    if (Files.exists(Paths.get(root))) {
+      Files.walk(Paths.get(root)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.delete(p); () })
+    }
+    val feedDir = s"$root/feed"
+    val ledgerDir = s"$root/ledger"
+    val deltaDir = s"$root/deltas"
+    val ckptDir = s"$root/ckpt"
+    Files.createDirectories(Paths.get(feedDir))
+
+    val P = graft.operators.TextOps.PackSize
+    val Shards = graft.operators.TextOps.PackShards
+    def textOf(seed: String) =
+      s"array_join(transform(sequence(0, 39), w -> CAST(xxhash64($seed, w) AS STRING)), ' ')"
+    val standingDocs = spark.range(nStanding)
+      .select(col("id").as("doc_id"), expr(textOf("id")).as("text"))
+    // the standing artifacts, priced separately like the admit probe's
+    // snapshot: the pack layout is packAppendFrom over empty bases (append
+    // to position 0 == the full pack — t24's own invariant)
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val standingCounts = standingDocs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    val standingPacks = graft.operators.TextOps
+      .packAppendFrom(spark, Seq.empty[(Int, Long)].toDF("shard", "base"),
+        standingCounts, P, Shards)
+      .cache()
+    val nStandPacked = standingPacks.count()
+    val standingEnds = standingPacks.groupBy("shard")
+      .agg(max(col("pack_id").cast("long") * P + col("pack_offset") + col("n_tokens"))
+        .as("stand_end"))
+    val artifactSec = (System.nanoTime() - t0) / 1e9
+
+    val per = (nFeed + slices - 1) / slices
+    def writeSlice(k: Int): Unit = {
+      val lo = k.toLong * per
+      val hi = math.min((k + 1).toLong * per, nFeed.toLong)
+      spark.range(lo, hi).select(
+          (col("id") + nStanding).as("doc_id"),
+          expr(textOf(s"CASE WHEN id % 4 = 0 THEN id % $nStanding ELSE id + $nStanding END"))
+            .as("text"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$root/stage_$k")
+      val part = Files.list(Paths.get(s"$root/stage_$k")).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(feedDir, f"slice_$k%03d.parquet"))
+      ()
+    }
+
+    def startStream() = {
+      val feed = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feedDir)
+      graft.api.Curation.stream(feed, standingDocs, standingPacks,
+          P, Shards, checkpoint = Some(ckptDir)) { (verdicts, delta, id) =>
+        verdicts.write.mode("append").parquet(ledgerDir)
+        delta.withColumn("batch_id", lit(id)).write.mode("append").parquet(deltaDir)
+        ()
+      }
+    }
+
+    (0 until slices / 2).foreach(writeSlice)
+    val t1 = System.nanoTime()
+    val q1 = startStream()
+    q1.processAllAvailable()
+    q1.stop()
+    val phase1Sec = (System.nanoTime() - t1) / 1e9
+    (slices / 2 until slices).foreach(writeSlice)
+    val t2 = System.nanoTime()
+    val q2 = startStream()
+    q2.processAllAvailable()
+    q2.stop()
+    val phase2Sec = (System.nanoTime() - t2) / 1e9
+
+    val ledger = spark.read.parquet(ledgerDir).cache()
+    val nLedger = ledger.count()
+    val nDistinct = ledger.select("doc_new").distinct().count()
+    val clones = ledger.where((col("doc_new") - nStanding) % 4 === 0)
+    val cloneBad = clones.where(col("is_dup") =!= 1).count()
+    val deltas = spark.read.parquet(deltaDir).cache()
+    val nPacked = deltas.count()
+    val nAdmitted = ledger.where(col("is_dup") === 0).count()
+    val packedRejects = deltas.join(
+      ledger.where(col("is_dup") === 1).select(col("doc_new").as("doc_id")), "doc_id").count()
+    // per-shard conservation: final end == standing end + admitted tokens
+    val finalEnds = deltas.groupBy("shard")
+      .agg(max(col("pack_id").cast("long") * P + col("pack_offset") + col("n_tokens"))
+        .as("final_end"), sum(col("n_tokens")).as("delta_tokens"))
+    val conservationBad = finalEnds
+      .join(standingEnds, Seq("shard"), "left")
+      .where(col("final_end") =!= coalesce(col("stand_end"), lit(0L)) + col("delta_tokens"))
+      .count()
+    // gapless under (batch, doc_id) order: re-derive each delta row's global
+    // position from the standing end + running admitted-token cumsum
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("batch_id", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapBad = deltas
+      .withColumn("cum", sum(col("n_tokens")).over(w).cast("long"))
+      .join(standingEnds, Seq("shard"), "left")
+      .withColumn("g", coalesce(col("stand_end"), lit(0L)) + col("cum") - col("n_tokens"))
+      .where(col("pack_id") =!= expr(s"CAST(g div $P AS INT)") ||
+             col("pack_offset") =!= expr(s"CAST(g % $P AS INT)"))
+      .count()
+    val ok = nLedger == nFeed && nDistinct == nFeed && cloneBad == 0 &&
+      packedRejects == 0 && nPacked == nAdmitted && conservationBad == 0 && gapBad == 0
+    println(s"""{"probe":"curation_stream","standing":$nStanding,"feed":$nFeed,"slices":$slices,"standing_packed":$nStandPacked,"artifact_sec":$artifactSec,"phase1_sec":$phase1Sec,"phase2_sec":$phase2Sec,"ledger":$nLedger,"admitted":$nAdmitted,"packed":$nPacked,"clone_bad":$cloneBad,"packed_rejects":$packedRejects,"conservation_bad":$conservationBad,"gap_bad":$gapBad,"docs_per_sec":${(nFeed / (phase1Sec + phase2Sec)).toLong},"all_ok":$ok}""")
+    require(ok, "composed curation stream invariant violated at volume")
     spark.stop()
   }
 
