@@ -65,6 +65,10 @@ object ScaleProbe {
       runRankDump(args(1), args(2))
     else if (args.headOption.contains("rankcmp"))
       runRankCmp(args(1), args(2))
+    else if (args.headOption.contains("compdump"))
+      runCompDump(args(1), args(2))
+    else if (args.headOption.contains("compcmp"))
+      runCompCmp(args(1), args(2))
     else if (args.headOption.contains("dedupbands"))
       runDedupBands(args(1), args(2),
         if (args.length > 3) args(3).toInt else 64)
@@ -740,6 +744,37 @@ object ScaleProbe {
     val ok1 = cmp("v9", graft.operators.GraphOps.n1RankFrame(spark, dir))
     val ok2 = cmp("v10", graft.operators.GraphOps.n2RankFrame(spark, dir))
     require(ok1 && ok2, "graph rank-frame differential mismatch")
+    spark.stop()
+  }
+
+  // Modes 16/17 (r13) — the d9-chain diffv STAGED for a tight disk envelope
+  // (the rankdump/rankcmp recipe applied to the component family): at the
+  // sf1000 rung the alt and shipped component builds' shuffle scratch plus
+  // the 50M-doc signature cache co-residing blew the disk; `compdump`
+  // computes the TWIN component frame (alt algorithm) and lands it as
+  // parquet while only its own scratch occupies the disk, then `compcmp` in
+  // a FRESH process computes the shipped frame and compares full-frame.
+  private def runCompDump(dir: String, outDir: String): Unit = {
+    val spark = session()
+    val t0 = System.nanoTime()
+    graft.operators.Differential.altComponentLabels(spark, dir)
+      .write.mode("overwrite").parquet(outDir)
+    val rows = spark.read.parquet(outDir).count()
+    println(s"""{"probe":"comp_dump","dir":"$dir","rows":$rows,"sec":${(System.nanoTime() - t0) / 1e9}}""")
+    spark.stop()
+  }
+
+  private def runCompCmp(dir: String, dumpDir: String): Unit = {
+    val spark = session()
+    val t0 = System.nanoTime()
+    val a = spark.read.parquet(dumpDir)
+    val b = graft.operators.Dedup.componentLabels(spark, dir)
+      .select(a.columns.map(col).toIndexedSeq: _*)
+    val nA = a.count(); val nB = b.count()
+    val onlyA = a.exceptAll(b).count(); val onlyB = b.exceptAll(a).count()
+    val ok = nA == nB && onlyA == 0 && onlyB == 0
+    println(s"""{"probe":"comp_cmp","dir":"$dir","rows_alt":$nA,"rows_shipped":$nB,"only_alt":$onlyA,"only_shipped":$onlyB,"match":$ok,"sec":${(System.nanoTime() - t0) / 1e9}}""")
+    require(ok, "d9-chain component differential mismatch")
     spark.stop()
   }
 
