@@ -698,6 +698,10 @@ object AnalyticOps {
       .withColumn("w", expr(s"h div $HllM"))
       .withColumn("rho",
         when(col("w") === 0, lit(53)).otherwise(lit(53) - length(bin(col("w")))))
+      // cache only what the register aggregations read (guide §2.3: narrower
+      // cached rows — l_orderkey/h/w are derivation-only); both sketch
+      // branches still share the one md5 pass
+      .select("shard", "bucket", "rho")
       .cache()
     val shardRegs = hashed.groupBy("shard", "bucket").agg(max(col("rho")).as("maxrho"))
     val mergedRegs = shardRegs.groupBy("bucket").agg(max(col("maxrho")).as("maxrho"))

@@ -161,8 +161,17 @@ object Dedup {
     * for the rationale and safety notes; the floor input here is the corpus
     * row count the lshSigs materialization observed.
     */
-  private def withSmallBuildPlanner[T](s: SparkSession, d: String)(f: => T): T =
-    BuildPlanner.withAqeOffWhen(s, docCounts.get((s, d)).exists(_ < AqeFloorDocs))(f)
+  private def withSmallBuildPlanner[T](s: SparkSession, d: String)(f: => T): T = {
+    val small = docCounts.get((s, d)).exists(_ < AqeFloorDocs)
+    // stacked with an 8-partition shuffle override below the same floor
+    // (r13 optimization): the d9 chain's build stages (band prune, pair
+    // distinct, label-propagation rounds) are KB-sized at small corpus
+    // sizes, so 32-task shuffle floors dominate their wall; restored in
+    // finally, never flips at scale (same pattern as the v3/v7 twin builds)
+    BuildPlanner.withAqeOffWhen(s, small) {
+      BuildPlanner.withShufflePartitionsWhen(s, small, 8)(f)
+    }
+  }
 
   /** Exploded (doc_id, band_idx, band_hash) with degenerate buckets pruned:
     * only buckets of 2..LshMaxBucket members enter the self-join (singletons

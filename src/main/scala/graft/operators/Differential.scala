@@ -164,7 +164,12 @@ object Differential {
         .where(col("est_jaccard") >= 0.7)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val nEdges = dupPairs.count()
+      // below the floor the star rounds' stages are KB-sized: both AQE
+      // re-planning AND 32-task shuffle floors dominate (same regime as the
+      // v9/v10 degree build below) — drop to 8 shuffle partitions for the
+      // build, restored after; at scale neither conf flips
       BuildPlanner.withAqeOffWhen(s, nEdges < 10000000L) {
+      BuildPlanner.withShufflePartitionsWhen(s, nEdges < 10000000L, 8) {
         val labels = twoStarLabels(dupPairs)
         val quality = TextOps.qualityFrame(s, d).select("doc_id", "quality")
         // canonical = rank-1 of (quality DESC, doc_id ASC) per component —
@@ -186,6 +191,7 @@ object Differential {
           .cache()
         out.count()
         out
+      }
       }
     }
 
@@ -486,6 +492,11 @@ object Differential {
     */
   private[graft] def altEncodedPieces(s: SparkSession, d: String): DataFrame =
     ArtifactCache.getOrElseUpdate("diff.bpePieces", s, d) {
+      // r13 optimization note: a small-corpus shuffle-partition override was
+      // measured here and reverted — the fixed point's wall is the per-round
+      // driver sync (isEmpty + checkpoint jobs) and the merge-pass compute,
+      // not reduce-task floors (build time was flat with the gate on, and
+      // the 8-partition cached pieces cost v6's token explode parallelism)
       val rules = TextOps.t19BpeTrain(s, d)
         .select(col("lhs").as("l"), col("rhs").as("r"),
           col("merge_idx").cast("long").as("rk"))

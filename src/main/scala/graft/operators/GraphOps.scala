@@ -414,10 +414,18 @@ object GraphOps {
     // 5.98 s vs 7.16 s vs 7.02 s — the flat identical-shape rounds (codegen
     // compiled once, later rounds hit the source cache) keep winning.
     val g = unweightedGraph(s, d)
+    // 8-partition override below the same edge floor (r13 optimization):
+    // broadcast-mode rounds shuffle only the node-sized contribution
+    // aggregate — KB stages whose 32-task floors dominate the round wall.
+    // The loop output is checkpointed, never cached, so the conf flip
+    // cannot interact with CacheManager substitution (see
+    // TextOps.withSmallTextBuild for that hazard).
     BuildPlanner.withAqeOffWhen(s, g.nEdges < AqeFloorEdges) {
-      var r = prInit(g)
-      for (_ <- 1 to Iters) r = prRound(g, r)
-      r.select("node", "r")
+      BuildPlanner.withShufflePartitionsWhen(s, g.nEdges < AqeFloorEdges, 8) {
+        var r = prInit(g)
+        for (_ <- 1 to Iters) r = prRound(g, r)
+        r.select("node", "r")
+      }
     }
   }
 
@@ -624,7 +632,9 @@ object GraphOps {
     val bcast = meta.fatEdges // the layout recorded at artifact build
     val edges = if (bcast) joint.select("src", "dst", "w", "dst_wout")
                 else joint.select("src", "dst", "w")
+    // 8-partition override below the edge floor — see n1RankFrame
     BuildPlanner.withAqeOffWhen(s, nEdges < AqeFloorEdges) {
+    BuildPlanner.withShufflePartitionsWhen(s, nEdges < AqeFloorEdges, 8) {
     var r = deg.select(col("node"), col("wout"),
       lit(Scale / nNodes).as("r")).localCheckpoint()
     for (_ <- 1 to Iters) {
@@ -645,6 +655,7 @@ object GraphOps {
         .localCheckpoint()
     }
     r.select("node", "r")
+    }
     }
   }
 

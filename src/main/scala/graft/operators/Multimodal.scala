@@ -517,6 +517,10 @@ object Multimodal {
     */
   private[graft] def phashPairArtifact(s: SparkSession, d: String): DataFrame =
     ArtifactCache.getOrElseUpdate("mm.phashPairs", s, d) {
+      // r13 optimization note: a small-corpus shuffle-partition override was
+      // measured here and reverted — the build is decode-bound (the RDD
+      // mapPartitions pass), so the band/pair stages' task floors don't move
+      // the wall (m6 was flat at sf0.1 local[32] with the gate on)
       val sims = imageDhash(scaledMediaTable(s, d)).cache()
       val bands = sims.select(col("media_id"), col("dhash"),
         posexplode(expr("transform(sequence(0, 3), b -> shiftright(dhash, b * 16) & 65535)"))

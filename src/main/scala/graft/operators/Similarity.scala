@@ -54,6 +54,11 @@ object Similarity {
   private[operators] def smallVecs(s: SparkSession, d: String): Boolean =
     vecCounts.getOrElseUpdate((s, d), Tables.embeddings(s, d).count()) < AqeFloorVecs
 
+  // NOTE (r13 optimization round): an 8-partition shuffle override stacked
+  // here was MEASURED and reverted — quantizer-build time was flat (the
+  // builds are vector-compute-bound, not task-floor-bound) while consumers
+  // of the 8-partition cached artifacts lost scan parallelism (s2 +0.15 s,
+  // s6 +0.25 s, d8 +0.31 s at sf0.1 local[32]).
   private[operators] def withSmallBuild[T](s: SparkSession, d: String)(f: => T): T =
     BuildPlanner.withAqeOffWhen(s, smallVecs(s, d))(f)
 

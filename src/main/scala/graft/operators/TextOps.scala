@@ -1287,6 +1287,34 @@ object TextOps {
         posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "word")))
       .where(col("word") =!= "")
 
+  /** Corpus-size memo for the text-family build gates — one count per
+    * (session, dir), a cached-scan count under Bench (documents is
+    * session-cached there) and a single parquet count elsewhere. Same
+    * data-derived smallness contract as [[Similarity.smallVecs]] /
+    * `Dedup.withSmallBuildPlanner`: below the floor the BPE build chain's
+    * stages are KB-sized and AQE re-planning + full-width task floors
+    * dominate; at scale neither conf ever flips. */
+  private val corpusCounts =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Long]()
+  private val SmallCorpusFloorDocs = 1000000L
+  private[operators] def smallCorpus(s: SparkSession, d: String): Boolean =
+    corpusCounts.getOrElseUpdate((s, d),
+      Tables.documents(s, d).count()) < SmallCorpusFloorDocs
+
+  /** 8 shuffle partitions for small-corpus text artifact builds (see
+    * [[BuildPlanner]] for the restore-in-finally contract). Deliberately
+    * does NOT flip AQE off: caching a frame while
+    * `spark.sql.adaptive.enabled` differs from the consumer's session value
+    * breaks CacheManager substitution for that entry (measured r13: v6's
+    * warm plan re-derived the whole diff.docIdSeqs subtree live — 5→9
+    * shuffles +1 BNLJ — when the build ran AQE-off under an AQE-on session;
+    * partitions-only keeps the substitution AND removes the 32-task floors,
+    * which were the dominant cost). */
+  private[operators] def withSmallTextBuild[T](s: SparkSession, d: String)(f: => T): T = {
+    val small = smallCorpus(s, d)
+    BuildPlanner.withShufflePartitionsWhen(s, small, 8)(f)
+  }
+
   private[graft] val seq0Expr = expr(
     s"substring(regexp_replace(word, '(.)', '$$1$BpeSep'), 1, 2 * length(word) - 1)")
 
@@ -1298,9 +1326,11 @@ object TextOps {
     */
   private[graft] def encodedVocab(s: SparkSession, d: String): DataFrame =
     ArtifactCache.getOrElseUpdate("bpe.encodedVocab", s, d) {
-      val out = encodeVocabWith(s, d, docWords(s, d).select("word").distinct()).cache()
-      out.count()
-      out
+      withSmallTextBuild(s, d) {
+        val out = encodeVocabWith(s, d, docWords(s, d).select("word").distinct()).cache()
+        out.count()
+        out
+      }
     }
 
   /** Rank-ordered encode of a DISTINCT-word `vocab` frame by dir-`d`'s
@@ -1419,20 +1449,22 @@ object TextOps {
   private[graft] def docIdSeqs(s: SparkSession, d: String): DataFrame =
     ArtifactCache.getOrElseUpdate("text.docIdSeqs", s, d) {
       graft.functions.HashRegistry.register(s)
-      val enc = encodedVocab(s, d)
-      val (symtab, _) = trainedSymtab(s, d)
-      val wordIds = enc
-        .select(col("word"), posexplode(split(col("seq"), BpeSep)).as(Seq("pi", "piece")))
-        .join(broadcast(symtab.withColumnRenamed("sym", "piece")), "piece")
-        .groupBy("word")
-        .agg(expr("transform(array_sort(collect_list(struct(pi, id))), p -> p.id)").as("ids"))
-      val out = docWords(s, d).join(wordIds, "word")
-        .groupBy("doc_id")
-        .agg(expr("flatten(transform(array_sort(collect_list(struct(pos, ids))), p -> p.ids))")
-          .as("ids"))
-        .cache()
-      out.count()
-      out
+      withSmallTextBuild(s, d) {
+        val enc = encodedVocab(s, d)
+        val (symtab, _) = trainedSymtab(s, d)
+        val wordIds = enc
+          .select(col("word"), posexplode(split(col("seq"), BpeSep)).as(Seq("pi", "piece")))
+          .join(broadcast(symtab.withColumnRenamed("sym", "piece")), "piece")
+          .groupBy("word")
+          .agg(expr("transform(array_sort(collect_list(struct(pi, id))), p -> p.id)").as("ids"))
+        val out = docWords(s, d).join(wordIds, "word")
+          .groupBy("doc_id")
+          .agg(expr("flatten(transform(array_sort(collect_list(struct(pos, ids))), p -> p.ids))")
+            .as("ids"))
+          .cache()
+        out.count()
+        out
+      }
     }
 
   /** (symtab(sym, id), nBase) for dir-`d`'s trained tokenizer — the base
