@@ -21,14 +21,54 @@ object Tables {
   private val frames =
     new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
+  /** Scan-parallelism floor (r13 optimization, guide §2.5 "input skew" /
+    * §6 input splits): a parquet file smaller than
+    * `spark.sql.files.maxPartitionBytes` scans as ONE partition — and
+    * because a single small file is also a single row group, raising
+    * `minPartitionNum` would only mint empty splits. So below the floor the
+    * fact tables re-spread ONCE per session over the default parallelism,
+    * hash-partitioned on their PRIMARY KEY (deterministic row→partition
+    * assignment — no round-robin, so retries and engine-compare hashes are
+    * unaffected; every downstream per-row pass — MinHash, BPE explode,
+    * image decode, ts parse — runs at session width instead of one core).
+    * Data-derived: at any real scale the scan has more splits than cores
+    * and the floor never fires. Dimension tables (region/nation/supplier/
+    * part) are broadcast-side and stay as scanned. events, embeddings and
+    * customer were floored and MEASURED OUT (r13): their per-row pre-shuffle
+    * work is trivial (ts parse / 64-dim vectors at 2k rows / key projection),
+    * so the extra exchange plus 32-way task floors on row-counts this small
+    * cost more than the parallelism bought (s5 +0.76 s, s7 +0.73 s, r2/r3
+    * +0.5 s at sf0.1 local[32]); documents/lineitem/orders carry the heavy
+    * per-row passes (text shingling/tokenization, md5 hashing, decimal
+    * aggregation) and kept clear wins (u6/u7 −0.7 s, v2 −0.63 s, c2 −0.59 s,
+    * t16 −0.6 s, q1/q2/a4/a8 −0.25..−0.39 s).
+    */
+  private val scanFloorKeys = Map(
+    "documents" -> Seq("doc_id"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "orders" -> Seq("o_orderkey"))
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val perSession = frames.synchronized {
       var m = frames.get(spark)
       if (m == null) { m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame](); frames.put(spark, m) }
       m
     }
-    perSession.computeIfAbsent(s"$sfDir/$name",
-      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+    perSession.computeIfAbsent(s"$sfDir/$name", { _ =>
+      import org.apache.spark.sql.functions.col
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      scanFloorKeys.get(name) match {
+        case Some(pk) =>
+          // full session width: a half-width variant was measured (16 at
+          // local[32]) and lost more on the heavy consumers (c2 +0.17 s,
+          // t20 +0.36 s, q1/q2 +0.11 s) than it saved on the trivial ones
+          val target = spark.sparkContext.defaultParallelism
+          if (raw.rdd.getNumPartitions * 2 <= target)
+            raw.repartition(target, pk.map(col): _*)
+          else raw
+        case None => raw
+      }
+    })
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -83,10 +83,19 @@ object Differential {
   // ---------------------------------------------------------------------------
   // v1 — two-star connected components
 
-  /** Undirected view (both directions, self-loops dropped, distinct). */
+  /** Undirected view (both directions, self-loops dropped). NOT
+    * deduplicated (r13 optimization): every frame that reaches the star
+    * rounds is a DISTINCT one-orientation edge set — the initial edges are
+    * scoredPairs' doc_a < doc_b pairs run through a distinct, and both star
+    * outputs end in their own distinct with every emitted edge pointing
+    * big → small — so the two orientations this union produces cannot
+    * collide and the old per-round dedup exchange here was provably a
+    * no-op (min-aggregation and the final distincts are duplicate-safe
+    * regardless). One corpus-pair-sized shuffle saved per round, at every
+    * scale. */
   private def symmetrize(e: DataFrame): DataFrame =
     e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .where(col("src") =!= col("dst")).distinct()
+      .where(col("src") =!= col("dst"))
 
   /** Large-star: every node u connects its LARGER neighbors to
     * m(u) = min(N(u) ∪ {u}); emitted edges always point big → small, so no
@@ -104,11 +113,14 @@ object Differential {
 
   /** Small-star: orient every edge (max, min); each node u connects its
     * SMALLER neighbors (and itself) to m(u) = min of those neighbors.
+    * `or` is not deduplicated for the same reason symmetrize isn't: its
+    * input is a distinct edge set in a single orientation, and the
+    * greatest/least normalization is a bijection on such a set.
     */
   private def smallStar(e: DataFrame): DataFrame = {
     val or = e.select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
-      .where(col("u") =!= col("v")).distinct()
+      .where(col("u") =!= col("v"))
     val m = or.groupBy("u").agg(min(col("v")).as("m"))
     or.join(m, "u")
       .select(col("v").as("src"), col("m").as("dst"))

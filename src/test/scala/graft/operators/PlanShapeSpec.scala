@@ -19,8 +19,14 @@ class PlanShapeSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Exchanges excluding the Tables scan-parallelism floor's explicit
+    * keyed repartition (rendered with the REPARTITION_BY_COL origin tag) —
+    * that exchange re-spreads a single-split small-file scan across the
+    * session's cores (r13 optimization) and says nothing about whether the
+    * OPERATOR under test moves data. */
   private def countExchanges(plan: String): Int =
-    "(?i)exchange".r.findAllIn(plan).size
+    "(?i)exchange".r.findAllIn(plan).size -
+      "REPARTITION_BY_(COL|NUM)".r.findAllIn(plan).size
 
   test("t8 repetition signals shuffle only for the final deterministic sort") {
     val plan = executed("t8_gopher_repetition")

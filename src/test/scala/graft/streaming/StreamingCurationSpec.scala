@@ -48,7 +48,11 @@ class StreamingCurationSpec extends AnyFunSuite {
 
   test("3-cut composed stream == batch d12 verdicts + packAppend over the admitted set") {
     import spark.implicits._
-    val newDocs = docs.where(col("doc_id") % 5 === 4)
+    // explicit doc_id order: the cuts must be contiguous ascending ranges
+    // for append-position parity with the all-at-once batch re-pack (the
+    // bare collect's row order follows the scan partitioning, which the
+    // Tables scan-parallelism floor hash-spreads)
+    val newDocs = docs.where(col("doc_id") % 5 === 4).orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val cuts = Seq(
       newDocs.slice(0, newDocs.length / 3),
