@@ -38,22 +38,24 @@ object Bench {
     // events read flips the nanos conf and compiles its own codegen)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     try graft.Tables.events(spark, sfDir).limit(1).count() catch { case _: Throwable => () }
-    // every query family re-scans a handful of base tables; cache the base
-    // scans once so per-query time measures the operator, not repeated IO
-    // (at cluster scale the analogue is a shared in-memory/alluxio-cached
-    // table; the DuckDB comparison reads the same OS-page-cached parquet).
-    // CacheManager rewrites any structurally-identical scan to the cached
-    // relation, so queries built through graft.Tables all benefit. The
-    // policy is declared in the output JSON as "cached_tables".
-    val cachedTables = Seq(
+    // r14 methodology fix (r13 VERDICT "what's wrong" #2): the base tables
+    // are NO LONGER Spark-cached before the timed loop — every measured
+    // query computes from the parquet inputs, per the optimization-round
+    // rules. A plain warm read per table remains so the OS page cache and
+    // parquet footers are hot (the DuckDB twin reads the same OS-page-cached
+    // files; no Spark-level materialization survives into the timed region).
+    // The old per-query numbers (r7..r13) were recorded WITH the cache; the
+    // uniform +~0.05-0.3 s/query scan cost in r14 recordings is this harness
+    // fix, not an engine regression — documented in OPTIMIZATION_r14.md.
+    val warmedTables = Seq(
       "documents" -> ((sf: String) => graft.Tables.documents(spark, sf)),
       "embeddings" -> ((sf: String) => graft.Tables.embeddings(spark, sf)),
       "lineitem" -> ((sf: String) => graft.Tables.lineitem(spark, sf)),
       "orders" -> ((sf: String) => graft.Tables.orders(spark, sf)),
       "events" -> ((sf: String) => graft.Tables.events(spark, sf)),
       "customer" -> ((sf: String) => graft.Tables.customer(spark, sf)))
-    for ((_, load) <- cachedTables)
-      try load(sfDir).cache().count() catch { case _: Throwable => () }
+    for ((_, load) <- warmedTables)
+      try load(sfDir).count() catch { case _: Throwable => () }
     // calibration: a fixed 10M-row codegen aggregation, measured AFTER
     // warmup. Its idle-machine time is ~0.1 s and data-independent, so a
     // loaded/contended bench environment is detectable from the JSON alone
@@ -128,7 +130,9 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val cachedList = cachedTables.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    // "cached_tables" is empty from r14 on (see the methodology note above);
+    // "warmed_tables" records the page-cache/footer warm reads instead.
+    val warmedList = warmedTables.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     // per-artifact fit-once attribution: which query paid each shared
     // artifact's build (alphabetical first consumer) and what it cost, so a
     // "slow" first consumer (c2 paying d9's component labeling) is explained
@@ -161,7 +165,7 @@ object Bench {
     // truncated/prefixed beyond parseability, so the file is the durable
     // artifact a later reader can trust.
     val full =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_sf":"$warmSf","prewarmed":$prewarmList,"calib":${sec(calib)},"calib_end":${sec(calibEnd)},"load_start":${sec(loadStart)},"load_end":${sec(loadEnd)},"cached_tables":$cachedList,"artifacts":$artifacts}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm_sf":"$warmSf","prewarmed":$prewarmList,"calib":${sec(calib)},"calib_end":${sec(calibEnd)},"load_start":${sec(loadStart)},"load_end":${sec(loadEnd)},"cached_tables":[],"warmed_tables":$warmedList,"artifacts":$artifacts}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")), full + "\n")
     catch { case _: Throwable => () }

@@ -63,7 +63,8 @@ object Tables {
           // local[32]) and lost more on the heavy consumers (c2 +0.17 s,
           // t20 +0.36 s, q1/q2 +0.11 s) than it saved on the trivial ones
           val target = spark.sparkContext.defaultParallelism
-          if (raw.rdd.getNumPartitions * 2 <= target)
+          if (sys.props.get("graft.scanfloor").contains("off")) raw
+          else if (raw.rdd.getNumPartitions * 2 <= target)
             raw.repartition(target, pk.map(col): _*)
           else raw
         case None => raw

@@ -89,7 +89,15 @@ object Clustering {
         .coalesce(1)
       // truncate BETWEEN iterations only: the final update is one bounded
       // stage on top of the last checkpoint, so consumers pay at most one
-      // tiny recompute instead of an extra eager job per kmeans call
+      // tiny recompute instead of an extra eager job per kmeans call.
+      // r14 MEASURED AND KEPT AS-IS: removing the per-round eager checkpoint
+      // ("fuse the chain into one consumer action") regressed hard at sf0.1
+      // local[32] — the lazy chain executes as NESTED BroadcastExchange
+      // builds that serialize level by level AND lose the 4-way concurrency
+      // of ivfpqRecon's per-subspace futures (which rely on these eager jobs
+      // to overlap): s7 1.80→6.61 s, similarity.ivfpq build 1.34→4.66 s,
+      // v3 −0.82 s, s5 −0.64 s. The eager per-round checkpoint is
+      // load-bearing for the concurrent-build pattern, not ceremony.
       if (it < iters) cents = cents.localCheckpoint()
     }
     cents

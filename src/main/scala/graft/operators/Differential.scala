@@ -295,6 +295,9 @@ object Differential {
     var cents = cents0
     for (it <- 1 to iters) {
       cents = updateAlt(assignAlt(vecs, cents))
+      // per-round eager checkpoint kept — r14 measured the lazy-chain
+      // variant and reverted it (nested broadcast builds serialize; see
+      // Clustering.kmeans for the numbers)
       if (it < iters) cents = cents.localCheckpoint()
     }
     cents
@@ -345,7 +348,8 @@ object Differential {
     var cents = cents0
     for (it <- 1 to iters) {
       cents = updateAltG(assignAltG(vecs, cents))
-      // one checkpoint per round for ALL subspaces (was 4)
+      // one checkpoint per round for ALL subspaces (was 4); r14 measured
+      // removing it and reverted (see Clustering.kmeans)
       if (it < iters) cents = cents.localCheckpoint()
     }
     cents
@@ -550,21 +554,31 @@ object Differential {
           .select(col("word"), col("pr.l").as("l"), col("pr.r").as("r"))
           .join(broadcast(rules), Seq("l", "r"))
           .groupBy("word").agg(min(col("rk")).as("rk"))
-        if (best.isEmpty) done = true
-        else {
-          val bestRule = best.join(broadcast(rules), "rk")
-            .select(col("word"), col("l"), col("r"))
-          // vocab-sized checkpoint truncates the per-round lineage; the
-          // PREVIOUS round's blocks release as soon as this one exists
-          // (ADVICE r10 — keep only the latest snapshot, not all rounds)
-          val (next, releaseNext) = checkpointTracked(
-            cur.join(bestRule, Seq("word"), "left")
-              .select(col("word"),
-                when(col("l").isNull, col("ps")).otherwise(mergePassExpr).as("ps")))
-          releaseCur()
-          cur = next
-          releaseCur = releaseNext
-        }
+        val bestRule = best.join(broadcast(rules), "rk")
+          .select(col("word"), col("l"), col("r"))
+        // r14 (guide §5 driver / r13 verdict #5): ONE execution of the heavy
+        // explode+join+argmin subtree per round. The old shape ran it twice
+        // — once under `best.isEmpty`, once again inside the checkpoint's
+        // join — so every round paid the vocab pass double. The round's only
+        // heavy action is now the eager checkpoint, which carries a
+        // persisted `merged` flag; the convergence probe reads the persisted
+        // blocks, never recomputing the subtree. The final (no-merge) round
+        // checkpoints an unchanged ps column — identical rows to the old
+        // loop's last snapshot, one extra vocab-sized persist in exchange
+        // for halving every earlier round.
+        //
+        // vocab-sized checkpoint truncates the per-round lineage; the
+        // PREVIOUS round's blocks release as soon as this one exists
+        // (ADVICE r10 — keep only the latest snapshot, not all rounds)
+        val (next, releaseNext) = checkpointTracked(
+          cur.join(bestRule, Seq("word"), "left")
+            .select(col("word"),
+              when(col("l").isNull, col("ps")).otherwise(mergePassExpr).as("ps"),
+              col("l").isNotNull.as("merged")))
+        done = next.where(col("merged")).isEmpty // persisted-block scan only
+        releaseCur()
+        cur = next.select("word", "ps")
+        releaseCur = releaseNext
       }
       val out = cur.cache()
       out.count()
@@ -834,21 +848,30 @@ object Differential {
         // hash-build on the node-sized rank side: the pair volume streams
         // through both joins without the SMJ sort spill that would double
         // the rung's scratch footprint (physical strategy only — the
-        // term multiset, hence every rank, is unchanged)
+        // term multiset, hence every rank, is unchanged).
+        // r14 (guide §2.4 / r13 verdict): the receiving node's outdeg RIDES
+        // the contribution rows (struct(dst, wo_d, …) / struct(src, wo_s,
+        // …)) and is re-read off the aggregate with min() — every row
+        // targeting a node carries that node's own outdeg, a constant per
+        // group, so min() is exact — which removes the old per-round
+        // node-sized `contribs.join(deg)` re-attach entirely. The extra 8
+        // bytes/contribution combine away in the map-side partial aggregate;
+        // one join (and its exchange) saved per round at every scale. The
+        // node set is unchanged: every endpoint of every pair receives at
+        // least one contribution, so the old inner join dropped nothing.
         val contribs = pairs
           .join(rs.hint("shuffle_hash"), "src")
           .join(rd.hint("shuffle_hash"), "dst")
           .select(explode(expr(
             if (weighted)
-              "array(struct(dst AS node, (r_s div wo_s) * w + ((r_s % wo_s) * w) div wo_s AS share)," +
-              " struct(src AS node, (r_d div wo_d) * w + ((r_d % wo_d) * w) div wo_d AS share))"
+              "array(struct(dst AS node, wo_d AS od, (r_s div wo_s) * w + ((r_s % wo_s) * w) div wo_s AS share)," +
+              " struct(src AS node, wo_s AS od, (r_d div wo_d) * w + ((r_d % wo_d) * w) div wo_d AS share))"
             else
-              "array(struct(dst AS node, r_s div wo_s AS share)," +
-              " struct(src AS node, r_d div wo_d AS share))")).as("t"))
-          .select(col("t.node").as("node"), col("t.share").as("share"))
-          .groupBy("node").agg(sum(col("share")).as("contrib"))
+              "array(struct(dst AS node, wo_d AS od, r_s div wo_s AS share)," +
+              " struct(src AS node, wo_s AS od, r_d div wo_d AS share))")).as("t"))
+          .select(col("t.node").as("node"), col("t.od").as("od"), col("t.share").as("share"))
+          .groupBy("node").agg(sum(col("share")).as("contrib"), min(col("od")).as("outdeg"))
         val (next, releaseNext) = checkpointTracked(contribs
-          .join(deg, "node")
           .select(col("node"), col("outdeg"),
             (lit(tele) + expr("(85 * contrib) div 100")).as("r")))
         release()

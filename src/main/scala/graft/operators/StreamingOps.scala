@@ -129,11 +129,20 @@ object StreamingOps {
     val scaled = (0 until EwmaTerms).map { j =>
       coalesce(lag(col("value").cast(DecimalType(12, 2)), j).over(w), zero) * lit(weight(j))
     }.reduce(_ + _)
-    val wsum = (0 until EwmaTerms).map { j =>
-      when(lag(col("event_id"), j).over(w).isNotNull, lit(weight(j))).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // r14 (guide step-2 per-task work): wsum only encodes HOW MANY of the 20
+    // lags exist — lag(event_id, j) is non-null exactly when the row has >= j
+    // predecessors (event_id is the table's non-null event key; the oracle
+    // gate hash-checks the equivalence at every SF), i.e. when
+    // row_number() > j. So the closed form
+    //   wsum = sum_{j < min(rn, 20)} 2^(19-j) = 2^20 - 2^(20 - min(rn, 20))
+    // replaces 20 separate lag window frames with ONE row_number over the
+    // same window — same integer values, half the window-operator frames
+    // (each lag offset is its own frame buffer walk in WindowExec).
+    val wsum = expr(
+      s"${1L << EwmaTerms} - shiftleft(CAST(1 AS BIGINT), $EwmaTerms - least(rn, $EwmaTerms))")
     Tables.events(s, d)
       .withColumn("scaled", scaled)
+      .withColumn("rn", row_number().over(w))
       .withColumn("wsum", wsum)
       .select(col("user_id"), col("event_id"), col("ts"),
         round(col("scaled").cast(DoubleType) / col("wsum"), 6).as("ewma_r"))

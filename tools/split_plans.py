@@ -22,8 +22,11 @@ buf = []
 def flush():
     if name is None:
         return
+    # drop LOG lines only — anchored to the log-line prefix (timestamp +
+    # level at line start), so a plan line whose column/expression name
+    # happens to contain "error" etc. is kept (r13 ADVICE).
     body = [l for l in buf
-            if not re.search(r"\b(WARN|INFO|ERROR)\b", l)
+            if not re.match(r"^\d\d/\d\d/\d\d \d\d:\d\d:\d\d (WARN|INFO|ERROR)\b", l)
             and not l.startswith("[")]
     with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as f:
         f.write("".join(body).strip() + "\n")
