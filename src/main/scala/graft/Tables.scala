@@ -21,52 +21,75 @@ object Tables {
   private val frames =
     new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  /** Scan-parallelism floor (r13 optimization, guide §2.5 "input skew" /
-    * §6 input splits): a parquet file smaller than
-    * `spark.sql.files.maxPartitionBytes` scans as ONE partition — and
+  /** Scan-parallelism floor (r13, re-scoped r14): a parquet file smaller
+    * than `spark.sql.files.maxPartitionBytes` scans as ONE partition — and
     * because a single small file is also a single row group, raising
-    * `minPartitionNum` would only mint empty splits. So below the floor the
-    * fact tables re-spread ONCE per session over the default parallelism,
-    * hash-partitioned on their PRIMARY KEY (deterministic row→partition
-    * assignment — no round-robin, so retries and engine-compare hashes are
-    * unaffected; every downstream per-row pass — MinHash, BPE explode,
-    * image decode, ts parse — runs at session width instead of one core).
-    * Data-derived: at any real scale the scan has more splits than cores
-    * and the floor never fires. Dimension tables (region/nation/supplier/
-    * part) are broadcast-side and stay as scanned. events, embeddings and
-    * customer were floored and MEASURED OUT (r13): their per-row pre-shuffle
-    * work is trivial (ts parse / 64-dim vectors at 2k rows / key projection),
-    * so the extra exchange plus 32-way task floors on row-counts this small
-    * cost more than the parallelism bought (s5 +0.76 s, s7 +0.73 s, r2/r3
-    * +0.5 s at sf0.1 local[32]); documents/lineitem/orders carry the heavy
-    * per-row passes (text shingling/tokenization, md5 hashing, decimal
-    * aggregation) and kept clear wins (u6/u7 −0.7 s, v2 −0.63 s, c2 −0.59 s,
-    * t16 −0.6 s, q1/q2/a4/a8 −0.25..−0.39 s).
+    * `minPartitionNum` would only mint empty splits. Below the floor the
+    * `*Spread` table variants re-spread the scan over the default
+    * parallelism, hash-partitioned on the PRIMARY KEY (deterministic
+    * row→partition assignment — no round-robin, so retries and
+    * engine-compare hashes are unaffected). Data-derived: at any real scale
+    * the scan has more splits than cores and the floor never fires.
+    *
+    * r14 re-scope: in r13 the floor was baked into the ONE memoized frame
+    * per table, which made it a per-query tax once Bench stopped pre-caching
+    * base tables (every consumer execution re-paid the full-table shuffle —
+    * the r13 ADVICE replay-cost note). Measured at sf0.1 local[32] idle,
+    * floor-everywhere vs floor-nowhere was 76.9 s vs 73.4 s with a clean
+    * per-query split: heavy per-row consumers (MinHash shingling, span
+    * grams, PII regexes, quality metrics, rollup decimal aggregation) keep
+    * 0.2–0.9 s/query wins from the spread (c2 +0.86, v2 +0.59, u6 +0.56,
+    * t16 +0.54, u7/t1/c1/d11/d5/q2 +0.2–0.46), while aggregate-first and
+    * light consumers lose 0.13–0.35 s/query paying a shuffle their map-side
+    * partial aggregation never needed (a-family, q3/q6, t4/t15/t17/t19,
+    * j-family). So the floor is now OPT-IN PER CALL SITE: `documents()` /
+    * `lineitem()` / `orders()` return the bare scan; `documentsSpread()` /
+    * `lineitemSpread()` / `ordersSpread()` apply the floor, and only the
+    * measured-heavy call sites use them. events/embeddings/customer stay
+    * raw-only (floored and measured out in r13: s5 +0.76 s, s7 +0.73 s).
     */
   private val scanFloorKeys = Map(
     "documents" -> Seq("doc_id"),
     "lineitem" -> Seq("l_orderkey", "l_linenumber"),
     "orders" -> Seq("o_orderkey"))
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    resolve(spark, sfDir, name, spread = false)
+
+  private def resolve(spark: SparkSession, sfDir: String, name: String,
+      spread: Boolean): DataFrame = {
     val perSession = frames.synchronized {
       var m = frames.get(spark)
       if (m == null) { m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame](); frames.put(spark, m) }
       m
     }
-    perSession.computeIfAbsent(s"$sfDir/$name", { _ =>
+    val key = if (spread) s"$sfDir/$name!spread" else s"$sfDir/$name"
+    perSession.computeIfAbsent(key, { _ =>
       import org.apache.spark.sql.functions.col
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      scanFloorKeys.get(name) match {
+      scanFloorKeys.get(name).filter(_ => spread) match {
         case Some(pk) =>
           // full session width: a half-width variant was measured (16 at
           // local[32]) and lost more on the heavy consumers (c2 +0.17 s,
           // t20 +0.36 s, q1/q2 +0.11 s) than it saved on the trivial ones
           val target = spark.sparkContext.defaultParallelism
+          val scanParts = raw.rdd.getNumPartitions
           if (sys.props.get("graft.scanfloor").contains("off")) raw
-          else if (raw.rdd.getNumPartitions * 2 <= target)
+          else if (scanParts * 2 <= target) {
+            // r14 (verdict #6): the guard's decision is LOGGED once per
+            // (session, table) so every rung drive records whether the
+            // floor fired — the "never flips at scale" claim is checkable
+            // from any Verify/ScaleProbe log instead of re-derived.
+            System.err.println(
+              s"[tables] scan floor FIRED for $name: $scanParts scan partition(s) " +
+                s"re-spread to $target (defaultParallelism)")
             raw.repartition(target, pk.map(col): _*)
-          else raw
+          } else {
+            System.err.println(
+              s"[tables] scan floor idle for $name: $scanParts scan partition(s) " +
+                s">= half of $target cores")
+            raw
+          }
         case None => raw
       }
     })
@@ -115,4 +138,13 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Scan-floor variants — opt-in for call sites whose pre-shuffle per-row
+    * work is heavy enough to repay the re-spread (see the floor doc above).
+    * Identical rows; only the scan-side partitioning differs below the
+    * floor. At scale these are the same bare scan as the raw accessors.
+    */
+  def documentsSpread(s: SparkSession, d: String): DataFrame = resolve(s, d, "documents", spread = true)
+  def lineitemSpread(s: SparkSession, d: String): DataFrame  = resolve(s, d, "lineitem", spread = true)
+  def ordersSpread(s: SparkSession, d: String): DataFrame    = resolve(s, d, "orders", spread = true)
 }

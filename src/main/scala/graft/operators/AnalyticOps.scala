@@ -17,7 +17,7 @@ object AnalyticOps {
 
   // u6 — ROLLUP over (returnflag, linestatus): subtotal + grand-total rows.
   private def u6Rollup(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    Tables.lineitemSpread(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("price_sum"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
@@ -253,7 +253,7 @@ object AnalyticOps {
   // disambiguates subtotal rows from genuine NULL keys. Same scale shape as
   // any grouped agg: map-side partials per set, one shuffle.
   private def u7GroupingSets(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    Tables.lineitemSpread(s, d)
       .groupingSets(
         Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus")), Seq()),
         col("l_returnflag"), col("l_linestatus"))
@@ -428,16 +428,19 @@ object AnalyticOps {
         when(col("w") === 0, lit(53)).otherwise(lit(53) - length(bin(col("w")))))
       .groupBy("flag", "bucket")
       .agg(max(col("rho")).as("maxrho"))
-    // complete the m-register lattice: empty registers carry rho = 0
-    val spine = li.select(col("l_returnflag").as("flag")).distinct()
+    val exact = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(countDistinct(col("l_orderkey")).as("true_n"))
+    // complete the m-register lattice: empty registers carry rho = 0.
+    // r14: the flag spine comes off the `exact` aggregate (3 rows) instead
+    // of a third lineitem scan+distinct — identical flag set (both are the
+    // table's distinct l_returnflag values), one full-table pass saved.
+    val spine = exact.select("flag")
       .select(col("flag"), explode(expr(s"sequence(0, ${HllM - 1})")).as("bucket"))
     val sums = spine.join(regs, Seq("flag", "bucket"), "left")
       .withColumn("term", expr("shiftleft(CAST(1 AS BIGINT), 53 - coalesce(maxrho, 0))"))
       .groupBy("flag")
       .agg(sum(col("term")).as("s"),
         count(col("maxrho")).as("buckets_used"))
-    val exact = li.groupBy(col("l_returnflag").as("flag"))
-      .agg(countDistinct(col("l_orderkey")).as("true_n"))
     // e0-suffixed literals parse as DOUBLE in BOTH engines (a bare 0.7213 is
     // a DECIMAL literal in each, and their decimal-division scale rules
     // differ — double arithmetic is the one that's bit-identical)

@@ -133,7 +133,7 @@ object Dedup {
       // IS the source — the MinHash pass already ran at build time
       val out = (sys.props.get(BandsDirProp) match {
         case Some(dir) => s.read.parquet(s"$dir/sigs")
-        case None => minhashSigs(Tables.documents(s, d))
+        case None => minhashSigs(Tables.documentsSpread(s, d))
       }).cache()
       // EAGER: a d3/d9-shaped plan scans this frame up to 4x (bands a/b +
       // sig verify a/b); on a cold cache those scans run as CONCURRENT
@@ -392,7 +392,7 @@ object Dedup {
   // round-2 fingerprint was 32 bits, whose byte-bands made d7 quadratic.
   private def d4Simhash(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashRegistry.register(s)
-    Tables.documents(s, d)
+    Tables.documentsSpread(s, d)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .withColumn("h", expr("graft_hash60(tok)")) // JVM-native, not conv/BigInteger
       .groupBy("doc_id")
@@ -499,7 +499,7 @@ object Dedup {
     // fused tokenize+gram+hash expression (sorted distinct; <3 tokens ->
     // empty) — no token array or concatenated gram strings per row; sorted
     // arrays enable the merge-walk intersect below
-    val grams = Tables.documents(s, d)
+    val grams = Tables.documentsSpread(s, d)
       .select(col("doc_id"), expr("graft_gram_hashes(text)").as("grams"))
     val pairs = lshPairsFor(s, d)
     val ga = grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
@@ -917,7 +917,7 @@ object Dedup {
   }
 
   private def d11DupSpans(s: SparkSession, d: String): DataFrame =
-    dupSpanStats(Tables.documents(s, d)).orderBy("doc_id")
+    dupSpanStats(Tables.documentsSpread(s, d)).orderBy("doc_id")
 
   private[operators] val d11Sql =
     s"""WITH g AS (

@@ -224,7 +224,7 @@ object Differential {
   private def v2SpansMerge(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashRegistry.register(s)
     val SpanN = Dedup.SpanN
-    val grams = Tables.documents(s, d)
+    val grams = Tables.documentsSpread(s, d)
       .withColumn("toks", split(expr(Dedup.normExpr), " "))
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .where(col("n_toks") >= SpanN)

@@ -66,8 +66,8 @@ object RelationalOps {
   // equi-join). At 100 TB: lineitem⋈orders shuffles on orderkey; nation and
   // customer-derived dim stay broadcast-able.
   private def q2RevenueByNation(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-    val o  = Tables.orders(s, d)
+    val li = Tables.lineitemSpread(s, d)
+    val o  = Tables.ordersSpread(s, d)
     val c  = Tables.customer(s, d)
     val n  = Tables.nation(s, d)
     li.join(o, col("l_orderkey") === col("o_orderkey"))

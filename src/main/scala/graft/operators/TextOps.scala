@@ -37,7 +37,7 @@ object TextOps {
   // t1 — token counting + quality scoring: whitespace tokens, BPE-ish word
   // pieces, punctuation/stopword/char-class ratios, average token length.
   private def t1TextStats(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.documentsSpread(s, d)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .select(
         col("doc_id"),
@@ -175,7 +175,7 @@ object TextOps {
     * canonical selection. Row-local arithmetic only, so engine-exact.
     */
   private[graft] def qualityFrame(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.documentsSpread(s, d)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .withColumn("n_tokens", size(col("toks")).cast(DoubleType))
       .withColumn("punct_ratio",
@@ -422,7 +422,7 @@ object TextOps {
   private val FeatDim = 1024
 
   private def t10FeatureHash(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.documentsSpread(s, d)
       .withColumn("tok", explode(split(trim(col("text")), "\\s+")))
       .withColumn("idx", (hash60F(s, col("tok")) % FeatDim).cast(IntegerType))
       .withColumn("sign",
@@ -709,7 +709,7 @@ object TextOps {
 
   private def t16PiiRedact(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
-    val withPii = Tables.documents(s, d).withColumn("pii_text",
+    val withPii = Tables.documentsSpread(s, d).withColumn("pii_text",
       concat(col("text"),
         lit(" contact user"), id.cast(StringType), lit("@mail.example.org"),
         when(id % 3 === 0,

@@ -75,4 +75,42 @@ class TablesSpec extends AnyFunSuite {
       rm(dir)
     }
   }
+
+  test("scan floor never fires once a table scans wider than half the cores") {
+    // r13 verdict #6: the floor's scale guard (scanPartitions * 2 <= cores)
+    // deserves a recorded check, not just a claim. Write a floored table
+    // (documents) as MANY small files so its scan has >= cores/2 splits and
+    // assert the memoized frame is the BARE scan — no injected exchange.
+    import spark.implicits._
+    val cores = spark.sparkContext.defaultParallelism
+    val dir = Files.createTempDirectory("graft-floor-guard").toFile
+    try {
+      (0 until 64).map(i => (i.toLong, s"text $i"))
+        .toDF("doc_id", "text")
+        .repartition(cores) // >= cores files => scan splits >= cores
+        .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+      val docs = Tables.documentsSpread(spark, dir.getAbsolutePath)
+      val plan = docs.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"scan floor must stay idle on a multi-split table, plan was:\n$plan")
+      // and the bench-corpus shape (single split) DOES fire on this session
+      // — on the SPREAD variant; the plain accessor is the bare scan by
+      // design (r14 per-call-site floor)
+      val sf = "/root/testdata/sf0.001"
+      assume(new java.io.File(s"$sf/documents.parquet").exists())
+      if (cores >= 2) {
+        assert(!Tables.documents(spark, sf).queryExecution.executedPlan
+          .toString.contains("Exchange"),
+          "plain documents() must stay a bare scan")
+        val benchDocs = Tables.documentsSpread(spark, sf)
+        assert(benchDocs.queryExecution.executedPlan.toString.contains("Exchange"),
+          "single-split bench table should re-spread under the spread variant")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }

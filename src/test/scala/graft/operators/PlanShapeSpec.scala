@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.TestSpark
@@ -13,26 +14,68 @@ class PlanShapeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.01"
 
-  private def executed(name: String): String = {
+  private def executed(name: String): DataFrame = {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     df.write.format("noop").mode("overwrite").save() // finalize AQE
-    df.queryExecution.executedPlan.toString
+    df
   }
 
-  /** Exchanges excluding the Tables scan-parallelism floor's explicit
-    * keyed repartition (rendered with the REPARTITION_BY_COL origin tag) —
-    * that exchange re-spreads a single-split small-file scan across the
-    * session's cores (r13 optimization) and says nothing about whether the
-    * OPERATOR under test moves data. */
-  private def countExchanges(plan: String): Int =
-    "(?i)exchange".r.findAllIn(plan).size -
-      "REPARTITION_BY_(COL|NUM)".r.findAllIn(plan).size
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** The Tables scan-parallelism floor's exchange, identified STRUCTURALLY
+    * (r13 ADVICE: the old regex subtracted EVERY REPARTITION_BY_* tag, so an
+    * operator-level keyed repartition — the exact accident these tests
+    * exist to catch — would have been invisible): an explicit repartition
+    * sitting directly over a bare base-table file scan (no exchange, join
+    * or aggregate below it), hash-keyed on one of the floored tables'
+    * primary keys. Anything else — including a future operator repartition
+    * on its own key — counts as a real exchange again. */
+  private val floorKeys = Set("doc_id", "l_orderkey", "l_linenumber", "o_orderkey")
+  private def isScanFloor(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange._
+    p match {
+      case e: ShuffleExchangeExec
+          if e.shuffleOrigin == REPARTITION_BY_NUM || e.shuffleOrigin == REPARTITION_BY_COL =>
+        val keysOk = e.outputPartitioning match {
+          case h: HashPartitioning => h.expressions.forall {
+            case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+              floorKeys(a.name)
+            case _ => false
+          }
+          case _ => false
+        }
+        val below = graft.tools.PlanAudit.liveNodes(e.child)
+        keysOk && below.exists(_.isInstanceOf[FileSourceScanExec]) &&
+          !below.exists(n => n.isInstanceOf[ShuffleExchangeLike] ||
+            n.isInstanceOf[BroadcastExchangeLike] ||
+            n.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec] ||
+            n.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      case _ => false
+    }
+  }
+
+  /** Live exchanges (shuffle + broadcast + reuse markers, the same node set
+    * the old string count saw) excluding only the structurally-identified
+    * scan-floor repartitions. */
+  private def countExchanges(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.exchange._
+    graft.tools.PlanAudit.liveNodes(df.queryExecution.executedPlan).count {
+      case e: ShuffleExchangeLike => !isScanFloor(e)
+      case _: BroadcastExchangeLike => true
+      case _: ReusedExchangeExec => true
+      case _ => false
+    }
+  }
 
   test("t8 repetition signals shuffle only for the final deterministic sort") {
-    val plan = executed("t8_gopher_repetition")
+    val df = executed("t8_gopher_repetition")
+    val plan = planOf(df)
     // one exchange: the output ORDER BY. The signal computation itself is
     // row-local (array fold) — no aggregation exchange may appear.
-    assert(countExchanges(plan) <= 1,
+    assert(countExchanges(df) <= 1,
       s"t8 must stay row-local except the final sort, plan was:\n$plan")
     // an explode+groupBy bigram pipeline would reappear as a Generate node
     assert(!plan.contains("Generate"),
@@ -53,12 +96,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // subtree) must contain no exchange at all: a reintroduced crossJoin +
     // groupBy assignment renders a bare "Exchange hashpartitioning" there.
     // The centroid-fold's own single-partition exchange (k rows, inside the
-    // broadcast subtree) is the only one permitted anywhere.
+    // broadcast subtree) is the only one permitted anywhere. (String counts
+    // are fine here: no Tables scan, so no floor exchange can appear.)
+    def strExchanges(s: String): Int = "(?i)exchange".r.findAllIn(s).size
     assert(plan.contains("BroadcastExchange"), "centroids must ride a broadcast")
     val corpusBranch = plan.substring(0, plan.indexOf("BroadcastExchange"))
-    assert(countExchanges(corpusBranch) == 0,
+    assert(strExchanges(corpusBranch) == 0,
       s"assignment must not shuffle the corpus, plan was:\n$plan")
-    val bareShuffles = countExchanges(plan) - "BroadcastExchange".r.findAllIn(plan).size
+    val bareShuffles = strExchanges(plan) - "BroadcastExchange".r.findAllIn(plan).size
     assert(bareShuffles <= 1,
       s"only the k-row centroid fold may exchange ($bareShuffles found), plan was:\n$plan")
     assert(assigned.count() == 100)
@@ -88,7 +133,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("t11's corpus branch joins the broadcast rate table without shuffling") {
-    val plan = executed("t11_temp_sample")
+    val plan = planOf(executed("t11_temp_sample"))
     // the documents scan must stream through a BroadcastHashJoin; a
     // SortMergeJoin (or any corpus-side exchange before the join) means the
     // language-cardinality rate table stopped broadcasting
@@ -99,15 +144,16 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("t12 chunking is scan -> generate -> output sort, nothing else") {
-    val plan = executed("t12_seq_chunk")
+    val df = executed("t12_seq_chunk")
+    val plan = planOf(df)
     assert(plan.contains("Generate"), "chunk explode must be a Generate")
     // doc-local work: the ONLY exchange is the final deterministic ORDER BY
-    assert(countExchanges(plan) <= 1,
+    assert(countExchanges(df) <= 1,
       s"t12 must not move data beyond the output sort, plan was:\n$plan")
   }
 
   test("s7's probe join is cell-bounded and broadcast, like s3") {
-    val plan = executed("s7_ivfpq_ann")
+    val plan = planOf(executed("s7_ivfpq_ann"))
     // the ADC candidate join must be an equi-join ON THE CELL KEY with the
     // probe side broadcast — not a sort-merge or an unbounded pair scan.
     // (The cached ranking's stored plan legitimately contains the 1-row
